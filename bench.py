@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized with the noop sink (no driver-side
+collect, no result-size bias) — the measured cost is the distributed
+plan itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from namegraph_collections_spark.queries import REGISTRY  # noqa: E402
+from namegraph_collections_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "regional_revenue",
+    "topk_orders_per_customer",
+    "ordered_dedup_lineitems",
+    "entity_assembly_users",
+    "hourly_event_rollup",
+    "cdc_snapshot_ops",
+    "transitive_closure_reachability",
+    "bm25_search",
+    "exact_dedup_groups",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "cosine_topk_bruteforce",
+    "doc_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("ngcs-bench")
+    # Warm the JVM/codegen paths so per-query numbers measure the plans.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Snapshot-diff CDC operators (SURVEY §2.8 D1-D3 ★).
+
+Reference analogue: ``produce_update_operations``
+(/root/reference/airflow/dags/update_es.py:249-313) walks the current
+JSONL, probing a previous-snapshot hash index (JSONLIndex,
+update_es.py:73-113) and the live index-id map, emitting
+create / minimal-update / archive operations.
+
+Spark-first restatement: both snapshots are DataFrames with a
+precomputed row hash; one FULL OUTER join on the business key
+classifies every row in a single shuffle — no random-access index, no
+driver loop, and it scales to snapshots that don't fit on one machine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Sentinel used when hashing nullable columns (update_es.py hashes the
+#: canonical JSON of present fields; we canonicalize nulls explicitly).
+NULL_SENTINEL = "\x00<null>"
+SEP = "\x01"
+
+
+def row_hash(cols: Sequence[str]):
+    """Deterministic row digest over ``cols``: md5 of the
+    null-canonicalized, separator-joined values.
+
+    Mirrors JSONLIndex.hash (update_es.py:98-104 — sha256 of
+    sort_keys-canonical JSON) with a column-order canonicalization
+    that both Spark and DuckDB compute identically.
+    """
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in sorted(cols)]
+    return F.md5(F.concat_ws(SEP, *parts))
+
+
+def snapshot_diff(
+    previous: DataFrame,
+    current: DataFrame,
+    key: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Classify every key across two snapshots.
+
+    Returns DataFrame[key, op] with op ∈ {create, update, delete,
+    noop}, matching the reference's op taxonomy (update_es.py:264-313:
+    id∉prev → create; hash differs → update; hash equal → no-op;
+    id∉current → archive/delete).
+    """
+    prev_h = previous.select(F.col(key), row_hash(compare_cols).alias("_prev_hash"))
+    curr_h = current.select(F.col(key), row_hash(compare_cols).alias("_curr_hash"))
+    joined = prev_h.alias("p").join(curr_h.alias("c"), on=key, how="full_outer")
+    return joined.select(
+        F.col(key),
+        F.when(F.col("_prev_hash").isNull(), F.lit("create"))
+        .when(F.col("_curr_hash").isNull(), F.lit("delete"))
+        .when(F.col("_prev_hash") != F.col("_curr_hash"), F.lit("update"))
+        .otherwise(F.lit("noop"))
+        .alias("op"),
+    )
+
+
+def minimal_field_diff(
+    previous: DataFrame,
+    current: DataFrame,
+    key: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Per-field minimal patch for updated keys (update_es.py:156-209 ★).
+
+    For every key present in both snapshots, emit one row per *changed*
+    column: (key, field, old_value, new_value) — the relational form of
+    the reference's sparse update dicts. Static schema makes this fully
+    column-expressible (SURVEY §2.8 D3).
+    """
+    p = previous.select(key, *compare_cols).alias("p")
+    c = current.select(key, *compare_cols).alias("c")
+    joined = p.join(c, on=key, how="inner")
+    diffs = []
+    for col in compare_cols:
+        old, new = F.col(f"p.{col}").cast("string"), F.col(f"c.{col}").cast("string")
+        changed = ~(old.eqNullSafe(new))
+        diffs.append(
+            joined.filter(changed).select(
+                F.col(key),
+                F.lit(col).alias("field"),
+                old.alias("old_value"),
+                new.alias("new_value"),
+            )
+        )
+    out = diffs[0]
+    for d in diffs[1:]:
+        out = out.unionByName(d)
+    return out

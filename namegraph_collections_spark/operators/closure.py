@@ -1,0 +1,83 @@
+"""Iterative transitive closure over an edge DataFrame (SURVEY §2.3 J14 ★).
+
+Reference analogue: ``has_path_rocksdb`` does a per-member DFS over
+``subclass_of`` edges with an lru_cache
+(/root/reference/airflow/dags/create_collections.py:545-606). At scale
+that is O(members × DFS); the Spark-first treatment precomputes
+``reachable(node, ancestor)`` once with a driver loop of self-joins —
+turning every subsequent reachability probe into a plain equi-join.
+
+Scale notes:
+- the frontier is deduplicated every iteration (the closure of a DAG
+  is the fixpoint; duplicates only re-derive known pairs);
+- ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+  exponentially with depth (classic iterative-join pitfall);
+- cycles terminate naturally because the frontier ∖ known set goes
+  empty (same role as the DFS visited-set guard at
+  create_collections.py:560-590);
+- a ``same_as`` redirect table is folded in as an edge rewrite
+  (edges ∪ same_as∘edges) before iterating, mirroring the per-node
+  fallback at create_collections.py:566-575.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rewrite_edges_with_redirects(edges: DataFrame, same_as: DataFrame) -> DataFrame:
+    """Fold redirects into the edge set: if s→s' is a redirect, then
+    every edge s'→d is also reachable from s (and d-redirects apply on
+    the target side).
+
+    ``edges``: (src, dst); ``same_as``: (alias, canonical).
+    """
+    alias_src = (
+        same_as.join(edges, same_as["canonical"] == edges["src"])
+        .select(same_as["alias"].alias("src"), edges["dst"])
+    )
+    alias_dst = (
+        edges.join(same_as, edges["dst"] == same_as["alias"])
+        .select(edges["src"], same_as["canonical"].alias("dst"))
+    )
+    return edges.unionByName(alias_src).unionByName(alias_dst).distinct()
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_iterations: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Compute all (src, dst) pairs where dst is reachable from src.
+
+    Semi-naive evaluation: only the last-round frontier is joined
+    against the edge relation each step, and already-known pairs are
+    anti-joined away, so work is proportional to *new* pairs per
+    round, not the whole closure.
+
+    Returns DataFrame[src, dst] including the 1-step edges.
+    """
+    edges = edges.select("src", "dst").distinct()
+    # Hot relation reused every iteration — cache it once.
+    edges.persist()
+    closure = edges
+    frontier = edges
+    for i in range(max_iterations):
+        # frontier ∘ edges: new candidate pairs one step deeper.
+        stepped = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        # Semi-naive: drop pairs we already know (also terminates cycles).
+        new_pairs = stepped.join(closure, ["src", "dst"], "left_anti")
+        if checkpoint_every and (i % checkpoint_every == 0):
+            new_pairs = new_pairs.localCheckpoint(eager=True)
+        if new_pairs.isEmpty():
+            break
+        closure = closure.unionByName(new_pairs).localCheckpoint(eager=True)
+        frontier = new_pairs
+    edges.unpersist()
+    return closure

@@ -1,0 +1,19 @@
+"""Query registry — every entry is one operator family from SURVEY.md §2.
+
+Importing this package populates ``REGISTRY`` (name → QuerySpec) by
+importing each query module. ``__spark_entry__.py`` exposes the
+registry to the driver's correctness harness.
+"""
+
+from namegraph_collections_spark.queries.registry import REGISTRY, QuerySpec, register  # noqa: F401
+
+# Import for registration side effects.
+from namegraph_collections_spark.queries import relational  # noqa: E402,F401
+from namegraph_collections_spark.queries import closure  # noqa: E402,F401
+from namegraph_collections_spark.queries import strings  # noqa: E402,F401
+from namegraph_collections_spark.queries import text_analysis  # noqa: E402,F401
+from namegraph_collections_spark.queries import dedup  # noqa: E402,F401
+from namegraph_collections_spark.queries import similarity  # noqa: E402,F401
+from namegraph_collections_spark.queries import search  # noqa: E402,F401
+from namegraph_collections_spark.queries import cdc  # noqa: E402,F401
+from namegraph_collections_spark.queries import pipeline_demo  # noqa: E402,F401

@@ -1,0 +1,184 @@
+"""Deduplication operators (driver brief): exact, n-gram Jaccard,
+MinHash+LSH — each as a declarative DataFrame plan with a DuckDB
+oracle. SimHash and embedding-cosine near-dup live in
+operators/dedup.py with their own queries.
+
+Scale shape: exact dedup is one hash-groupBy; shingle-based methods
+explode to (doc, shingle) rows and meet in a shuffle on the shingle —
+the classic build for corpora where doc×doc comparison is impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.queries.registry import register, tbl
+
+NUM_MINHASHES = 16
+BAND_SIZE = 4  # 4 bands × 4 rows
+
+
+@register(
+    "exact_dedup_groups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) >= 1
+    """,
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text (driver brief).
+
+    One shuffle on the 128-bit fingerprint; min(doc_id) elects the
+    canonical representative deterministically. At 100 TB the group-by
+    key is the hash (fixed width), never the document body.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    tokens = F.split(F.lower(F.col("text")), " ")
+    # zip tokens with 1- and 2-shifted copies → word trigrams, JVM-side.
+    grams = F.transform(
+        F.slice(tokens, 1, F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        lambda t, i: F.concat_ws(
+            " ", t, F.element_at(tokens, i + 2), F.element_at(tokens, i + 3)
+        ),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+_SHINGLES_SQL = """
+    SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           )) AS shingle
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.1
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (driver brief).
+
+    Candidate generation meets in a shuffle on the shingle (an
+    inverted-index join), never doc×doc: |pairs| is bounded by shingle
+    co-occurrence. Jaccard from |A∩B| and precomputed set sizes.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    sh = _shingles(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    hashes AS (
+      SELECT s.doc_id, seeds.seed, MIN(md5(seeds.seed || ':' || s.shingle)) AS mh
+      FROM shingles s CROSS JOIN (SELECT unnest(range({NUM_MINHASHES})) AS seed) seeds
+      GROUP BY s.doc_id, seeds.seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // {BAND_SIZE} AS band,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
+      FROM hashes GROUP BY doc_id, seed // {BAND_SIZE}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs (driver brief).
+
+    shingle → {NUM_MINHASHES} seeded min-hashes → {NUM_MINHASHES // BAND_SIZE}
+    band signatures → bucket join. Deterministic md5 min-hashing keeps
+    the DuckDB oracle bit-identical. At scale the only doc×doc work is
+    within LSH buckets — the standard sub-quadratic near-dup build.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    seeds = spark.range(NUM_MINHASHES).select(F.col("id").cast("int").alias("seed"))
+    hashes = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        hashes.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+                    ),
+                    ",",
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

@@ -1,0 +1,104 @@
+"""Batch BM25 search scoring (SURVEY §2.9 ★) — "search as a Spark query".
+
+The reference serves ranked full-text search from Elasticsearch
+(bool{multi_match + rank_feature} — research/learning-to-rank/
+measure-times.py:12-105). BM25 is fully expressible relationally:
+token stats (df, tf, doc length) via explode+groupBy, then the Lucene
+BM25 formula as column math, then a ranked window for top-k.
+
+Determinism: per-term contributions are rounded then summed as
+DECIMAL(18,6) so the cross-engine sum is exact; ranking orders by the
+rounded score with id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from namegraph_collections_spark.queries.registry import register, tbl
+
+QUERY_TERMS = ["spark", "join", "merge", "window"]
+K1 = 1.2
+B = 0.75
+TOP_K = 10
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclen),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ({", ".join(f"'{t}'" for t in QUERY_TERMS)})
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    contrib AS (
+      SELECT tf.doc_id,
+        CAST(ROUND(
+          ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * (tf.tf * ({K1} + 1))
+          / (tf.tf + {K1} * (1 - {B} + {B} * doclen.dl / corpus.avgdl)), 6)
+        AS DECIMAL(18,6)) AS c
+      FROM tf
+      JOIN df ON tf.token = df.token
+      JOIN doclen ON tf.doc_id = doclen.doc_id
+      CROSS JOIN corpus
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, rnk FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style BM25 top-k over `documents` (SURVEY §2.9 ★).
+
+    idf = ln(1 + (N−df+0.5)/(df+0.5)); score = Σ idf·tf·(k1+1)/(tf +
+    k1·(1−b+b·dl/avgdl)). Everything is DataFrame ops: one explode,
+    two aggregations, broadcast of the tiny df/corpus stats, final
+    global top-k window. Mirrors the ES query at
+    research/learning-to-rank/measure-times.py:86-105 with b/k1 from
+    populate.py:106-112.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (K1 + 1))
+                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)

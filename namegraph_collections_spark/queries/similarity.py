@@ -1,0 +1,131 @@
+"""Similarity search over the `embeddings` table (driver brief):
+brute-force cosine top-k as the correctness baseline, plus an
+LSH-bucketed variant as the scale path.
+
+Determinism: dot products are left-to-right double folds on both
+engines (Spark ``aggregate`` over ``zip_with``; DuckDB ``list_sum``
+over ``list_transform``) so the oracle hashes identically; scores are
+rounded to 6 decimals and ranking ties broken on ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from namegraph_collections_spark.queries.registry import register, tbl
+
+N_QUERY_VECS = 8
+TOP_K = 5
+DIM = 64
+
+
+def _dot(a, b):
+    """Σ aᵢ·bᵢ as an ordered double fold (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, {dim} + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb, label AS c_label FROM embeddings),
+    scored AS (
+      SELECT q_id, c_id, c_label,
+        ROUND({_DOT_SQL.format(dim=DIM, a='q_emb', b='c_emb')}
+              / (sqrt({_DOT_SQL.format(dim=DIM, a='q_emb', b='q_emb')})
+                 * sqrt({_DOT_SQL.format(dim=DIM, a='c_emb', b='c_emb')})), 6) AS cosine
+      FROM q CROSS JOIN c
+      WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id, c_label, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (driver brief).
+
+    Query set broadcast against the candidate corpus; score is a pure
+    column expression (zip_with + aggregate — whole-stage codegen, no
+    Python). At 100 TB the corpus side stays partitioned and only the
+    per-partition top-k survives the final shuffle (window over
+    rounded score with id tiebreak).
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "c_label",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (
+                    F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+                    * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
+@register(
+    "lsh_bucket_neighbors",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, label,
+        (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+         + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT bucket, COUNT(*) AS n_vecs,
+           list_sort(list(DISTINCT label)) AS labels
+    FROM sig GROUP BY bucket
+    """,
+)
+def lsh_bucket_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-style LSH bucketing (the ANN scale path).
+
+    Sign bits of fixed coordinates form the bucket key (a deterministic
+    stand-in for sampled hyperplanes, keeping the oracle exact); at
+    scale, candidate search joins query signatures to bucket-local
+    candidates instead of the full corpus — the IVF/LSH pruning shape.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    bit = lambda i, v: F.when(F.element_at("embedding", i) >= 0, F.lit(v)).otherwise(F.lit(0))  # noqa: E731
+    sig = emb.select(
+        "vec_id",
+        "label",
+        (bit(1, 4) + bit(2, 2) + bit(3, 1)).alias("bucket"),
+    )
+    return sig.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.array_sort(F.collect_set("label")).alias("labels"),
+    )

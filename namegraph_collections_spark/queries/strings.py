@@ -1,0 +1,148 @@
+"""String/scalar-function queries (SURVEY §2.7 C1/C3/C6, §2.2 F8-F10 ★).
+
+These exercise the reference's *actual* curation transformations and
+filter regexes — applied to names synthesized deterministically from
+the `part` table, so the DuckDB oracle can check them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.queries.registry import register, tbl
+
+# Reference name-filter regexes, verbatim from
+# /root/reference/airflow/dags/create_merged.py:595-604 (F9 ★) and the
+# "by-lowercase" rule :607-611 (F10 ★). Kept to the regex subset that
+# Java and RE2/DuckDB interpret identically.
+FILTER_PATTERNS = [
+    "^Wikipedia:.*",
+    "^Highways numbered .*",
+    "^Lists (of|that) .*",
+    "^Incomplete lists? from .*",
+]
+BY_LOWER_PATTERN = " by [a-z]"
+
+
+def _synth_names_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic wiki-style names from `part`: every 5th row gets a
+    different prefix/suffix shape so each filter/curation branch fires."""
+    p = tbl(spark, sf_dir, "part")
+    shape = F.col("p_partkey") % 5
+    name = (
+        F.when(shape == 0, F.concat(F.lit("Wikipedia:"), F.col("p_name")))
+        .when(shape == 1, F.concat(F.lit("Lists of "), F.col("p_name")))
+        .when(shape == 2, F.concat(F.col("p_name"), F.lit(" by year")))
+        .when(shape == 3, F.concat(F.lit("List of "), F.col("p_name"), F.lit(" albums")))
+        .otherwise(F.concat(F.lit("Category:"), F.col("p_name")))
+    )
+    return p.select("p_partkey", F.replace(name, F.lit(" "), F.lit("_")).alias("raw_name"))
+
+
+_SYNTH_NAMES_SQL = """
+    SELECT p_partkey,
+      replace(CASE p_partkey % 5
+        WHEN 0 THEN 'Wikipedia:' || p_name
+        WHEN 1 THEN 'Lists of ' || p_name
+        WHEN 2 THEN p_name || ' by year'
+        WHEN 3 THEN 'List of ' || p_name || ' albums'
+        ELSE 'Category:' || p_name END, ' ', '_') AS raw_name
+    FROM part
+"""
+
+
+@register(
+    "curate_names",
+    oracle=f"""
+    WITH raw AS ({_SYNTH_NAMES_SQL}),
+    spaced AS (
+      SELECT p_partkey, replace(raw_name, '_', ' ') AS s FROM raw
+    ), stripped AS (
+      SELECT p_partkey,
+             regexp_replace(regexp_replace(s, '^List of ', ''), '^Category:', '') AS s
+      FROM spaced
+    )
+    SELECT p_partkey,
+           upper(substr(s, 1, 1)) || substr(s, 2) AS curated_name,
+           len(string_split(s, ' ')) AS n_tokens,
+           string_split(lower(s), ' ')[1] AS first_token
+    FROM stripped
+    WHERE length(s) >= 3
+    """,
+)
+def curate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_name semantics (SURVEY §2.7 C3 ★).
+
+    Reference: article → display name — '_'→space, drop leading
+    'List of '/'Category:', uppercase first char
+    (create_merged.py:373-380; goldens tests/test_wiki_api.py:135-140).
+    All JVM-side expressions — no UDF in the hot path.
+    """
+    raw = _synth_names_spark(spark, sf_dir)
+    s = F.regexp_replace(
+        F.regexp_replace(F.replace(F.col("raw_name"), F.lit("_"), F.lit(" ")), "^List of ", ""),
+        "^Category:",
+        "",
+    )
+    out = raw.select(
+        "p_partkey",
+        F.concat(F.upper(F.substring(s, 1, 1)), F.substring(s, 2, 1 << 30)).alias("curated_name"),
+        F.size(F.split(s, " ")).alias("n_tokens"),
+        F.split(F.lower(s), " ").getItem(0).alias("first_token"),
+    )
+    return out.filter(F.length(F.col("curated_name")) >= 3)
+
+
+@register(
+    "name_regex_filters",
+    oracle=f"""
+    WITH raw AS ({_SYNTH_NAMES_SQL}),
+    spaced AS (SELECT p_partkey, replace(raw_name, '_', ' ') AS name FROM raw)
+    SELECT p_partkey, name
+    FROM spaced
+    WHERE NOT ({' OR '.join(f"regexp_matches(name, '{p}')" for p in FILTER_PATTERNS)})
+      AND NOT regexp_matches(name, '{BY_LOWER_PATTERN}')
+    """,
+)
+def name_regex_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's name-filter regex battery (F9/F10 ★).
+
+    Drops 'Wikipedia:*', 'Highways numbered *', 'Lists of/that *',
+    'Incomplete list(s) from *' (create_merged.py:595-604) and the
+    " by <lowercase>" rule (:607-611). Pure rlike filters — pushed into
+    the scan stage by Catalyst.
+    """
+    raw = _synth_names_spark(spark, sf_dir)
+    name = F.replace(F.col("raw_name"), F.lit("_"), F.lit(" "))
+    df = raw.select("p_partkey", name.alias("name"))
+    cond = F.lit(False)
+    for pat in FILTER_PATTERNS:
+        cond = cond | F.col("name").rlike(pat)
+    cond = cond | F.col("name").rlike(BY_LOWER_PATTERN)
+    return df.filter(~cond)
+
+
+@register(
+    "strip_suffix_and_extract",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name || '.eth', '\\.eth$', '') AS stripped,
+           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INTEGER) AS brand_num,
+           lower(p_type) AS type_lc
+    FROM part
+    """,
+)
+def strip_suffix_and_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_eth + regexp_extract scalar functions (C6, C2-style).
+
+    Reference: remove trailing '.eth' (create_merged.py:347-348);
+    prefix-strip extract_id (create_collections.py:622-630).
+    """
+    p = tbl(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(F.concat(F.col("p_name"), F.lit(".eth")), r"\.eth$", "").alias("stripped"),
+        F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).cast("int").alias("brand_num"),
+        F.lower(F.col("p_type")).alias("type_lc"),
+    )

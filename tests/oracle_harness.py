@@ -1,0 +1,85 @@
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Runs a registry query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, canonicalizes both results (columns sorted by
+name, rows sorted by all values, arrays already deterministic by
+construction), and asserts equality.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon_value(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    return repr(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        out.append(tuple(_canon_value(row[i]) for i in order))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def compare(spark, sf_dir: str, name: str, fn, oracle: str | None) -> dict:
+    sdf = fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    result = {"name": name, "spark_rows": len(s_rows)}
+    if oracle is None:
+        result["status"] = "rows_only"
+        result["ok"] = len(s_rows) >= 0
+        return result
+    con = duck_connection(sf_dir)
+    try:
+        rel = con.sql(oracle)
+        d_cols = list(rel.columns)
+        d_rows = rel.fetchall()
+    finally:
+        con.close()
+    result["duck_rows"] = len(d_rows)
+    sc, sr = _canon_rows(s_cols, s_rows)
+    dc, dr = _canon_rows(d_cols, d_rows)
+    result["cols_match"] = sc == dc
+    result["rows_match"] = len(sr) == len(dr)
+    result["values_match"] = sr == dr
+    result["ok"] = result["cols_match"] and result["values_match"]
+    if not result["ok"]:
+        result["spark_cols"] = sc
+        result["duck_cols"] = dc
+        mismatches = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+        result["first_mismatches"] = mismatches
+        result["spark_sample"] = sr[:2]
+        result["duck_sample"] = dr[:2]
+    return result
