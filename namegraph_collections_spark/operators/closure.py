@@ -31,7 +31,10 @@ def rewrite_edges_with_redirects(edges: DataFrame, same_as: DataFrame) -> DataFr
     every edge s'→d is also reachable from s (and d-redirects apply on
     the target side).
 
-    ``edges``: (src, dst); ``same_as``: (alias, canonical).
+    ``edges``: (src, dst); ``same_as``: (alias, canonical). An alias
+    with no edges of its own inherits the canonical node's outgoing
+    edges (the ParentFinder fallback: "if db2[X] missing, use
+    db2[same_as[X]]").
     """
     alias_src = (
         same_as.join(edges, same_as["canonical"] == edges["src"])

@@ -1,0 +1,104 @@
+"""MySQL-dump INSERT-tuple extraction (SURVEY §2.1 S4).
+
+Reference: a Ragel-generated C state machine over the mmap'd dump
+prints selected columns of every INSERT tuple
+(/root/reference/airflow/sql_parser.c:32-2105; python variant
+scripts/parse_wiki_dump.py:27-47).
+
+Spark-first: the dump is a line-oriented text scan (INSERT statements
+are single lines); tuple splitting is a small pure-Python state
+machine applied per batch via ``mapInPandas`` — Arrow-batched, scan-
+parallel, no driver involvement. The DFA logic is ~40 lines of Python
+instead of 2000 lines of generated C because the executor count, not
+single-core throughput, carries the scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def split_insert_tuples(line: str) -> Iterator[list[str]]:
+    """Yield the value-lists of every ``(...)`` tuple in an INSERT line.
+
+    Handles quoted strings with backslash escapes — the same grammar
+    the C parser implements (sql_parser.c usage note :2105).
+    """
+    i = line.find("VALUES")
+    if i == -1:
+        return
+    i += len("VALUES")
+    n = len(line)
+    while i < n:
+        while i < n and line[i] not in "(;":
+            i += 1
+        if i >= n or line[i] == ";":
+            return
+        i += 1  # past '('
+        fields: list[str] = []
+        buf: list[str] = []
+        in_quote = False
+        while i < n:
+            ch = line[i]
+            if in_quote:
+                if ch == "\\":
+                    if i + 1 < n:
+                        buf.append(line[i + 1])
+                        i += 2
+                        continue
+                elif ch == "'":
+                    in_quote = False
+                    i += 1
+                    continue
+                buf.append(ch)
+                i += 1
+            else:
+                if ch == "'":
+                    in_quote = True
+                    i += 1
+                elif ch == ",":
+                    fields.append("".join(buf))
+                    buf = []
+                    i += 1
+                elif ch == ")":
+                    fields.append("".join(buf))
+                    i += 1
+                    yield fields
+                    break
+                else:
+                    buf.append(ch)
+                    i += 1
+        else:
+            return
+
+
+def read_sqldump_columns(
+    spark: SparkSession,
+    path: str,
+    column_indices: list[int],
+    column_names: list[str],
+) -> DataFrame:
+    """S4: dump file → DataFrame of the selected tuple columns.
+
+    ``column_indices`` mirrors the C parser's bitmask column selection
+    (sql_parser.c:53-57) — projection pushdown done at parse time.
+    """
+    assert len(column_indices) == len(column_names)
+    schema = T.StructType([T.StructField(n, T.StringType()) for n in column_names])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for line in pdf["value"]:
+                if not line.startswith("INSERT"):
+                    continue
+                for tup in split_insert_tuples(line):
+                    if max(column_indices) < len(tup):
+                        rows.append([tup[i] for i in column_indices])
+            yield pd.DataFrame(rows, columns=column_names)
+
+    return spark.read.text(path).mapInPandas(extract, schema=schema)
