@@ -1,0 +1,265 @@
+"""Collection-name operators on the synthetic tables: letter-range
+normalization merge (create_merged.py:745-804), suffix mining
+(research/collection-name-normalization/most-popular-suffixes.py:16-41,
+A12), and command-driven array sorts
+(load_custom_collections.py:324-333, W5) — each with an exact DuckDB
+oracle.
+
+The regex set is shared with plans/letter_merge.py; here the patterns
+run over names synthesized from `part` columns so the oracle can
+value-check group/merge/rename decisions at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.plans.letter_merge import (
+    ALPHABET_RANGE_PATTERN,
+    M1_PATTERN,
+    M2_PATTERN,
+)
+from namegraph_collections_spark.queries.registry import register, tbl
+
+# Name synthesis: four shapes — a merging letter-range family, a
+# renamable parenthetical, a kept range suffix, a renamable single
+# letter — plus unmatched passthrough.
+_NAME_SQL = """
+    CASE WHEN p_partkey % 50 = 0 THEN p_type || ', ' || chr(65 + CAST(p_partkey % 26 AS INT))
+         WHEN p_partkey % 50 = 1 THEN 'Set ' || CAST(p_partkey AS VARCHAR) || ' (list)'
+         WHEN p_partkey % 50 = 2 THEN 'Group ' || CAST(p_partkey AS VARCHAR) || ': A to Z'
+         WHEN p_partkey % 50 = 3 THEN 'Row ' || CAST(p_partkey AS VARCHAR) || ', B'
+         ELSE p_type END
+"""
+
+
+def _synth_names(part: DataFrame) -> DataFrame:
+    pk = F.col("p_partkey")
+    letter = F.expr("char(65 + pmod(p_partkey, 26))")
+    return part.withColumn(
+        "name",
+        F.when(pk % 50 == 0, F.concat("p_type", F.lit(", "), letter))
+        .when(pk % 50 == 1, F.concat(F.lit("Set "), pk.cast("string"), F.lit(" (list)")))
+        .when(pk % 50 == 2, F.concat(F.lit("Group "), pk.cast("string"), F.lit(": A to Z")))
+        .when(pk % 50 == 3, F.concat(F.lit("Row "), pk.cast("string"), F.lit(", B")))
+        .otherwise(F.col("p_type")),
+    )
+
+
+@register(
+    "letter_range_normalize",
+    oracle=f"""
+    WITH named AS (
+      SELECT p_partkey, p_size, {_NAME_SQL} AS name FROM part
+    ),
+    m AS (
+      SELECT *,
+        regexp_matches(name, '{M1_PATTERN}') AS m1,
+        regexp_matches(name, '{M2_PATTERN}') AS m2
+      FROM named
+    ),
+    extracted AS (
+      SELECT *,
+        upper(substr(norm_raw, 1, 1)) || substr(norm_raw, 2) AS norm,
+        CASE WHEN m1 THEN regexp_extract(name, '{M1_PATTERN}', 2)
+             ELSE regexp_extract(name, '{M2_PATTERN}', 2) END AS stripped
+      FROM (SELECT *, trim(CASE WHEN m1 THEN regexp_extract(name, '{M1_PATTERN}', 1)
+                                ELSE regexp_extract(name, '{M2_PATTERN}', 1) END) AS norm_raw
+            FROM m) WHERE m1 OR m2
+    ),
+    grouped AS (
+      SELECT norm, COUNT(*) AS n_collections, MIN(p_partkey) AS merged_id,
+             MAX(p_size) AS max_size, bool_or(m2) AS any_m2,
+             min_by(stripped, p_partkey) AS first_stripped,
+             min_by(name, p_partkey) AS orig_name
+      FROM extracted GROUP BY norm
+    )
+    SELECT CASE WHEN n_collections > 1 OR any_m2
+                     OR regexp_matches(first_stripped, '{ALPHABET_RANGE_PATTERN}')
+                THEN norm ELSE orig_name END AS final_name,
+           merged_id, n_collections, max_size
+    FROM grouped
+    UNION ALL
+    SELECT name AS final_name, p_partkey AS merged_id, 1 AS n_collections,
+           p_size AS max_size
+    FROM m WHERE NOT (m1 OR m2)
+    """,
+)
+def letter_range_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letter-range normalization merge over synthesized names
+    (create_merged.py:745-804 on `part`).
+
+    Names collapsing to one normalized form merge (min id wins, n
+    counted); lone matches rename only on explicit-pattern or
+    alphabet-range hits; everything else passes through. One regex
+    projection + one groupBy — no shuffle beyond the merge itself.
+    """
+    named = _synth_names(tbl(spark, sf_dir, "part"))
+    m1 = F.col("name").rlike(M1_PATTERN)
+    m2 = F.col("name").rlike(M2_PATTERN)
+    norm_raw = F.trim(
+        F.when(m1, F.regexp_extract("name", M1_PATTERN, 1)).otherwise(
+            F.regexp_extract("name", M2_PATTERN, 1)
+        )
+    )
+    m = named.withColumn("m1", m1).withColumn("m2", m2)
+    extracted = (
+        m.filter(F.col("m1") | F.col("m2"))
+        .withColumn(
+            "norm",
+            F.concat(F.upper(F.substring(norm_raw, 1, 1)), F.substring(norm_raw, 2, 1 << 30)),
+        )
+        .withColumn(
+            "stripped",
+            F.when(F.col("m1"), F.regexp_extract("name", M1_PATTERN, 2)).otherwise(
+                F.regexp_extract("name", M2_PATTERN, 2)
+            ),
+        )
+    )
+    grouped = extracted.groupBy("norm").agg(
+        F.count(F.lit(1)).alias("n_collections"),
+        F.min("p_partkey").alias("merged_id"),
+        F.max("p_size").alias("max_size"),
+        F.bool_or("m2").alias("any_m2"),
+        F.min_by("stripped", "p_partkey").alias("first_stripped"),
+        F.min_by("name", "p_partkey").alias("orig_name"),
+    )
+    merged = grouped.select(
+        F.when(
+            (F.col("n_collections") > 1)
+            | F.col("any_m2")
+            | F.col("first_stripped").rlike(ALPHABET_RANGE_PATTERN),
+            F.col("norm"),
+        )
+        .otherwise(F.col("orig_name"))
+        .alias("final_name"),
+        "merged_id",
+        "n_collections",
+        "max_size",
+    )
+    passthrough = m.filter(~(F.col("m1") | F.col("m2"))).select(
+        F.col("name").alias("final_name"),
+        F.col("p_partkey").alias("merged_id"),
+        F.lit(1).cast("long").alias("n_collections"),
+        F.col("p_size").alias("max_size"),
+    )
+    return merged.unionByName(passthrough)
+
+
+MIN_SUFFIX_COUNT = 5
+
+
+@register(
+    "suffix_mining",
+    oracle=f"""
+    WITH toks AS (SELECT p_partkey, p_name, string_split(p_name, ' ') AS t FROM part),
+    sufs AS (
+      SELECT p_partkey, p_name, t[-1] AS suffix FROM toks
+      UNION ALL
+      SELECT p_partkey, p_name, t[-2] || ' ' || t[-1] AS suffix FROM toks WHERE len(t) >= 2
+    )
+    SELECT suffix, COUNT(*) AS n_names,
+           list_sort(list(DISTINCT p_name))[1:3] AS examples
+    FROM sufs GROUP BY suffix HAVING COUNT(*) >= {MIN_SUFFIX_COUNT}
+    """,
+)
+def suffix_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-suffix mining (most-popular-suffixes.py:16-41, A12):
+    count trailing 1- and 2-token phrases, threshold, keep 3 sorted
+    examples.
+
+    explode of ≤2 suffixes per name → one partial-aggregated groupBy;
+    the examples list is bounded (slice 3) so the agg state stays
+    small at any corpus size.
+    """
+    part = tbl(spark, sf_dir, "part")
+    t = F.split("p_name", " ")
+    sufs = part.select(
+        "p_partkey",
+        "p_name",
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.array(
+                    F.element_at(t, -1),
+                    F.concat_ws(" ", F.element_at(t, -2), F.element_at(t, -1)),
+                ),
+            ).otherwise(F.array(F.element_at(t, -1)))
+        ).alias("suffix"),
+    )
+    return (
+        sufs.groupBy("suffix")
+        .agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.slice(F.array_sort(F.collect_set("p_name")), 1, 3).alias("examples"),
+        )
+        .filter(F.col("n_names") >= MIN_SUFFIX_COUNT)
+    )
+
+
+# W5: the reference's per-collection sort commands
+# (load_custom_collections.py:324-333).
+_SORT_COMMANDS = ["a-z", "z-a", "shortest-first", "longest-first"]
+
+
+@register(
+    "command_driven_sorts",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'a-z' WHEN 1 THEN 'z-a'
+             WHEN 2 THEN 'shortest-first' ELSE 'longest-first' END AS command,
+        list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, command, toks,
+        list_sort(list_transform(toks,
+          t -> lpad(CAST(len(t) AS VARCHAR), 3, '0') || '|' || t)) AS by_len
+      FROM d
+    )
+    SELECT doc_id, command,
+      CASE command
+        WHEN 'a-z' THEN list_sort(toks)
+        WHEN 'z-a' THEN list_reverse_sort(toks)
+        WHEN 'shortest-first' THEN list_transform(by_len, s -> string_split(s, '|')[2])
+        ELSE list_transform(list_reverse(by_len), s -> string_split(s, '|')[2])
+      END AS sorted_tokens
+    FROM keyed
+    """,
+)
+def command_driven_sorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Command-driven member sorts (W5,
+    load_custom_collections.py:324-333): each row carries its own sort
+    command ∈ {a-z, z-a, shortest-first, longest-first}.
+
+    Length sorts use a zero-padded length|value key so both engines
+    order identically (incl. ties) without a comparator lambda the
+    oracle lacks.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower("text"), " "))
+    d = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(c) for c in _SORT_COMMANDS]), (F.col("doc_id") % 4 + 1).cast("int")
+        ).alias("command"),
+        toks.alias("toks"),
+    )
+    by_len = F.array_sort(
+        F.transform(
+            "toks", lambda t: F.concat(F.lpad(F.length(t).cast("string"), 3, "0"), F.lit("|"), t)
+        )
+    )
+    keyed = d.withColumn("by_len", by_len)
+    strip_key = lambda arr: F.transform(arr, lambda s: F.element_at(F.split(s, "\\|"), 2))  # noqa: E731
+    return keyed.select(
+        "doc_id",
+        "command",
+        F.when(F.col("command") == "a-z", F.array_sort("toks"))
+        .when(F.col("command") == "z-a", F.reverse(F.array_sort("toks")))
+        .when(F.col("command") == "shortest-first", strip_key(F.col("by_len")))
+        .otherwise(strip_key(F.reverse(F.col("by_len"))))
+        .alias("sorted_tokens"),
+    )

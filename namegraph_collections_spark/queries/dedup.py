@@ -1,7 +1,6 @@
 """Deduplication operators (driver brief): exact, n-gram Jaccard,
-MinHash+LSH — each as a declarative DataFrame plan with a DuckDB
-oracle. SimHash and embedding-cosine near-dup live in
-operators/dedup.py with their own queries.
+MinHash+LSH, SimHash, embedding-cosine near-dup — each as a
+declarative DataFrame plan with a DuckDB oracle.
 
 Scale shape: exact dedup is one hash-groupBy; shingle-based methods
 explode to (doc, shingle) rows and meet in a shuffle on the shingle —
@@ -113,6 +112,144 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(jac >= 0.1)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+SIMHASH_BITS = 16
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, token, COUNT(*) AS w, md5(token) AS h
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    contrib AS (
+      SELECT doc_id, p.pos,
+             SUM(CASE WHEN substr(h, CAST(p.pos AS INT) + 1, 1)
+                        IN ({", ".join(f"'{d}'" for d in _ODD_HEX)})
+                      THEN w ELSE -w END) AS s
+      FROM tok CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS pos) p
+      GROUP BY doc_id, p.pos
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s >= 0 THEN 1 << CAST(pos AS INT) ELSE 0 END) AS simhash
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+    FROM fp GROUP BY simhash
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprints (driver brief).
+
+    Charikar's scheme on weighted token hashes: bit i of the
+    fingerprint is the sign of Σ_tokens tf·(±1), where ±1 is the
+    parity of hex digit i of md5(token) — a bit source both engines
+    compute identically. Documents sharing a fingerprint are near-dup
+    candidates. All JVM-side; the per-doc state is {SIMHASH_BITS}
+    partial sums, so the aggregation is one shuffle of fixed-width
+    rows regardless of document size.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.md5("token"))
+    )
+    pos = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("pos"))
+    contrib = (
+        tok.crossJoin(F.broadcast(pos))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("h").substr(F.col("pos") + 1, F.lit(1)).isin(*_ODD_HEX), F.col("w")
+            ).otherwise(-F.col("w")).alias("c"),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("c").alias("s"))
+    )
+    fp = contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(1, pos)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+    return fp.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id")
+    )
+
+
+NEARDUP_COSINE = 0.2  # synthetic embeddings are near-orthogonal; low bar keeps rows flowing
+_EMB_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, label,
+        (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+         + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+         + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+      ROUND({_EMB_DOT.format(a="a.embedding", b="b.embedding")}
+            / (sqrt({_EMB_DOT.format(a="a.embedding", b="a.embedding")})
+               * sqrt({_EMB_DOT.format(a="b.embedding", b="b.embedding")})), 6) AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_EMB_DOT.format(a="a.embedding", b="b.embedding")}
+          / (sqrt({_EMB_DOT.format(a="a.embedding", b="a.embedding")})
+             * sqrt({_EMB_DOT.format(a="b.embedding", b="b.embedding")})) >= {NEARDUP_COSINE}
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (driver
+    brief).
+
+    Candidates are restricted to sign-bit LSH buckets (the IVF/LSH
+    pruning shape — same signature as `lsh_bucket_neighbors`), so the
+    pairwise cosine runs on bucket-local pairs, not the full n². Dot
+    products are ordered double folds (zip_with + aggregate) for
+    oracle-exact arithmetic.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    bit = lambda i, v: F.when(F.element_at("embedding", i) >= 0, F.lit(v)).otherwise(F.lit(0))  # noqa: E731
+    sig = emb.select(
+        "vec_id", "embedding", (bit(1, 4) + bit(2, 2) + bit(3, 1)).alias("bucket")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= NEARDUP_COSINE)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(cos, 6).alias("cosine"),
+        )
     )
 
 

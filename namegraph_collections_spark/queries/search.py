@@ -25,6 +25,85 @@ B = 0.75
 TOP_K = 10
 
 
+RESCORE_WINDOW = 50
+FINAL_K = 10
+RANK_FEATURE_PIVOT = 500  # ES rank_feature saturation default shape
+RANK_FEATURE_BOOST = 100  # collection_rank boost in the reference query
+
+
+@register(
+    "search_ltr_rescore",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    base AS (
+      SELECT doc_id, COUNT(*) AS base_score FROM toks
+      WHERE token IN ({", ".join(f"'{t}'" for t in QUERY_TERMS)})
+      GROUP BY doc_id
+    ),
+    top_window AS (
+      SELECT b.doc_id, b.base_score, d.n_chars,
+             ROW_NUMBER() OVER (ORDER BY b.base_score DESC, b.doc_id ASC) AS base_rnk
+      FROM base b JOIN documents d USING (doc_id)
+    ),
+    rescored AS (
+      SELECT doc_id, base_score, base_rnk,
+        ROUND(0.7 * base_score
+              + {RANK_FEATURE_BOOST} * n_chars
+                / (n_chars + {RANK_FEATURE_PIVOT}), 6) AS ltr_score
+      FROM top_window WHERE base_rnk <= {RESCORE_WINDOW}
+    )
+    SELECT doc_id, base_score, ltr_score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY ltr_score DESC, doc_id ASC) AS rnk
+      FROM rescored
+    ) WHERE rnk <= {FINAL_K}
+    """,
+)
+def search_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase search: cheap match score → top-50 rescore window →
+    top-10 (W7 ★; search.py:78-94, rescore window semantics of ES).
+
+    Phase 1 scores every matching doc with a term-frequency count;
+    only the top ``RESCORE_WINDOW`` get the richer model — here the
+    reference query's rank_feature saturation boost·x/(x+pivot)
+    (measure-times.py:86-105) blended with the base score, standing in
+    for the RankLib model UDF. At scale the expensive model runs on 50
+    rows regardless of corpus size.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    base = (
+        toks.filter(F.col("token").isin(QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("base_score"))
+    )
+    w_base = Window.orderBy(F.col("base_score").desc(), F.col("doc_id").asc())
+    window = (
+        base.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("base_rnk", F.row_number().over(w_base))
+        .filter(F.col("base_rnk") <= RESCORE_WINDOW)
+    )
+    rescored = window.select(
+        "doc_id",
+        "base_score",
+        "base_rnk",
+        F.round(
+            0.7 * F.col("base_score")
+            + RANK_FEATURE_BOOST
+            * F.col("n_chars")
+            / (F.col("n_chars") + F.lit(RANK_FEATURE_PIVOT)),
+            6,
+        ).alias("ltr_score"),
+    )
+    w_final = Window.orderBy(F.col("ltr_score").desc(), F.col("doc_id").asc())
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w_final))
+        .filter(F.col("rnk") <= FINAL_K)
+        .select("doc_id", "base_score", "ltr_score", "rnk")
+    )
+
+
 @register(
     "bm25_search",
     oracle=f"""

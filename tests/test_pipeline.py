@@ -246,6 +246,92 @@ def test_merge(merged):
     assert r["rank"] == 77  # max of 77, 55
 
 
+def _mini_collection(item, name, rank=0, members=(), is_merged=False):
+    """Collection-row dict in the post-merge schema (letter/dup tests)."""
+    return {
+        "item": item,
+        "types": [{"qid": "Q1", "label": "thing"}],
+        "article": name.replace(" ", "_"),
+        "kind": "list",
+        "name": name,
+        "members": [
+            {"curated": c, "tokenized": [c], "interesting_score": 0.5, "rank": r, "status": None}
+            for c, r in members
+        ],
+        "valid_members_count": len(members),
+        "invalid_members_count": 0,
+        "keywords": [],
+        "description": None,
+        "images": [],
+        "page_banners": [],
+        "rank": rank,
+        "is_merged": is_merged,
+    }
+
+
+_MINI_SCHEMA = (
+    "item string, types array<struct<qid:string,label:string>>, article string,"
+    " kind string, name string,"
+    " members array<struct<curated:string,tokenized:array<string>,"
+    "interesting_score:double,rank:bigint,status:string>>,"
+    " valid_members_count bigint, invalid_members_count bigint,"
+    " keywords array<string>, description string, images array<string>,"
+    " page_banners array<string>, rank bigint, is_merged boolean"
+)
+
+
+def test_letter_range_normalize(spark):
+    from namegraph_collections_spark.plans.letter_merge import letter_range_normalize
+
+    coll = spark.createDataFrame(
+        [
+            # m1 pair → merge under 'Novels' (min qid Q10 wins, rank max)
+            _mini_collection("Q10", "Novels: A–C", rank=5, members=[("dune", 9)]),
+            _mini_collection("Q11", "Novels: D", rank=9, members=[("dune", 3), ("emma", 7)]),
+            # m2 singleton → renamed
+            _mini_collection("Q20", "Mountains (list)", rank=1),
+            # m1 singleton, stripped ', B' is an alphabet range → renamed
+            _mini_collection("Q30", "Towers, B", rank=2),
+            # m1 singleton, stripped ': 1999 to 2001' not a letter range → kept
+            _mini_collection("Q40", "Award: 1999 to 2001", rank=3),
+            # m3a singleton → renamed
+            _mini_collection("Q50", "Complete lists of Kings", rank=4),
+            # no match → untouched
+            _mini_collection("Q60", "Pink Floyd albums", rank=6),
+        ],
+        _MINI_SCHEMA,
+    )
+    out = {r["name"]: r.asDict(recursive=True) for r in letter_range_normalize(coll).collect()}
+    assert set(out) == {
+        "Novels", "Mountains", "Towers", "Award: 1999 to 2001", "Kings", "Pink Floyd albums",
+    }
+    merged = out["Novels"]
+    assert merged["item"] == "Q10" and merged["rank"] == 9 and merged["is_merged"] is True
+    # members: rank desc, dedup keep-first per curated (dune rank 9 kept)
+    assert [(m["curated"], m["rank"]) for m in merged["members"]] == [("dune", 9), ("emma", 7)]
+    assert merged["valid_members_count"] == 3  # summed
+    assert out["Towers"]["is_merged"] is False
+
+
+def test_remove_duplicate_names(spark):
+    from namegraph_collections_spark.plans.letter_merge import remove_duplicate_names
+
+    coll = spark.createDataFrame(
+        [
+            _mini_collection("Q7", "Rivers", rank=1, members=[("nile", 5)]),
+            _mini_collection("Q3", "Rivers", rank=8, members=[("amazon", 6)]),
+            _mini_collection("Q9", "Lakes", rank=2, members=[("garda", 1)]),
+        ],
+        _MINI_SCHEMA,
+    )
+    out = {r["item"]: r.asDict(recursive=True) for r in remove_duplicate_names(coll).collect()}
+    assert set(out) == {"Q3", "Q9"}
+    r = out["Q3"]  # min numeric qid of the 'Rivers' pair
+    assert r["rank"] == 8 and r["is_merged"] is True
+    assert [m["curated"] for m in r["members"]] == ["amazon", "nile"]
+    assert out["Q9"]["is_merged"] is False  # singleton untouched
+
+
 def test_doc_factory(spark, merged):
     _, out = merged
     docs = build_documents(
