@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from namegraph_collections_spark.queries.registry import register, tbl
+from namegraph_collections_spark.queries.registry import register, spread, tbl
 
 NUM_MINHASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
@@ -54,7 +54,7 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             " ", t, F.element_at(tokens, i + 2), F.element_at(tokens, i + 3)
         ),
     )
-    return docs.select(
+    return spread(docs, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
@@ -157,7 +157,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = tbl(spark, sf_dir, "documents")
     tok = (
-        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("w"))
         .withColumn("h", F.md5("token"))
@@ -282,30 +283,25 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = tbl(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    seeds = spark.range(NUM_MINHASHES).select(F.col("id").cast("int").alias("seed"))
-    hashes = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    bands = (
-        hashes.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
-                    ),
-                    ",",
-                )
-            ).alias("band_sig")
-        )
+    # All NUM_MINHASHES mins as one groupBy(doc_id) with inline min
+    # aggs — no seed explode, no (doc, seed) shuffle: the map side
+    # computes the md5s and partial-aggregates, so the shuffle carries
+    # one fixed-width row per (partition, doc).
+    min_cols = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(NUM_MINHASHES)
+    ]
+    hashes = sh.groupBy("doc_id").agg(*min_cols)
+    band_sigs = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"mh{s}") for s in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)])
+        ).alias(f"b{b}")
+        for b in range(NUM_MINHASHES // BAND_SIZE)
+    ]
+    n_bands = NUM_MINHASHES // BAND_SIZE
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    bands = hashes.select("doc_id", *band_sigs).selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, band_sig)"
     )
     a = bands.alias("a")
     b = bands.alias("b")

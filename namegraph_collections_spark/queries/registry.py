@@ -48,6 +48,24 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-distribute rows on ``key`` before CPU-heavy per-row work
+    (explode/md5/feature extraction).
+
+    A small parquet table arrives as ONE input split, so without this
+    the whole map side runs single-threaded; at cluster scale the same
+    repartition is the co-location you want anyway (per-doc work stays
+    with the doc, partial aggs meet in one shuffle). The partition
+    count is pinned explicitly: AQE would coalesce the pre-explode
+    exchange (it sees only the compact rows, not the fan-out after
+    them) back to one partition.
+    """
+    from pyspark.sql import functions as F
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
+
+
 def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table ships TIMESTAMP(NANOS) parquet, which Spark only
     reads via the nanosAsLong legacy conf — ``ts`` arrives as BIGINT

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from namegraph_collections_spark.queries.registry import register, tbl
+from namegraph_collections_spark.queries.registry import register, spread, tbl
 
 QUERY_TERMS = ["spark", "join", "merge", "window"]
 K1 = 1.2
@@ -72,7 +72,9 @@ def search_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows regardless of corpus size.
     """
     docs = tbl(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
     base = (
         toks.filter(F.col("token").isin(QUERY_TERMS))
         .groupBy("doc_id")
@@ -151,7 +153,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     populate.py:106-112.
     """
     docs = tbl(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
     doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     corpus = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")

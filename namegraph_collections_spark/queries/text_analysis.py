@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from namegraph_collections_spark.queries.registry import register, tbl
+from namegraph_collections_spark.queries.registry import register, spread, tbl
 
 # Tiny stopword profile used by the quality heuristic (kept identical
 # in the oracle SQL).
@@ -102,7 +102,9 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partial aggregation.
     """
     docs = tbl(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
     return (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df"))
