@@ -445,3 +445,61 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(_dec("value", 6)).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (batch twin of streaming/events.py::sessionize).
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "session_window_rollup",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+    lagged AS (
+      SELECT *, LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us FROM e
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts_us) AS session_start_us,
+           MAX(ts_us) + {SESSION_GAP_US} AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user, batch form (the streaming
+    twin is streaming/events.py::sessionize).
+
+    Spark's native session_window merges events closer than the gap;
+    the oracle derives identical sessions with the gaps-and-islands
+    idiom (lag → new-session marker → running sum → group), pinning
+    the boundary semantics: a gap of exactly 30min starts a NEW
+    session, and session_end = last event + gap.
+    """
+    ev = events_tbl(spark, sf_dir)
+    e = ev.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        e.groupBy(F.session_window("event_time", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", 6)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
