@@ -39,6 +39,12 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "cosine_topk_bruteforce",
     "doc_quality_scores",
+    "simhash_fingerprints",
+    "embedding_neardup_pairs",
+    "search_ltr_rescore",
+    "session_window_rollup",
+    "letter_range_normalize",
+    "multimodal_byte_histogram",
 ]
 
 

@@ -1,0 +1,144 @@
+"""UDF-layer unit tests — the reference's golden assertions ported
+(SURVEY §5: tests/test_wiki_api.py:135-148, collections-preprocessing/
+app/src/test_main.py:42-55) plus published Keccak/EIP-137 vectors for
+the from-spec crypto."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import random
+
+import pytest
+
+from namegraph_collections_spark.functions.curation import curate_member
+from namegraph_collections_spark.functions.hashing import canonical_document_hash
+from namegraph_collections_spark.functions.namehash import ens_namehash, keccak256
+from namegraph_collections_spark.functions.normalize import (
+    DisallowedLabel,
+    force_normalize,
+    try_force_normalize,
+)
+from namegraph_collections_spark.functions.seeded import seeded_banner
+from namegraph_collections_spark.functions.tokenize import emoji_split, tokenize_name
+from namegraph_collections_spark.sources.sqldump import split_insert_tuples
+
+
+# --- Keccak-256: published test vectors ------------------------------------
+def test_keccak256_vectors():
+    assert keccak256(b"").hex() == (
+        "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    )
+    assert keccak256(b"abc").hex() == (
+        "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+    )
+    # exercise multi-block absorption (len > 136-byte rate)
+    assert keccak256(b"x" * 200) == keccak256(b"x" * 200)
+    assert len(keccak256(b"x" * 200)) == 32
+
+
+# --- EIP-137 namehash: published vectors (C7 ★) ----------------------------
+def test_ens_namehash_vectors():
+    assert ens_namehash("") == "0x" + "00" * 32
+    assert ens_namehash("eth") == (
+        "0x93cdeb708b7545dc668eb9280176169d1c33cfd8ed6f04690a0bcc88a93fc4ae"
+    )
+    assert ens_namehash("foo.eth") == (
+        "0xde9b09fd7c5f901e23a3f19fecc54828e9c848539801e86591bd9801b019f84f"
+    )
+
+
+# --- force_normalize (C4 ★) -------------------------------------------------
+def test_force_normalize_goldens():
+    assert force_normalize("Betty Williams") == "bettywilliams"
+    assert force_normalize("Adolfo Pérez Esquivel") == "adolfopérezesquivel"
+    with pytest.raises(DisallowedLabel):
+        force_normalize("ιοσρβυνγ")  # non-Latin (test_wiki_api.py:147)
+    with pytest.raises(DisallowedLabel):
+        force_normalize("---")  # empty after stripping
+    assert try_force_normalize("ιοσρβυνγ") is None
+    assert force_normalize("O'Brien-Smith") == "obriensmith"
+
+
+# --- curate_member (C5 ★; goldens test_wiki_api.py:143-148) -----------------
+def test_curate_member_goldens():
+    assert curate_member("Betty Williams (peace activist)") == (
+        "bettywilliams",
+        ["betty", "williams"],
+    )
+    # underscore form stays one token (test_wiki_api.py:146-148)
+    assert curate_member("Adolfo_Pérez_Esquivel") == (
+        "adolfopérezesquivel",
+        ["adolfopérezesquivel"],
+    )
+    assert curate_member("ιοσρβυνγ") is None
+    assert curate_member("ab") is None  # F11 min length 3
+    # a token failing alone (empty after strip) drops from tokenized
+    # only; the whole string still curates
+    curated, tokenized = curate_member("Betty - Williams")
+    assert curated == "bettywilliams" and tokenized == ["betty", "williams"]
+
+
+# --- tokenize_name (C14 ★; goldens test_main.py:42-55) ----------------------
+def test_tokenize_name_goldens():
+    assert tokenize_name("captainamerica") == ["captain", "america"]
+    assert tokenize_name("presidentofamerica") == ["president", "of", "america"]
+    assert tokenize_name("🔥fire") == ["🔥", "fire"]
+    # unknown chunk passes through unsplit
+    assert tokenize_name("zzqqy") == ["zzqqy"]
+
+
+def test_emoji_split():
+    assert emoji_split("ab🔥🔥cd") == [("ab", False), ("🔥🔥", True), ("cd", False)]
+    assert emoji_split("🔥") == [("🔥", True)]
+    assert emoji_split("abc") == [("abc", False)]
+
+
+# --- seeded banner (C10 ★) — bit-parity with random.seed --------------------
+def test_seeded_banner_parity():
+    rnd = random.Random()
+    rnd.seed("Q100")
+    assert seeded_banner("Q100") == f"tc-{rnd.randint(0, 19):02d}.png"
+    assert seeded_banner("Q100") == seeded_banner("Q100")  # stable
+
+
+# --- canonical JSON hash (C8 ★) ---------------------------------------------
+def test_canonical_document_hash():
+    fields = [json.dumps({"b": 1, "a": [2, 3]}), None, json.dumps("x")]
+    h = hashlib.sha256()
+    h.update(json.dumps({"b": 1, "a": [2, 3]}, sort_keys=True).encode())
+    h.update(json.dumps(None, sort_keys=True).encode())
+    h.update(json.dumps("x", sort_keys=True).encode())
+    assert canonical_document_hash(fields) == h.hexdigest()
+    # key order in the input JSON must not matter
+    assert canonical_document_hash([json.dumps({"a": [2, 3], "b": 1}), None, json.dumps("x")]) == (
+        h.hexdigest()
+    )
+
+
+# --- SQL-dump tuple splitter (S4) -------------------------------------------
+def test_split_insert_tuples():
+    line = (
+        "INSERT INTO `categorylinks` VALUES "
+        "(11,'Pink_Floyd_albums','x'),(12,'O\\'Brien, (b)','y');"
+    )
+    tups = list(split_insert_tuples(line))
+    assert tups == [
+        ["11", "Pink_Floyd_albums", "x"],
+        ["12", "O'Brien, (b)", "y"],
+    ]
+    assert list(split_insert_tuples("CREATE TABLE foo;")) == []
+
+
+def test_read_sqldump_columns(spark, tmp_path):
+    from namegraph_collections_spark.sources.sqldump import read_sqldump_columns
+
+    p = tmp_path / "dump.sql"
+    p.write_text(
+        "-- comment\n"
+        "INSERT INTO `t` VALUES (1,'a','x'),(2,'b','y');\n"
+        "INSERT INTO `t` VALUES (3,'c','z');\n"
+    )
+    df = read_sqldump_columns(spark, str(p), [0, 1], ["id", "title"])
+    rows = sorted((r["id"], r["title"]) for r in df.collect())
+    assert rows == [("1", "a"), ("2", "b"), ("3", "c")]
