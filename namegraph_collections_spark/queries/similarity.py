@@ -95,6 +95,105 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
 
 
+N_PROBE = 2
+
+
+@register(
+    "ivf_topk",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, CAST(u.i AS INT) AS pos, CAST(embedding[u.i] AS DECIMAL(18,9)) AS val
+      FROM embeddings, (SELECT unnest(range(1, {DIM} + 1)) AS i) u
+    ),
+    centroids AS (
+      SELECT label, list(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY pos) AS centroid
+      FROM (SELECT label, pos, SUM(val) AS s, COUNT(*) AS n FROM dims GROUP BY label, pos)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < {N_QUERY_VECS}),
+    probes AS (
+      SELECT q_id, q_emb, label FROM (
+        SELECT q.q_id, q.q_emb, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                 {_DOT_SQL.format(dim=DIM, a="q.q_emb", b="c.centroid")} DESC,
+                 c.label ASC) AS prnk
+        FROM q CROSS JOIN centroids c
+      ) WHERE prnk <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, e.vec_id AS c_id, e.label AS c_label,
+        ROUND({_DOT_SQL.format(dim=DIM, a="p.q_emb", b="e.embedding")}
+              / (sqrt({_DOT_SQL.format(dim=DIM, a="p.q_emb", b="p.q_emb")})
+                 * sqrt({_DOT_SQL.format(dim=DIM, a="e.embedding", b="e.embedding")})),
+              6) AS cosine
+      FROM probes p JOIN embeddings e ON e.label = p.label
+      WHERE e.vec_id <> p.q_id
+    )
+    SELECT q_id, c_id, c_label, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: cluster centroids → probe the {N_PROBE} nearest
+    lists → exact cosine only within probed lists (driver brief's
+    "IVF variant as the scale path").
+
+    The inverted-file lists are the `label` clusters; centroids are
+    exact per-dimension decimal means rounded to 6 (so both engines
+    agree bit-for-bit). At scale the corpus is partitioned BY list —
+    each query touches {N_PROBE}/n_lists of the data, and the centroid
+    table (n_lists × {DIM}) broadcasts.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", "pos0", F.col("v").cast("decimal(18,9)").alias("val"))
+    centroids = (
+        dims.groupBy("label", "pos0")
+        .agg(F.round(F.sum("val").cast("double") / F.count(F.lit(1)), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(
+        _dot(F.col("q_emb"), F.col("centroid")).desc(), F.col("label").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= N_PROBE)
+        .select("q_id", "q_emb", "label")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        F.col("label").alias("label"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "label")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.col("label").alias("c_label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
 @register(
     "lsh_bucket_neighbors",
     oracle=f"""

@@ -178,3 +178,49 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " ")
         ).alias("bag_fingerprint"),
     )
+
+
+@register(
+    "unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT SUM(c) AS n FROM cnt),
+    lp AS (
+      SELECT token, CAST(ROUND(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS logp
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(SUM(logp) AS DOUBLE) AS name_log_probability
+    FROM toks JOIN lp USING (token) GROUP BY doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-model log-probability per document (C13 ★ as a
+    relational query — the doc factory's collection_name_log_probability,
+    create_merged.py:942-943, with the model table built from the
+    corpus itself).
+
+    Token → corpus-frequency join → Σ log p. Per-token contributions
+    round to 6 then sum as DECIMAL so both engines produce identical
+    sums regardless of aggregation order — the same determinism
+    treatment as BM25. The tiny probability table broadcasts.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(F.log(F.col("c").cast("double") / F.col("n")), 6)
+        .cast("decimal(18,6)")
+        .alias("logp"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("logp").cast("double").alias("name_log_probability"))
+    )
