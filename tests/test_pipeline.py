@@ -332,6 +332,28 @@ def test_remove_duplicate_names(spark):
     assert out["Q9"]["is_merged"] is False  # singleton untouched
 
 
+def test_full_pipeline_single_plan(spark, universe):
+    """The whole reference pipeline as one lazy plan (SURVEY §3.1)."""
+    from namegraph_collections_spark.plans import run_wikipedia_pipeline
+
+    docs = run_wikipedia_pipeline(
+        universe["entities"],
+        universe["wikimapper"],
+        universe["categorylinks"],
+        universe["pagelinks"],
+        universe["qrank"],
+        universe["domains"],
+        universe["scores"],
+        current_time_ms=7.0,
+    )
+    rows = {r["metadata"]["id"]: r.asDict(recursive=True) for r in docs.collect()}
+    assert set(rows) == {"Q100"}
+    d = rows["Q100"]
+    assert d["data"]["collection_name"] == "Pink Floyd albums"
+    assert d["metadata"]["members_count"] == 4
+    assert d["template"]["is_merged"] is True
+
+
 def test_doc_factory(spark, merged):
     _, out = merged
     docs = build_documents(
