@@ -185,3 +185,80 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
+NDCG_K = 10
+
+
+@register(
+    "ndcg_eval",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, CAST(n_chars % 4 AS INT) AS rel,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rnk
+      FROM documents
+    ),
+    topk AS (SELECT * FROM ranked WHERE rnk <= {NDCG_K}),
+    ideal AS (
+      SELECT source, rel,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY rel DESC, doc_id ASC) AS irnk
+      FROM topk
+    ),
+    dcg AS (
+      SELECT source,
+        SUM(CAST(ROUND((pow(2, rel) - 1) / log2(rnk + 1), 6) AS DECIMAL(18,6))) AS dcg
+      FROM topk GROUP BY source
+    ),
+    idcg AS (
+      SELECT source,
+        SUM(CAST(ROUND((pow(2, rel) - 1) / log2(irnk + 1), 6) AS DECIMAL(18,6))) AS idcg
+      FROM ideal GROUP BY source
+    )
+    SELECT dcg.source,
+           CAST(dcg.dcg AS DOUBLE) AS dcg,
+           CAST(idcg.idcg AS DOUBLE) AS idcg,
+           ROUND(CAST(dcg.dcg AS DOUBLE) / nullif(CAST(idcg.idcg AS DOUBLE), 0), 6) AS ndcg
+    FROM dcg JOIN idcg USING (source)
+    """,
+)
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} ranking-quality evaluation (SURVEY §2.9;
+    compare_window_sizes.py:191-211, evaluate_endpoints.py:450-473).
+
+    Per query group (source): DCG over the ranked top-k with graded
+    relevance, IDCG over the ideal reordering of the same k, NDCG =
+    DCG/IDCG. Per-position contributions round-then-decimal-sum so the
+    metric is reproducible under any partitioning — an eval you can
+    trust across cluster sizes.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        (F.col("n_chars") % 4).cast("int").alias("rel"),
+        F.row_number().over(w).alias("rnk"),
+    ).filter(F.col("rnk") <= NDCG_K)
+    wi = Window.partitionBy("source").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    ideal = ranked.select("source", "rel", F.row_number().over(wi).alias("irnk"))
+
+    def contrib(rel, pos):
+        return F.round((F.pow(F.lit(2.0), rel) - 1) / F.log2(pos + 1), 6).cast("decimal(18,6)")
+
+    dcg = ranked.groupBy("source").agg(F.sum(contrib(F.col("rel"), F.col("rnk"))).alias("dcg"))
+    idcg = ideal.groupBy("source").agg(F.sum(contrib(F.col("rel"), F.col("irnk"))).alias("idcg"))
+    return (
+        dcg.join(idcg, "source")
+        .select(
+            "source",
+            F.col("dcg").cast("double").alias("dcg"),
+            F.col("idcg").cast("double").alias("idcg"),
+            F.round(
+                F.col("dcg").cast("double")
+                / F.nullif(F.col("idcg").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+        )
+    )

@@ -85,3 +85,30 @@ def test_whole_stage_codegen(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "*(1)" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both sides on the join key pre-partitions the data so
+    the sort-merge join needs NO Exchange — the co-located-join shape
+    for repeated large-large joins at scale (SURVEY §4)."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .option("path", str(tmp_path / "orders_b")).saveAsTable("orders_b"))
+    (customer.withColumnRenamed("c_custkey", "o_custkey")
+     .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .option("path", str(tmp_path / "customer_b")).saveAsTable("customer_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
