@@ -95,3 +95,40 @@ def minimal_field_diff(
     for d in diffs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def bulk_operations(
+    diff: DataFrame,
+    current: DataFrame,
+    key: str,
+    index_name: str,
+) -> DataFrame:
+    """ES-bulk-shaped operation rows from a snapshot diff (S14/D2 ★;
+    update_es.py:138-209 op factories, apply_operations :316-358).
+
+    create → whole doc as _source; update → doc patch; delete →
+    archive-style update setting data.archived (J13/update_es.py:
+    306-311). Deterministic _id = the business key (which retires the
+    reference's random-id 409-conflict retry loop, D5 — there is
+    nothing left to conflict)."""
+    docs = current.alias("cur")
+    ops = diff.filter(F.col("op") != "noop").alias("d")
+    joined = ops.join(docs, on=key, how="left")
+    doc_json = F.to_json(F.struct(*[c for c in current.columns if c != key]))
+    return joined.select(
+        F.col("d.op").alias("_op_type"),
+        F.lit(index_name).alias("_index"),
+        F.col(key).cast("string").alias("_id"),
+        F.when(F.col("d.op") == "create", doc_json).alias("_source"),
+        F.when(F.col("d.op") == "update", doc_json)
+        .when(F.col("d.op") == "delete", F.to_json(F.struct(F.lit(True).alias("archived"))))
+        .alias("doc"),
+    )
+
+
+def write_operations_jsonl(ops: DataFrame, path: str) -> None:
+    """Persist the ops DataFrame as the reference's deliverable — the
+    update-operations JSONL (update_es.py:23 UPDATE_OPERATIONS). A
+    thin applier (or the elasticsearch-spark connector) pushes it;
+    the engine's contract ends at this dataset."""
+    ops.write.mode("overwrite").json(path)

@@ -1,0 +1,62 @@
+"""CDC bulk-operation tests: snapshot diff → ES-bulk-shaped ops →
+JSONL sink round-trip (SURVEY §2.8 D2/D4/D5, S14), plus observe()
+row-count anchors (§5 — the reference's printed counts as metrics)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.operators.cdc import (
+    bulk_operations,
+    snapshot_diff,
+    write_operations_jsonl,
+)
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "id string, name string, rank bigint")
+
+
+def test_bulk_operations_taxonomy(spark):
+    prev = _snap(spark, [("a", "alpha", 1), ("b", "beta", 2), ("c", "gamma", 3)])
+    curr = _snap(spark, [("a", "alpha", 1), ("b", "beta2", 2), ("d", "delta", 4)])
+    diff = snapshot_diff(prev, curr, "id", ["name", "rank"])
+    ops = {r["_id"]: r.asDict() for r in bulk_operations(diff, curr, "id", "idx-1").collect()}
+    assert set(ops) == {"b", "c", "d"}  # 'a' is a noop — absent
+    assert ops["d"]["_op_type"] == "create" and json.loads(ops["d"]["_source"]) == {
+        "name": "delta", "rank": 4,
+    }
+    assert ops["b"]["_op_type"] == "update" and json.loads(ops["b"]["doc"])["name"] == "beta2"
+    assert ops["c"]["_op_type"] == "delete" and json.loads(ops["c"]["doc"]) == {"archived": True}
+    assert all(r["_index"] == "idx-1" for r in ops.values())
+
+
+def test_write_operations_jsonl_roundtrip(spark, tmp_path):
+    prev = _snap(spark, [("a", "alpha", 1)])
+    curr = _snap(spark, [("a", "alpha", 9), ("b", "beta", 2)])
+    diff = snapshot_diff(prev, curr, "id", ["name", "rank"])
+    out = str(tmp_path / "ops")
+    write_operations_jsonl(bulk_operations(diff, curr, "id", "idx-1"), out)
+    back = spark.read.json(out)
+    got = {r["_id"]: r["_op_type"] for r in back.collect()}
+    assert got == {"a": "update", "b": "create"}
+
+
+def test_observe_row_count_anchors(spark):
+    """observe() metrics replace the reference's printed per-stage
+    counts (Makefile:177-261) as queryable regression anchors."""
+    prev = _snap(spark, [("a", "alpha", 1), ("b", "beta", 2)])
+    curr = _snap(spark, [("a", "alpha", 1), ("b", "beta2", 2), ("c", "new", 3)])
+    obs = Observation("cdc_anchors")
+    diff = snapshot_diff(prev, curr, "id", ["name", "rank"]).observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("op") == "create").cast("long")).alias("creates"),
+        F.sum((F.col("op") == "update").cast("long")).alias("updates"),
+        F.sum((F.col("op") == "noop").cast("long")).alias("noops"),
+    )
+    diff.collect()
+    assert obs.get == {"total": 3, "creates": 1, "updates": 1, "noops": 1}
