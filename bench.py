@@ -53,8 +53,22 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("ngcs-bench")
-    # Warm the JVM/codegen paths so per-query numbers measure the plans.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM/codegen/Arrow paths so per-query numbers measure the
+    # plans: touch every table and spin up the Python UDF workers once.
+    for t in ["lineitem", "orders", "customer", "events", "documents", "embeddings"]:
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:  # events needs nanosAsLong — set by its queries
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(_warm(F.col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -225,9 +225,6 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = tbl(spark, sf_dir, "embeddings")
     bit = lambda i, v: F.when(F.element_at("embedding", i) >= 0, F.lit(v)).otherwise(F.lit(0))  # noqa: E731
-    sig = emb.select(
-        "vec_id", "embedding", (bit(1, 4) + bit(2, 2) + bit(3, 1)).alias("bucket")
-    )
 
     def dot(a, b):
         return F.aggregate(
@@ -236,21 +233,31 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # Per-vector norm precomputed ONCE (n rows), not per pair (n²/buckets
+    # rows) — the identical left-to-right fold, so values match the
+    # oracle's inline form bit-for-bit.
+    sig = spread(emb, "vec_id").select(
+        "vec_id",
+        "embedding",
+        (bit(1, 4) + bit(2, 2) + bit(3, 1)).alias("bucket"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+
     a = sig.alias("a")
     b = sig.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
-        * F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
+        F.col("a.norm") * F.col("b.norm")
     )
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(cos >= NEARDUP_COSINE)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.bucket").alias("bucket"),
-            F.round(cos, 6).alias("cosine"),
+            cos.alias("_cos"),
         )
+        .filter(F.col("_cos") >= NEARDUP_COSINE)
+        .select("vec_a", "vec_b", "bucket", F.round("_cos", 6).alias("cosine"))
     )
 
 

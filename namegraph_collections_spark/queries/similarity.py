@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from namegraph_collections_spark.queries.registry import register, tbl
+from namegraph_collections_spark.queries.registry import register, spread, tbl
 
 N_QUERY_VECS = 8
 TOP_K = 5
@@ -66,13 +66,17 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded score with id tiebreak).
     """
     emb = tbl(spark, sf_dir, "embeddings")
+    # norms precomputed per side (n + k values), not per pair (n·k)
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
     )
-    c = emb.select(
+    c = spread(emb, "vec_id").select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         F.col("label").alias("c_label"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -82,12 +86,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_id",
             "c_label",
             F.round(
-                _dot(F.col("q_emb"), F.col("c_emb"))
-                / (
-                    F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
-                    * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
-                ),
-                6,
+                _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6
             ).alias("cosine"),
         )
     )
