@@ -132,3 +132,63 @@ def write_operations_jsonl(ops: DataFrame, path: str) -> None:
     thin applier (or the elasticsearch-spark connector) pushes it;
     the engine's contract ends at this dataset."""
     ops.write.mode("overwrite").json(path)
+
+
+LATEST_MARKER = "_LATEST"
+
+
+def rotate_snapshot(current: DataFrame, base_dir: str, stamp: str) -> str:
+    """D4: persist the current snapshot as a dated Parquet dataset and
+    point the latest-marker at it (archive_merged_final,
+    update_es.py:361-370,421-437 — dated copies + a 'latest' symlink,
+    restated as versioned directories + a marker file)."""
+    path = f"{base_dir}/snapshot={stamp}"
+    current.write.mode("overwrite").parquet(path)
+    spark = current.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{LATEST_MARKER}")
+    fs = marker.getFileSystem(conf)
+    out = fs.create(marker, True)
+    out.write(bytearray(stamp.encode("utf-8")))
+    out.close()
+    return path
+
+
+def latest_snapshot(spark, base_dir: str) -> DataFrame | None:
+    """Read the snapshot the marker points at; None before first
+    rotation (the reference's first-run create-everything path,
+    update_es.py:24,367-370)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{LATEST_MARKER}")
+    fs = marker.getFileSystem(conf)
+    if not fs.exists(marker):
+        return None
+    stream = fs.open(marker)
+    try:
+        stamp = bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
+    return spark.read.parquet(f"{base_dir}/snapshot={stamp}")
+
+
+def sync_index(
+    current: DataFrame,
+    base_dir: str,
+    stamp: str,
+    key: str,
+    compare_cols: Sequence[str],
+    index_name: str = "collection-templates-1",
+) -> DataFrame:
+    """§3.2 end-to-end: previous snapshot (or empty) → diff → bulk ops
+    → rotate. Returns the ops DataFrame (materialized before rotation
+    so the diff reads the PRE-rotation latest)."""
+    spark = current.sparkSession
+    previous = latest_snapshot(spark, base_dir)
+    if previous is None:
+        previous = spark.createDataFrame([], current.schema)
+    diff = snapshot_diff(previous, current, key, compare_cols)
+    ops = bulk_operations(diff, current, key, index_name).localCheckpoint(eager=True)
+    rotate_snapshot(current, base_dir, stamp)
+    return ops

@@ -262,3 +262,126 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+# Field boosts from the reference's multi_match most_fields query
+# (measure-times.py:86-105: collection_name^3, keywords^2, description)
+# and per-field BM25 b (populate.py:106-112: b=0 for name fields —
+# length-neutral).
+FIELD_SPECS = {
+    "title": {"boost": 3.0, "b": 0.0},
+    "body": {"boost": 1.0, "b": 0.75},
+}
+TITLE_TOKENS = 5
+
+
+@register(
+    "multifield_bm25",
+    oracle=f"""
+    WITH fields AS (
+      SELECT doc_id, 'title' AS field,
+             list_slice(string_split(lower(text), ' '), 1, {TITLE_TOKENS}) AS toks
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'body' AS field,
+             list_slice(string_split(lower(text), ' '), {TITLE_TOKENS} + 1,
+                        len(string_split(text, ' '))) AS toks
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, field, unnest(toks) AS token FROM fields),
+    doclen AS (SELECT doc_id, field, COUNT(*) AS dl FROM toks GROUP BY doc_id, field),
+    corpus AS (SELECT field, COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+               FROM doclen GROUP BY field),
+    tf AS (
+      SELECT doc_id, field, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ({", ".join(f"'{t}'" for t in QUERY_TERMS)})
+      GROUP BY doc_id, field, token
+    ),
+    df AS (SELECT field, token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY field, token),
+    contrib AS (
+      SELECT tf.doc_id,
+        CAST(ROUND(
+          (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["boost"]}
+                         ELSE {FIELD_SPECS["body"]["boost"]} END)
+          * ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * (tf.tf * ({K1} + 1))
+          / (tf.tf + {K1} * (1 - (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["b"]}
+                                                ELSE {FIELD_SPECS["body"]["b"]} END)
+                             + (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["b"]}
+                                              ELSE {FIELD_SPECS["body"]["b"]} END)
+                               * doclen.dl / corpus.avgdl)), 6)
+        AS DECIMAL(18,6)) AS c
+      FROM tf
+      JOIN df ON tf.field = df.field AND tf.token = df.token
+      JOIN doclen ON tf.doc_id = doclen.doc_id AND tf.field = doclen.field
+      JOIN corpus ON corpus.field = tf.field
+    ),
+    scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score, rnk FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def multifield_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field boosted BM25 — the reference's actual query shape
+    (§2.9 ★: multi_match most_fields with boosts, per-field b; name
+    fields length-neutral with b=0).
+
+    Documents are split into a title field (first {TITLE_TOKENS}
+    tokens) and a body; per-field token stats feed per-field BM25 with
+    the field's boost and b, summed per doc (most_fields semantics),
+    global top-k window last. One explode + per-field aggs — field
+    count multiplies state, not passes over the data.
+    """
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    all_toks = F.split(F.lower("text"), " ")
+    fields = docs.select(
+        "doc_id", F.lit("title").alias("field"), F.slice(all_toks, 1, TITLE_TOKENS).alias("toks")
+    ).unionByName(
+        docs.select(
+            "doc_id",
+            F.lit("body").alias("field"),
+            F.slice(
+                all_toks, TITLE_TOKENS + 1, F.greatest(F.size(all_toks) - TITLE_TOKENS, F.lit(0))
+            ).alias("toks"),
+        )
+    )
+    toks = fields.select("doc_id", "field", F.explode("toks").alias("token"))
+    doclen = toks.groupBy("doc_id", "field").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = doclen.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(QUERY_TERMS))
+        .groupBy("doc_id", "field", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("field", "token").agg(F.countDistinct("doc_id").alias("df"))
+    boost = F.when(F.col("field") == "title", F.lit(FIELD_SPECS["title"]["boost"])).otherwise(
+        F.lit(FIELD_SPECS["body"]["boost"])
+    )
+    b = F.when(F.col("field") == "title", F.lit(FIELD_SPECS["title"]["b"])).otherwise(
+        F.lit(FIELD_SPECS["body"]["b"])
+    )
+    contrib = (
+        tf.join(F.broadcast(df), ["field", "token"])
+        .join(doclen, ["doc_id", "field"])
+        .join(F.broadcast(corpus), "field")
+        .select(
+            "doc_id",
+            F.round(
+                boost
+                * F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (K1 + 1))
+                / (F.col("tf") + K1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)

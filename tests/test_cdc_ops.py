@@ -60,3 +60,21 @@ def test_observe_row_count_anchors(spark):
     )
     diff.collect()
     assert obs.get == {"total": 3, "creates": 1, "updates": 1, "noops": 1}
+
+
+def test_sync_index_rotation(spark, tmp_path):
+    """Two sync runs: everything creates on the first, only the delta
+    on the second, and the marker follows the latest snapshot."""
+    from namegraph_collections_spark.operators.cdc import latest_snapshot, sync_index
+
+    base = str(tmp_path / "snaps")
+    v1 = _snap(spark, [("a", "alpha", 1), ("b", "beta", 2)])
+    ops1 = {r["_id"]: r["_op_type"] for r in
+            sync_index(v1, base, "2026-08-13", "id", ["name", "rank"]).collect()}
+    assert ops1 == {"a": "create", "b": "create"}
+    v2 = _snap(spark, [("a", "alpha", 9), ("b", "beta", 2), ("c", "new", 3)])
+    ops2 = {r["_id"]: r["_op_type"] for r in
+            sync_index(v2, base, "2026-09-10", "id", ["name", "rank"]).collect()}
+    assert ops2 == {"a": "update", "c": "create"}  # b unchanged → noop
+    latest = latest_snapshot(spark, base)
+    assert {r["id"] for r in latest.collect()} == {"a", "b", "c"}
