@@ -385,3 +385,51 @@ def multifield_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
+@register("stemmed_bm25", oracle=None)  # analyzer UDF → non-SQL-expressible
+def stemmed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the porter-stemmed analyzer (§2.9 — the index's
+    analyzed text fields, populate.py:97-105). The stemmer is a pandas
+    UDF, so there is no DuckDB twin; the driver records the weaker
+    rows-only check, and the stemmer itself is pinned by golden tests.
+
+    Analyzer shape at scale: stemming runs ONCE per document over the
+    token array (Arrow-batched, after spread()), not per token row —
+    then the stats pipeline is the plain JVM BM25.
+    """
+    from namegraph_collections_spark.functions.stemmer import porter_stem, porter_stem_tokens_udf
+
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    stemmed = docs.select(
+        "doc_id", porter_stem_tokens_udf(F.split(F.lower("text"), " ")).alias("toks")
+    )
+    toks = stemmed.select("doc_id", F.explode("toks").alias("token"))
+    terms = [porter_stem(t) for t in QUERY_TERMS]
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    tf = toks.filter(F.col("token").isin(terms)).groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (K1 + 1))
+                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)

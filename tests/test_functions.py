@@ -142,3 +142,29 @@ def test_read_sqldump_columns(spark, tmp_path):
     df = read_sqldump_columns(spark, str(p), [0, 1], ["id", "title"])
     rows = sorted((r["id"], r["title"]) for r in df.collect())
     assert rows == [("1", "a"), ("2", "b"), ("3", "c")]
+
+
+# --- Porter stemmer (§2.9 analyzer) -----------------------------------------
+def test_porter_stem_goldens():
+    from namegraph_collections_spark.functions.stemmer import porter_stem
+
+    # end-to-end outputs (Porter 1980 examples run through ALL steps)
+    cases = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "sized": "size", "hopping": "hop", "falling": "fall",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "digitizer": "digit", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis", "hopefulness": "hope",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "effective": "effect", "probate": "probat",
+        "rate": "rate", "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    got = {w: porter_stem(w) for w in cases}
+    assert got == cases
