@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for the invariants the engine's
+correctness story rests on: the iterative closure against a Python
+DFS oracle on random graphs, permutation-invariance of the
+order-sensitive aggregations (the determinism claim of SURVEY §4
+item 3), snapshot-diff algebra, and UDF idempotence.
+
+Spark round-trips are expensive, so graph/row sizes stay small and
+example counts low — breadth comes from hypothesis' shrinking, not
+volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from namegraph_collections_spark.functions.normalize import try_force_normalize
+from namegraph_collections_spark.functions.tokenize import dictionary_split
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+nodes = st.integers(min_value=0, max_value=9)
+edge_sets = st.sets(st.tuples(nodes, nodes), min_size=1, max_size=20)
+
+
+def _dfs_closure(edges: set[tuple[int, int]]) -> set[tuple[int, int]]:
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    out = set()
+    for start in {s for s, _ in edges}:
+        seen: set[int] = set()
+        stack = list(adj.get(start, ()))
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj.get(n, ()))
+        out |= {(start, t) for t in seen}
+    return out
+
+
+@settings(**_SETTINGS)
+@given(edge_sets)
+def test_closure_matches_dfs_oracle(spark, edges):
+    """transitive_closure == DFS reachability on arbitrary digraphs
+    (incl. cycles and self-loops) — the J14 ★ correctness property."""
+    from namegraph_collections_spark.operators.closure import transitive_closure
+
+    df = spark.createDataFrame(
+        [(f"n{s}", f"n{d}") for s, d in edges], "src string, dst string"
+    )
+    got = {(r["src"], r["dst"]) for r in transitive_closure(df).collect()}
+    want = {(f"n{s}", f"n{d}") for s, d in _dfs_closure(edges)}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.permutations(list(range(6))))
+def test_merge_groups_order_invariant(spark, perm):
+    """merge_groups must give identical results for any input row
+    order — the engine's deterministic replacement for the reference's
+    file-order reduce (SURVEY §4 item 3)."""
+    from pyspark.sql import functions as F
+
+    from namegraph_collections_spark.plans.letter_merge import merge_groups
+    from tests.test_pipeline import _MINI_SCHEMA, _mini_collection
+
+    base = [
+        _mini_collection(f"Q{i + 1}", "Same", rank=i * 10, members=[(f"m{i % 3}", i)])
+        for i in range(6)
+    ]
+    rows = [base[i] for i in perm]
+    df = spark.createDataFrame(rows, _MINI_SCHEMA).withColumn("merge_key", F.lit("Same"))
+    out = merge_groups(df, "merge_key").collect()
+    assert len(out) == 1
+    r = out[0].asDict(recursive=True)
+    assert r["item"] == "Q1"  # min qid regardless of order
+    assert r["rank"] == 50
+    assert [m["curated"] for m in r["members"]] == ["m2", "m1", "m0"]  # rank desc
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcdef"), st.integers(0, 3)), min_size=0, max_size=8
+    )
+)
+def test_snapshot_diff_algebra(spark, rows):
+    """diff(x, x) is all-noop; diff(empty, x) is all-create."""
+    from namegraph_collections_spark.operators.cdc import snapshot_diff
+
+    data = [(k, v) for k, v in {k: v for k, v in rows}.items()]
+    x = spark.createDataFrame(data, "id string, v int") if data else spark.createDataFrame(
+        [], "id string, v int"
+    )
+    same = {r["op"] for r in snapshot_diff(x, x, "id", ["v"]).collect()}
+    assert same <= {"noop"}
+    empty = spark.createDataFrame([], "id string, v int")
+    creates = {r["op"] for r in snapshot_diff(empty, x, "id", ["v"]).collect()}
+    assert creates <= {"create"}
+
+
+@given(st.text(min_size=0, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_force_normalize_idempotent(s):
+    once = try_force_normalize(s)
+    if once is not None:
+        assert try_force_normalize(once) == once
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_dictionary_split_covers_input(s):
+    """Tokenizer splits must concatenate back to the input chunk."""
+    assert "".join(dictionary_split(s)) == s
