@@ -151,36 +151,34 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint is the sign of Σ_tokens tf·(±1), where ±1 is the
     parity of hex digit i of md5(token) — a bit source both engines
     compute identically. Documents sharing a fingerprint are near-dup
-    candidates. All JVM-side; the per-doc state is {SIMHASH_BITS}
-    partial sums, so the aggregation is one shuffle of fixed-width
-    rows regardless of document size.
+    candidates.
+
+    Plan shape: Σ_tokens tf·(±1) ≡ Σ_occurrences ±1, so no tf
+    pre-aggregation and no position explode are needed — each token
+    occurrence contributes ±1 to all {SIMHASH_BITS} bit-sums inline,
+    and ONE groupBy(doc_id) with {SIMHASH_BITS} conditional sums
+    carries the whole signature. Map-side partial aggregation means
+    the only shuffle moves {SIMHASH_BITS} longs per (partition, doc),
+    regardless of document size — at 100 TB this is the difference
+    between shuffling token streams and shuffling fingerprints.
     """
     docs = tbl(spark, sf_dir, "documents")
     tok = (
         spread(docs, "doc_id")
         .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("h", F.md5("token"))
+        .select("doc_id", F.md5("token").alias("h"))
     )
-    pos = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("pos"))
-    contrib = (
-        tok.crossJoin(F.broadcast(pos))
-        .select(
-            "doc_id",
-            "pos",
-            F.when(
-                F.col("h").substr(F.col("pos") + 1, F.lit(1)).isin(*_ODD_HEX), F.col("w")
-            ).otherwise(-F.col("w")).alias("c"),
-        )
-        .groupBy("doc_id", "pos")
-        .agg(F.sum("c").alias("s"))
-    )
-    fp = contrib.groupBy("doc_id").agg(
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") >= 0, F.expr("shiftleft(1, pos)")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+            F.when(F.substring("h", i + 1, 1).isin(*_ODD_HEX), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    fp_bits = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = F.lit(0)
+    for i in range(SIMHASH_BITS):
+        simhash = simhash + F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    fp = fp_bits.select("doc_id", simhash.cast("long").alias("simhash"))
     return fp.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id")
     )
@@ -220,18 +218,13 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates are restricted to sign-bit LSH buckets (the IVF/LSH
     pruning shape — same signature as `lsh_bucket_neighbors`), so the
     pairwise cosine runs on bucket-local pairs, not the full n². Dot
-    products are ordered double folds (zip_with + aggregate) for
-    oracle-exact arithmetic.
+    products are ordered left-to-right double sums (unrolled codegen
+    chain, see similarity._dot) for oracle-exact arithmetic.
     """
+    from namegraph_collections_spark.queries.similarity import _dot as dot
+
     emb = tbl(spark, sf_dir, "embeddings")
     bit = lambda i, v: F.when(F.element_at("embedding", i) >= 0, F.lit(v)).otherwise(F.lit(0))  # noqa: E731
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
     # Per-vector norm precomputed ONCE (n rows), not per pair (n²/buckets
     # rows) — the identical left-to-right fold, so values match the

@@ -21,13 +21,21 @@ TOP_K = 5
 DIM = 64
 
 
-def _dot(a, b):
-    """Σ aᵢ·bᵢ as an ordered double fold (JVM-side, no UDF)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _dot(a, b, dim: int = DIM):
+    """Σ aᵢ·bᵢ as an ordered left-to-right double sum (JVM-side, no UDF).
+
+    Unrolled into a chain of ``element_at`` products rather than an
+    ``aggregate``/``zip_with`` fold: the higher-order fold is evaluated
+    per-element through lambda closures outside whole-stage codegen,
+    while this chain compiles into one codegen'd expression. The
+    addition order (0.0, then each term ascending) is exactly the
+    fold's, so float results — and the oracle value hash — are
+    bit-identical.
+    """
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+    return acc
 
 
 _DOT_SQL = (
