@@ -45,18 +45,26 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
-    tokens = F.split(F.lower(F.col("text")), " ")
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    The token array is materialized as a named column BEFORE the
+    higher-order transform: subexpression elimination does not reach
+    inside lambda bodies, so referencing ``F.split(...)`` directly
+    there re-splits the text once per array element — O(tokens²) per
+    document. With the named column the split runs once per row.
+    """
+    toked = spread(docs, "doc_id").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    toks = F.col("toks")
     # zip tokens with 1- and 2-shifted copies → word trigrams, JVM-side.
     grams = F.transform(
-        F.slice(tokens, 1, F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda t, i: F.concat_ws(
-            " ", t, F.element_at(tokens, i + 2), F.element_at(tokens, i + 3)
+            " ", t, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
         ),
     )
-    return spread(docs, "doc_id").select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
-    )
+    return toked.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 _SHINGLES_SQL = """

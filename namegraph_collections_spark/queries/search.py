@@ -146,9 +146,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-style BM25 top-k over `documents` (SURVEY §2.9 ★).
 
     idf = ln(1 + (N−df+0.5)/(df+0.5)); score = Σ idf·tf·(k1+1)/(tf +
-    k1·(1−b+b·dl/avgdl)). Everything is DataFrame ops: one explode,
-    two aggregations, broadcast of the tiny df/corpus stats, final
-    global top-k window. Mirrors the ES query at
+    k1·(1−b+b·dl/avgdl)). Plan shape: ONE explode + ONE groupBy(doc_id)
+    produces doc length and all per-term tfs together (conditional
+    sums), so tf never needs a join back to doclen — they are the same
+    row; df and corpus stats reduce from that row set and broadcast.
+    One token-stream shuffle total, then the global top-k window.
+    Mirrors the ES query at
     research/learning-to-rank/measure-times.py:86-105 with b/k1 from
     populate.py:106-112.
     """
@@ -156,19 +159,23 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(docs, "doc_id").select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = doclen.agg(
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(QUERY_TERMS)
+        ],
+    )
+    corpus = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
     )
-    tf = (
-        toks.filter(F.col("token").isin(QUERY_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(QUERY_TERMS))
+    tf = per_doc.selectExpr(
+        "doc_id", "dl", f"stack({len(QUERY_TERMS)}, {stack_args}) AS (token, tf)"
+    ).filter(F.col("tf") > 0)
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
         tf.join(F.broadcast(df), "token")
-        .join(doclen, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",
