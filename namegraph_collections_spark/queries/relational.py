@@ -149,18 +149,23 @@ def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
     """,
 )
 def anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join — the archive-sweep idiom (SURVEY §2.3 J13).
+    """LEFT ANTI join — the archive-sweep idiom (SURVEY §2.3 J13):
+    customers with no urgent order.
 
     Reference analogue: ES ids not covered by the current input get
     archived (update_es.py:306-311) — an anti-join of index state
-    against the new snapshot.
+    against the new snapshot. The right side is filtered (urgent
+    orders only) so the anti-join is non-vacuous at every scale
+    factor: with the unfiltered orders table the synthetic data gives
+    every customer an order and the result is always empty.
     """
     customer = tbl(spark, sf_dir, "customer")
-    orders = tbl(spark, sf_dir, "orders")
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
