@@ -146,50 +146,61 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-style BM25 top-k over `documents` (SURVEY §2.9 ★).
 
     idf = ln(1 + (N−df+0.5)/(df+0.5)); score = Σ idf·tf·(k1+1)/(tf +
-    k1·(1−b+b·dl/avgdl)). Plan shape: ONE explode + ONE groupBy(doc_id)
-    produces doc length and all per-term tfs together (conditional
-    sums), so tf never needs a join back to doclen — they are the same
-    row; df and corpus stats reduce from that row set and broadcast.
-    One token-stream shuffle total, then the global top-k window.
-    Mirrors the ES query at
+    k1·(1−b+b·dl/avgdl)).
+
+    Plan shape: with a fixed small term set, per-doc stats (dl + one
+    tf per term) are row-wise ARRAY expressions over the materialized
+    token column — no explode, no token-stream shuffle at all. One
+    tiny global agg produces corpus stats AND every per-term df
+    together and broadcasts back; the score is then a single rounded-
+    decimal row expression (terms with tf=0 contribute exact 0), and
+    the only shuffle in the whole query is the final top-k window over
+    matched docs. Mirrors the ES query at
     research/learning-to-rank/measure-times.py:86-105 with b/k1 from
     populate.py:106-112.
     """
     docs = tbl(spark, sf_dir, "documents")
-    toks = spread(docs, "doc_id").select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    toked = spread(docs, "doc_id").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
     )
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
+    per_doc = toked.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
         *[
-            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            F.size(F.filter("toks", lambda x: x == F.lit(t))).alias(f"tf_{i}")  # noqa: B023 — filter() invokes the lambda at build time, inside this iteration
             for i, t in enumerate(QUERY_TERMS)
         ],
     )
-    corpus = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
     )
-    stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(QUERY_TERMS))
-    tf = per_doc.selectExpr(
-        "doc_id", "dl", f"stack({len(QUERY_TERMS)}, {stack_args}) AS (token, tf)"
-    ).filter(F.col("tf") > 0)
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    contrib = (
-        tf.join(F.broadcast(df), "token")
-        .crossJoin(F.broadcast(corpus))
-        .select(
-            "doc_id",
-            F.round(
-                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * (F.col("tf") * (K1 + 1))
-                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("c"),
-        )
+    with_stats = per_doc.crossJoin(F.broadcast(stats))
+
+    def term_contrib(i: int):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        c = F.round(
+            F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+            * (tf * (K1 + 1))
+            / (tf + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+            6,
+        ).cast("decimal(18,6)")
+        return F.when(tf > 0, c).otherwise(F.lit(0).cast("decimal(18,6)"))
+
+    score = term_contrib(0)
+    for i in range(1, len(QUERY_TERMS)):
+        score = score + term_contrib(i)
+    matched = sum(
+        (F.col(f"tf_{i}") for i in range(1, len(QUERY_TERMS))), F.col("tf_0")
     )
-    scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
+    scored = (
+        with_stats.filter(matched > 0)
+        .select("doc_id", score.cast("double").alias("score"))
+    )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
 
