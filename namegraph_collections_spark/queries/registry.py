@@ -17,6 +17,10 @@ matches):
 
 from __future__ import annotations
 
+import functools
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -33,12 +37,46 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make this package importable on Spark's Python workers.
+
+    Pickled (pandas) UDFs are serialized BY REFERENCE — the worker
+    re-imports ``namegraph_collections_spark`` to unpickle them. That
+    works only if the package is on the worker's ``sys.path``, which
+    the driver's host process can't guarantee (an external harness may
+    import ``__spark_entry__`` by file path from any cwd). Shipping a
+    zip via ``addPyFile`` is the cluster-correct fix — identical to
+    ``spark-submit --py-files`` — and a one-time, driver-side cost per
+    SparkContext. Without it, every UDF-bearing query dies with
+    ModuleNotFoundError on any session whose cwd isn't the repo root.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="ngc_spark_pkg_"), "namegraph_collections_spark")
+    zip_path = shutil.make_archive(zip_base, "zip", root_dir=repo_root, base_dir="namegraph_collections_spark")
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(id(sc))
+
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query to the registry."""
+    """Decorator: add a query to the registry (wrapped so any session —
+    ours, the driver's, bench's — gets the package shipped to workers
+    before the first UDF runs)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip())
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=(fn.__doc__ or "").strip())
         return fn
 
     return deco

@@ -31,6 +31,25 @@ RANK_FEATURE_PIVOT = 500  # ES rank_feature saturation default shape
 RANK_FEATURE_BOOST = 100  # collection_rank boost in the reference query
 
 
+def _ranked_topk(df: DataFrame, k: int, *order, rnk: str = "rnk") -> DataFrame:
+    """Global top-k with rank numbers, without a global window.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
+    partition keeps its own top-k and only k rows per partition reach
+    the driver-side merge, so the plan scales with k, not with the
+    corpus. Only the k survivors then get ``row_number`` (a window over
+    k rows, not over every matched doc). A bare global
+    ``Window.orderBy`` would instead shuffle every row to ONE
+    partition — the classic 100TB-cliff — which is why none of the
+    search queries use one.
+    """
+    return (
+        df.orderBy(*order)
+        .limit(k)
+        .withColumn(rnk, F.row_number().over(Window.orderBy(*order)))
+    )
+
+
 @register(
     "search_ltr_rescore",
     oracle=f"""
@@ -80,11 +99,12 @@ def search_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("base_score"))
     )
-    w_base = Window.orderBy(F.col("base_score").desc(), F.col("doc_id").asc())
-    window = (
-        base.join(docs.select("doc_id", "n_chars"), "doc_id")
-        .withColumn("base_rnk", F.row_number().over(w_base))
-        .filter(F.col("base_rnk") <= RESCORE_WINDOW)
+    window = _ranked_topk(
+        base.join(docs.select("doc_id", "n_chars"), "doc_id"),
+        RESCORE_WINDOW,
+        F.col("base_score").desc(),
+        F.col("doc_id").asc(),
+        rnk="base_rnk",
     )
     rescored = window.select(
         "doc_id",
@@ -98,12 +118,9 @@ def search_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ltr_score"),
     )
-    w_final = Window.orderBy(F.col("ltr_score").desc(), F.col("doc_id").asc())
-    return (
-        rescored.withColumn("rnk", F.row_number().over(w_final))
-        .filter(F.col("rnk") <= FINAL_K)
-        .select("doc_id", "base_score", "ltr_score", "rnk")
-    )
+    return _ranked_topk(
+        rescored, FINAL_K, F.col("ltr_score").desc(), F.col("doc_id").asc()
+    ).select("doc_id", "base_score", "ltr_score", "rnk")
 
 
 @register(
@@ -201,8 +218,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_stats.filter(matched > 0)
         .select("doc_id", score.cast("double").alias("score"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+    return _ranked_topk(scored, TOP_K, F.col("score").desc(), F.col("doc_id").asc())
 
 
 NDCG_K = 10
@@ -401,8 +417,7 @@ def multifield_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+    return _ranked_topk(scored, TOP_K, F.col("score").desc(), F.col("doc_id").asc())
 
 
 @register("stemmed_bm25", oracle=None)  # analyzer UDF → non-SQL-expressible
@@ -449,5 +464,4 @@ def stemmed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+    return _ranked_topk(scored, TOP_K, F.col("score").desc(), F.col("doc_id").asc())
