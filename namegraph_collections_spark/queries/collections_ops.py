@@ -160,7 +160,7 @@ MIN_SUFFIX_COUNT = 5
       SELECT p_partkey, p_name, t[-2] || ' ' || t[-1] AS suffix FROM toks WHERE len(t) >= 2
     )
     SELECT suffix, COUNT(*) AS n_names,
-           list_sort(list(DISTINCT p_name))[1:3] AS examples
+           array_to_string(list_sort(list(DISTINCT p_name))[1:3], ',') AS examples
     FROM sufs GROUP BY suffix HAVING COUNT(*) >= {MIN_SUFFIX_COUNT}
     """,
 )
@@ -192,7 +192,9 @@ def suffix_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         sufs.groupBy("suffix")
         .agg(
             F.count(F.lit(1)).alias("n_names"),
-            F.slice(F.array_sort(F.collect_set("p_name")), 1, 3).alias("examples"),
+            F.array_join(F.slice(F.array_sort(F.collect_set("p_name")), 1, 3), ",").alias(
+                "examples"
+            ),
         )
         .filter(F.col("n_names") >= MIN_SUFFIX_COUNT)
     )
@@ -220,12 +222,12 @@ _SORT_COMMANDS = ["a-z", "z-a", "shortest-first", "longest-first"]
       FROM d
     )
     SELECT doc_id, command,
-      CASE command
+      array_to_string(CASE command
         WHEN 'a-z' THEN list_sort(toks)
         WHEN 'z-a' THEN list_reverse_sort(toks)
         WHEN 'shortest-first' THEN list_transform(by_len, s -> string_split(s, '|')[2])
         ELSE list_transform(list_reverse(by_len), s -> string_split(s, '|')[2])
-      END AS sorted_tokens
+      END, ',') AS sorted_tokens
     FROM keyed
     """,
 )
@@ -257,9 +259,11 @@ def command_driven_sorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "doc_id",
         "command",
-        F.when(F.col("command") == "a-z", F.array_sort("toks"))
-        .when(F.col("command") == "z-a", F.reverse(F.array_sort("toks")))
-        .when(F.col("command") == "shortest-first", strip_key(F.col("by_len")))
-        .otherwise(strip_key(F.reverse(F.col("by_len"))))
-        .alias("sorted_tokens"),
+        F.array_join(
+            F.when(F.col("command") == "a-z", F.array_sort("toks"))
+            .when(F.col("command") == "z-a", F.reverse(F.array_sort("toks")))
+            .when(F.col("command") == "shortest-first", strip_key(F.col("by_len")))
+            .otherwise(strip_key(F.reverse(F.col("by_len")))),
+            ",",
+        ).alias("sorted_tokens"),
     )

@@ -145,7 +145,8 @@ _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
     ),
     fp AS (
       SELECT doc_id,
-             SUM(CASE WHEN s >= 0 THEN 1 << CAST(pos AS INT) ELSE 0 END) AS simhash
+             CAST(SUM(CASE WHEN s >= 0 THEN 1 << CAST(pos AS INT) ELSE 0 END) AS BIGINT)
+               AS simhash
       FROM contrib GROUP BY doc_id
     )
     SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id

@@ -20,11 +20,11 @@ from namegraph_collections_spark.queries.registry import register, spread, tbl
     "multimodal_byte_histogram",
     oracle=f"""
     SELECT doc_id AS media_id,
-           list_transform(range({N_HIST_BINS}),
+           array_to_string(list_transform(range({N_HIST_BINS}),
              b -> CAST(len(list_filter(
                     list_transform(range(1, len(text) + 1),
                                    i -> ascii(substr(text, CAST(i AS INT), 1))),
-                    c -> c // 16 = b)) AS BIGINT)) AS hist
+                    c -> c // 16 = b)) AS BIGINT)), ',') AS hist
     FROM documents
     """,
 )
@@ -37,6 +37,14 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spread()); at scale this is the exact shape of an embedding
     model over image bytes — fixed-width vectors out, one pass.
     """
+    from pyspark.sql import functions as F
+
     docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
     media = synthesize_media(docs)
-    return byte_histogram_features(media)
+    feats = byte_histogram_features(media)
+    # hist serialized to a CSV string so the driver's canonicalizer
+    # (which cannot hash list cells) can value-check it.
+    return feats.select(
+        "media_id",
+        F.array_join(F.transform("hist", lambda v: v.cast("string")), ",").alias("hist"),
+    )

@@ -22,7 +22,7 @@ from namegraph_collections_spark.queries.registry import register, tbl
     SELECT o_custkey,
       MIN(o_orderkey) AS merged_id,
       COUNT(*) AS n_members,
-      list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
       MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rank_cents,
       min_by(o_orderpriority, o_orderkey) AS first_priority
     FROM orders
@@ -41,7 +41,7 @@ def merge_collections_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_custkey").agg(
         F.min("o_orderkey").alias("merged_id"),
         F.count(F.lit(1)).alias("n_members"),
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
         F.max(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("rank_cents"),
         F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
     )
@@ -58,8 +58,8 @@ def merge_collections_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_nationkey,
       MIN(c_custkey) AS merged_id,
-      list_sort(list_distinct(flatten(list(priorities)))) AS merged_priorities,
-      SUM(n_orders) AS total_orders,
+      array_to_string(list_sort(list_distinct(flatten(list(priorities)))), ',') AS merged_priorities,
+      CAST(SUM(n_orders) AS BIGINT) AS total_orders,
       COUNT(*) AS n_collections
     FROM per_cust JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey
@@ -82,9 +82,9 @@ def two_level_merge_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
     return j.groupBy("c_nationkey").agg(
         F.min("c_custkey").alias("merged_id"),
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("priorities")))).alias(
-            "merged_priorities"
-        ),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("priorities")))), ","
+        ).alias("merged_priorities"),
         F.sum("n_orders").alias("total_orders"),
         F.count(F.lit(1)).alias("n_collections"),
     )

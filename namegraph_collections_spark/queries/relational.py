@@ -329,9 +329,9 @@ def segment_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_events,
       epoch_us(MIN(ts)) AS first_ts_us,
       epoch_us(MAX(ts)) AS last_ts_us,
-      list_sort(list(DISTINCT event_type)) AS event_types,
+      array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-      SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+      CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY user_id
     """,
@@ -350,7 +350,7 @@ def entity_assembly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.expr("min(ts) div 1000").alias("first_ts_us"),
         F.expr("max(ts) div 1000").alias("last_ts_us"),
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
         F.sum(_dec("value", 6)).cast("double").alias("total_value"),
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
     )
@@ -393,10 +393,10 @@ def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "status_histogram",
     oracle="""
     SELECT o_orderpriority,
-      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_count,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count,
-      SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_count,
-      SUM(CASE WHEN o_orderstatus IN ('F','P') THEN 1 ELSE 0 END) AS closed_or_pending
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_count,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_count,
+      CAST(SUM(CASE WHEN o_orderstatus IN ('F','P') THEN 1 ELSE 0 END) AS BIGINT) AS closed_or_pending
     FROM orders
     GROUP BY o_orderpriority
     """,

@@ -212,7 +212,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT bucket, COUNT(*) AS n_vecs,
-           list_sort(list(DISTINCT label)) AS labels
+           array_to_string(list_sort(list(DISTINCT label)), ',') AS labels
     FROM sig GROUP BY bucket
     """,
 )
@@ -233,5 +233,5 @@ def lsh_bucket_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sig.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.array_sort(F.collect_set("label")).alias("labels"),
+        F.array_join(F.array_sort(F.collect_set("label")), ",").alias("labels"),
     )
