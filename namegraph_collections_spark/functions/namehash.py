@@ -94,8 +94,9 @@ def ens_namehash(name: str) -> str:
     node = b"\x00" * 32
     if name:
         for label in reversed(name.split(".")):
-            if not label:
-                raise ValueError(f"empty label in {name!r}")
+            # Empty labels ('a..b', trailing dot) hash keccak(b'') like
+            # the reference — raising here would fail the whole Arrow
+            # batch inside the pandas UDF for one bad row.
             node = keccak256(node + keccak256(label.encode("utf-8")))
     return "0x" + node.hex()
 

@@ -70,8 +70,16 @@ def salted_join(
     The skewed side gets a random salt; the other side is replicated
     across all salts (explode of a salt array), so each (key, salt)
     shuffle partition carries 1/n_salts of the hot key. Join output
-    equals the plain join (each skewed row meets exactly one replica).
+    equals the plain join (each skewed row meets exactly one replica)
+    — but only for how ∈ {inner, left}: under right/full_outer every
+    unmatched replica of the replicated side would surface once per
+    salt, so those modes are rejected rather than silently duplicated.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "unmatched rows of the replicated side would appear n_salts times"
+        )
     salted = skewed.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
     replicated = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

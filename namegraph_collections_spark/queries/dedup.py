@@ -102,8 +102,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join), never doc×doc: |pairs| is bounded by shingle
     co-occurrence. Jaccard from |A∩B| and precomputed set sizes.
     """
+    # No persist(): this function returns a LAZY plan, so there is no
+    # safe point to unpersist — a persist here pins executor storage
+    # for the rest of the session. The shingle subplan is recomputed
+    # per use (cheap projection + explode); identical shuffle subtrees
+    # are deduplicated by ReusedExchange where they appear.
     docs = tbl(spark, sf_dir, "documents")
-    sh = _shingles(docs).persist()
+    sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -37,7 +37,7 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
@@ -54,7 +54,10 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     ModuleNotFoundError on any session whose cwd isn't the repo root.
     """
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    # Keyed on applicationId, not id(sc): a stopped-and-GC'd context's
+    # id() can be reused by a fresh context, which would silently skip
+    # the addPyFile this function exists to guarantee.
+    if sc.applicationId in _SHIPPED:
         return
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -62,7 +65,7 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     zip_base = os.path.join(tempfile.mkdtemp(prefix="ngc_spark_pkg_"), "namegraph_collections_spark")
     zip_path = shutil.make_archive(zip_base, "zip", root_dir=repo_root, base_dir="namegraph_collections_spark")
     sc.addPyFile(zip_path)
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(sc.applicationId)
 
 
 def register(name: str, oracle: str | None = None):

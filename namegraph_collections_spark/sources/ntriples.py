@@ -114,11 +114,16 @@ def filtered_triples(raw: DataFrame) -> DataFrame:
 
 def assemble_entities(triples: DataFrame) -> DataFrame:
     """A2 ★: one wide row per subject — single-valued predicates via
-    first(), multi-valued via sorted collect_list (the reference's
+    min(), multi-valued via sorted collect_list (the reference's
     group-adjacent dict build, create_kv.py:84-125, as one shuffle).
+
+    Tie rule (SURVEY §4 item 3): when a "single-valued" predicate has
+    several values for one subject (common in real dumps), the
+    lexicographically smallest wins — min() is order-insensitive under
+    shuffle, unlike first(), so entities are run-to-run identical.
     """
     aggs = [
-        F.first(F.when(F.col("predicate") == p, F.col("object")), ignorenulls=True).alias(p)
+        F.min(F.when(F.col("predicate") == p, F.col("object"))).alias(p)
         for p in PREDICATES_ONE
     ] + [
         F.array_sort(F.collect_list(F.when(F.col("predicate") == p, F.col("object")))).alias(p)

@@ -168,3 +168,9 @@ def test_porter_stem_goldens():
     }
     got = {w: porter_stem(w) for w in cases}
     assert got == cases
+
+
+def test_ens_namehash_empty_labels_hash_not_raise():
+    # reference behavior: empty labels hash keccak(b'') instead of erroring
+    assert ens_namehash("a..b").startswith("0x")
+    assert ens_namehash("trailing.") != ens_namehash("trailing")

@@ -64,3 +64,10 @@ def test_top_keys_diagnosis(skewed):
     assert rows[0]["k"] == "hot"
     assert rows[0]["count"] == 9000
     assert rows[0]["share"] == 0.9
+
+
+def test_salted_join_rejects_outer_modes(spark, skewed):
+    dim = spark.createDataFrame([("hot", 1.0)], "k string, w double")
+    for how in ("right", "full_outer", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(skewed, dim, "k", how=how)
