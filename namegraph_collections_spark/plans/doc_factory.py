@@ -138,15 +138,19 @@ def build_documents(
         emoji_udf(F.col("item"), F.transform("types", lambda t: t["label"])),
     )
 
-    # C13: unigram log-probability of the collection name.
+    # C13: unigram log-probability of the collection name. The OOV
+    # floor (the table's min log_prob) joins in as a broadcast 1-row
+    # aggregate — no .collect() during plan construction, so building
+    # the plan stays lazy (text_analysis.py uses the same idiom).
     if unigram_probs is not None:
         toks = doc.select(
             "item", F.explode(F.split(F.lower("name"), " ")).alias("token")
         )
-        min_lp = unigram_probs.agg(F.min("log_prob")).collect()[0][0]
+        min_lp = unigram_probs.agg(F.min("log_prob").alias("min_lp"))
         lp = (
             toks.join(F.broadcast(unigram_probs), "token", "left")
-            .withColumn("log_prob", F.coalesce("log_prob", F.lit(min_lp)))
+            .crossJoin(F.broadcast(min_lp))
+            .withColumn("log_prob", F.coalesce("log_prob", F.col("min_lp")))
             .groupBy("item")
             .agg(F.round(F.sum("log_prob"), 6).alias("name_log_probability"))
         )
