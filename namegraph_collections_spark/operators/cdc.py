@@ -63,6 +63,117 @@ def snapshot_diff(
     )
 
 
+#: F12 — collections above this member count are skipped entirely
+#: (update_es.py:139-141, 163-164, 215-216; also populate.py:236-238).
+MAX_MEMBERS_COUNT = 10000
+
+
+def snapshot_diff_three_way(
+    previous: DataFrame,
+    current: DataFrame,
+    index_state: DataFrame,
+    key: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Three-way CDC classification (produce_update_operations,
+    update_es.py:249-313): previous snapshot × current snapshot × the
+    LIVE INDEX id map (collect_ids_mapping, update_es.py:46-63).
+
+    ``index_state`` is DataFrame[key, es_id]. Returns
+    DataFrame[key, es_id, op] with op ∈ {create, full_update, update,
+    noop, archive}:
+
+      id ∉ index                 → create  — insert even if present in
+                                   prev (a prior insert may have
+                                   failed; update_es.py:268-275)
+      id ∈ index, ∉ prev         → full_update of all UPDATING_FIELDS
+                                   (inserted-this-run-then-failed or
+                                   archived long ago; :277-287)
+      id ∈ index ∩ prev, hash ≠  → update (minimal diff; :289-301)
+      id ∈ index ∩ prev, hash =  → noop
+      id ∈ index, ∉ current      → archive (:305-311)
+
+    Keys only in `previous` (in neither current nor index) emit
+    nothing, exactly like the reference's loop. Plan shape: one
+    full-outer join (current ⟗ index) + one left join (prev hashes) —
+    two co-partitioned shuffles on the business key at any scale,
+    replacing the reference's in-RAM dict probes + scroll of the whole
+    index.
+    """
+    prev_h = previous.select(F.col(key), row_hash(compare_cols).alias("_prev_hash"))
+    curr_h = current.select(F.col(key), row_hash(compare_cols).alias("_curr_hash"))
+    idx = index_state.select(F.col(key), F.col("es_id"))
+    joined = (
+        curr_h.withColumn("_in_curr", F.lit(True))
+        .join(idx.withColumn("_in_idx", F.lit(True)), on=key, how="full_outer")
+        .join(prev_h, on=key, how="left")
+    )
+    return joined.select(
+        F.col(key),
+        F.col("es_id"),
+        F.when(F.col("_in_curr").isNull(), F.lit("archive"))
+        .when(F.col("_in_idx").isNull(), F.lit("create"))
+        .when(F.col("_prev_hash").isNull(), F.lit("full_update"))
+        .when(F.col("_prev_hash") != F.col("_curr_hash"), F.lit("update"))
+        .otherwise(F.lit("noop"))
+        .alias("op"),
+    )
+
+
+def three_way_operations(
+    diff: DataFrame,
+    current: DataFrame,
+    key: str,
+    index_name: str,
+    members_count_col: str = "members_count",
+    adjust_cols: Sequence[str] = (),
+    max_members: int = MAX_MEMBERS_COUNT,
+) -> DataFrame:
+    """Bulk ops from a three-way diff, with the reference's two
+    op-factory quirks (update_es.py:138-246):
+
+    - F12 gate: create/full_update/update ops for collections with
+      ``members_count_col`` > ``max_members`` are dropped (:139-141).
+      Archive ops always pass — the reference's archive loop never
+      consults the document.
+    - +1 count adjustments: for create and full_update ops, each
+      column in ``adjust_cols`` is emitted incremented by one —
+      populate.py inserts one extra (nonavailable, invalid) member
+      that the previous JSONL can't know about (:145-146, 188-205,
+      228-245).
+    """
+    ops = diff.filter(F.col("op") != "noop").alias("d")
+    joined = ops.join(current.alias("cur"), on=key, how="left")
+    oversized = F.col(members_count_col) > F.lit(max_members)
+    joined = joined.filter((F.col("d.op") == "archive") | ~oversized)
+
+    payload_cols = []
+    for c in current.columns:
+        if c == key:
+            continue
+        if c in adjust_cols:
+            payload_cols.append((F.col(f"cur.{c}") + F.lit(1)).alias(c))
+        else:
+            payload_cols.append(F.col(f"cur.{c}"))
+    doc_json = F.to_json(F.struct(*payload_cols))
+    return joined.select(
+        F.when(F.col("d.op") == "create", F.lit("create"))
+        .otherwise(F.lit("update"))
+        .alias("_op_type"),
+        F.lit(index_name).alias("_index"),
+        # deterministic _id: the live index's es_id when known, else the
+        # business key (retires the random-id 409 retry loop, D5)
+        F.coalesce(F.col("d.es_id"), F.col(key).cast("string")).alias("_id"),
+        F.when(F.col("d.op") == "create", doc_json).alias("_source"),
+        F.when(F.col("d.op").isin("update", "full_update"), doc_json)
+        .when(
+            F.col("d.op") == "archive",
+            F.to_json(F.struct(F.lit(True).alias("archived"))),
+        )
+        .alias("doc"),
+    )
+
+
 def minimal_field_diff(
     previous: DataFrame,
     current: DataFrame,

@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from namegraph_collections_spark.operators.cdc import minimal_field_diff, snapshot_diff
+from namegraph_collections_spark.operators.cdc import (
+    MAX_MEMBERS_COUNT,
+    minimal_field_diff,
+    snapshot_diff,
+    snapshot_diff_three_way,
+)
 from namegraph_collections_spark.queries.registry import register, tbl
 
 # Two synthetic snapshots derived deterministically from `orders`:
@@ -116,3 +121,126 @@ def cdc_minimal_field_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prev, curr = _snapshots(spark, sf_dir)
     return minimal_field_diff(prev, curr, key="o_orderkey", compare_cols=["o_orderstatus", "price_cents"])
+
+
+# ---------------------------------------------------------------------------
+# Three-way CDC (D2 ★ full form + F12): previous snapshot × current
+# snapshot × live-index id map. Windows chosen so every op class is
+# populated at every scale factor:
+#   prev  = orderdate < 1999-01-01
+#   curr  = orderdate ≥ 1996-01-01 (URGENT re-priced → update)
+#   index = all orders with o_orderkey % 10 ≠ 0 ("in ES")
+# so: curr ∖ index → create; curr ∩ index ∖ prev → full_update;
+# overlap urgent → update, non-urgent → noop; index ∖ curr → archive;
+# prev-only keys (date < 1996, %10 = 0) → nothing, like the reference.
+# members_count is a synthetic deterministic value with a tail above
+# the F12 gate so the >10000 skip is exercised.
+# ---------------------------------------------------------------------------
+_3W_PREV_FILTER = "o_orderdate < TIMESTAMP '1999-01-01 00:00:00'"
+_3W_CURR_FILTER = "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+_MEMBERS_SYNTH = "(CAST(o_orderkey AS BIGINT) * 7717) % 15000"
+
+
+def _three_way_inputs(spark: SparkSession, sf_dir: str):
+    orders = tbl(spark, sf_dir, "orders")
+    members_count = (F.col("o_orderkey").cast("bigint") * 7717) % 15000
+    prev = orders.filter(_3W_PREV_FILTER).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_cents"),
+    )
+    curr = orders.filter(_3W_CURR_FILTER).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 2).otherwise(
+                F.col("o_totalprice")
+            )
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("price_cents"),
+        members_count.alias("members_count"),
+    )
+    index_state = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", F.concat(F.lit("es-"), F.col("o_orderkey").cast("string")).alias("es_id")
+    )
+    return prev, curr, index_state
+
+
+@register(
+    "cdc_three_way_ops",
+    oracle=f"""
+    WITH prev AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+      FROM orders WHERE {_3W_PREV_FILTER}
+    ), curr AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND((CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+                         ELSE o_totalprice END) * 100, 0) AS BIGINT) AS price_cents,
+             {_MEMBERS_SYNTH} AS members_count
+      FROM orders WHERE {_3W_CURR_FILTER}
+    ), idx AS (
+      SELECT o_orderkey, 'es-' || CAST(o_orderkey AS VARCHAR) AS es_id
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ), prev_h AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(1), COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || '<null>'),
+                                    COALESCE(CAST(price_cents AS VARCHAR), chr(0) || '<null>'))) AS ph
+      FROM prev
+    ), curr_h AS (
+      SELECT o_orderkey, members_count,
+             md5(concat_ws(chr(1), COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || '<null>'),
+                                    COALESCE(CAST(price_cents AS VARCHAR), chr(0) || '<null>'))) AS ch
+      FROM curr
+    ), classified AS (
+      SELECT COALESCE(c.o_orderkey, i.o_orderkey) AS o_orderkey, i.es_id, c.members_count,
+             CASE WHEN c.ch IS NULL THEN 'archive'
+                  WHEN i.es_id IS NULL THEN 'create'
+                  WHEN p.ph IS NULL THEN 'full_update'
+                  WHEN p.ph <> c.ch THEN 'update'
+                  ELSE 'noop' END AS op
+      FROM curr_h c
+      FULL OUTER JOIN idx i ON c.o_orderkey = i.o_orderkey
+      LEFT JOIN prev_h p ON COALESCE(c.o_orderkey, i.o_orderkey) = p.o_orderkey
+    )
+    SELECT o_orderkey, op,
+           COALESCE(es_id, CAST(o_orderkey AS VARCHAR)) AS doc_id,
+           CASE WHEN op = 'archive' THEN NULL
+                ELSE members_count + 1 END AS members_out
+    FROM classified
+    WHERE op <> 'noop'
+      AND (op = 'archive' OR members_count <= {MAX_MEMBERS_COUNT})
+    """,
+)
+def cdc_three_way_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way snapshot × index CDC with the F12 gate (D2 ★ full
+    form; produce_update_operations, update_es.py:249-313).
+
+    Emitted ops only (noop suppressed), with: the big-collection gate
+    (members_count > 10000 → dropped unless archive, update_es.py:
+    139-141), deterministic doc id (live es_id, else the business
+    key), and the reference's +1 count adjustment on emitted documents
+    (populate.py's extra member; update_es.py:145-146, 228-245 — our
+    updates are full-doc prepare_full_update-shaped, so the adjustment
+    applies uniformly to non-archive ops).
+    """
+    prev, curr, idx = _three_way_inputs(spark, sf_dir)
+    diff = snapshot_diff_three_way(
+        prev, curr, idx, key="o_orderkey", compare_cols=["o_orderstatus", "price_cents"]
+    )
+    gated = (
+        diff.filter(F.col("op") != "noop")
+        .join(curr.select("o_orderkey", "members_count"), "o_orderkey", "left")
+        .filter((F.col("op") == "archive") | (F.col("members_count") <= MAX_MEMBERS_COUNT))
+    )
+    return gated.select(
+        "o_orderkey",
+        "op",
+        F.coalesce("es_id", F.col("o_orderkey").cast("string")).alias("doc_id"),
+        F.when(F.col("op") == "archive", F.lit(None).cast("bigint"))
+        .otherwise(F.col("members_count") + 1)
+        .alias("members_out"),
+    )

@@ -30,6 +30,16 @@ FINAL_K = 10
 RANK_FEATURE_PIVOT = 500  # ES rank_feature saturation default shape
 RANK_FEATURE_BOOST = 100  # collection_rank boost in the reference query
 
+# F13: the public-only filter every reference search carries
+# (research/learning-to-rank/measure-times.py:15 — filter
+# {'term': {'data.public': True}}). documents has no public column, so
+# the flag is a deterministic derivation both engines compute alike.
+PUBLIC_SQL = "doc_id % 7 <> 0"
+
+
+def _public(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("doc_id") % 7 != 0)
+
 
 def _ranked_topk(df: DataFrame, k: int, *order, rnk: str = "rnk") -> DataFrame:
     """Global top-k with rank numbers, without a global window.
@@ -50,47 +60,150 @@ def _ranked_topk(df: DataFrame, k: int, *order, rnk: str = "rnk") -> DataFrame:
     )
 
 
-@register(
-    "search_ltr_rescore",
-    oracle=f"""
+# --- LTR feature set (configure-ltr.py:92-121) ------------------------------
+# The reference's RankLib feature set: 6 keyword-match features, 10
+# rank_feature saturations x/(x+pivot), 5 log-scaled variants
+# ln(1+x), and names.size() — 22 features total. Restated over
+# `documents`: match scores against derived fields, saturation/log
+# features over deterministic document statistics, token count as the
+# size feature. Spark columns and the DuckDB oracle are generated
+# from ONE spec table so the two engines cannot drift.
+_LTR_TITLE_TOKENS = 5
+_MATCH_FEATURES = ["text", "title", "body", "distinct", "lang", "source"]
+_SAT_FEATURES = [  # (name, stat column, saturation pivot)
+    ("chars", "s_chars", 500),
+    ("tokens", "s_tokens", 100),
+    ("distinct", "s_distinct", 80),
+    ("avglen", "s_avglen", 8),
+    ("maxlen", "s_maxlen", 12),
+    ("title_chars", "s_title_chars", 30),
+    ("body_chars", "s_body_chars", 400),
+    ("digits", "s_digits", 10),
+    ("vowels", "s_vowels", 150),
+    ("uniq", "s_uniq", 800),
+]
+_LOG_FEATURES = [  # (name, stat column)
+    ("chars", "s_chars"),
+    ("tokens", "s_tokens"),
+    ("distinct", "s_distinct"),
+    ("digits", "s_digits"),
+    ("vowels", "s_vowels"),
+]
+#: Deterministic linear model standing in for the RankLib ensemble —
+#: order matters: the weighted sum is evaluated in this exact order on
+#: both engines so float addition is bit-identical.
+FEATURE_WEIGHTS = {
+    "f_match_text": 0.5,
+    "f_match_title": 0.4,
+    "f_match_body": 0.3,
+    "f_match_distinct": 0.6,
+    "f_match_lang": 0.2,
+    "f_match_source": 0.2,
+    "f_sat_chars": 2.0,
+    "f_sat_tokens": 1.5,
+    "f_sat_distinct": 1.2,
+    "f_sat_avglen": 0.8,
+    "f_sat_maxlen": 0.5,
+    "f_sat_title_chars": 0.7,
+    "f_sat_body_chars": 0.9,
+    "f_sat_digits": 0.4,
+    "f_sat_vowels": 0.6,
+    "f_sat_uniq": 1.1,
+    "f_log_chars": 0.3,
+    "f_log_tokens": 0.25,
+    "f_log_distinct": 0.2,
+    "f_log_digits": 0.1,
+    "f_log_vowels": 0.15,
+    "f_size_names": 0.05,
+}
+LTR_FEATURE_NAMES = list(FEATURE_WEIGHTS)
+
+
+def _ltr_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    t = _LTR_TITLE_TOKENS
+    stats = f"""
+      SELECT w.doc_id, w.base_score, w.base_rnk,
+        len(list_filter(toks, x -> x IN ({terms}))) AS m_text,
+        len(list_filter(toks[1:{t}], x -> x IN ({terms}))) AS m_title,
+        len(list_filter(toks[{t} + 1:], x -> x IN ({terms}))) AS m_body,
+        {" + ".join(f"(CASE WHEN list_contains(toks, '{q}') THEN 1 ELSE 0 END)" for q in QUERY_TERMS)} AS m_distinct,
+        {" + ".join(f"(CASE WHEN lang = '{q}' THEN 1 ELSE 0 END)" for q in QUERY_TERMS)} AS m_lang,
+        {" + ".join(f"(CASE WHEN contains(source, '{q}') THEN 1 ELSE 0 END)" for q in QUERY_TERMS)} AS m_source,
+        n_chars AS s_chars,
+        len(toks) AS s_tokens,
+        len(list_distinct(toks)) AS s_distinct,
+        CAST(n_chars AS DOUBLE) / len(toks) AS s_avglen,
+        list_max(list_transform(toks, x -> len(x))) AS s_maxlen,
+        len(array_to_string(toks[1:{t}], ' ')) AS s_title_chars,
+        len(array_to_string(toks[{t} + 1:], ' ')) AS s_body_chars,
+        len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS s_digits,
+        len(lower(text)) - len(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS s_vowels,
+        1000.0 * len(list_distinct(toks)) / len(toks) AS s_uniq
+      FROM top_window w
+      JOIN (SELECT doc_id, text, n_chars, lang, source,
+                   string_split(lower(text), ' ') AS toks
+            FROM documents WHERE {PUBLIC_SQL}) USING (doc_id)
+    """
+    feats = (
+        [f"CAST(m_{n} AS DOUBLE) AS f_match_{n}" for n in _MATCH_FEATURES]
+        + [
+            f"ROUND(CAST({s} AS DOUBLE) / ({s} + {p}), 6) AS f_sat_{n}"
+            for n, s, p in _SAT_FEATURES
+        ]
+        + [f"ROUND(ln(1 + {s}), 6) AS f_log_{n}" for n, s in _LOG_FEATURES]
+        + ["CAST(s_tokens AS DOUBLE) AS f_size_names"]
+    )
+    model = " + ".join(f"{w} * {name}" for name, w in FEATURE_WEIGHTS.items())
+    feat_cols = ", ".join(LTR_FEATURE_NAMES)
+    return f"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents WHERE {PUBLIC_SQL}
     ),
     base AS (
       SELECT doc_id, COUNT(*) AS base_score FROM toks
-      WHERE token IN ({", ".join(f"'{t}'" for t in QUERY_TERMS)})
+      WHERE token IN ({terms})
       GROUP BY doc_id
     ),
     top_window AS (
-      SELECT b.doc_id, b.base_score, d.n_chars,
-             ROW_NUMBER() OVER (ORDER BY b.base_score DESC, b.doc_id ASC) AS base_rnk
-      FROM base b JOIN documents d USING (doc_id)
+      SELECT doc_id, base_score,
+             ROW_NUMBER() OVER (ORDER BY base_score DESC, doc_id ASC) AS base_rnk
+      FROM base
+      QUALIFY base_rnk <= {RESCORE_WINDOW}
+    ),
+    stats AS ({stats}),
+    feats AS (
+      SELECT doc_id, base_score, {", ".join(feats)}
+      FROM stats
     ),
     rescored AS (
-      SELECT doc_id, base_score, base_rnk,
-        ROUND(0.7 * base_score
-              + {RANK_FEATURE_BOOST} * n_chars
-                / (n_chars + {RANK_FEATURE_PIVOT}), 6) AS ltr_score
-      FROM top_window WHERE base_rnk <= {RESCORE_WINDOW}
+      SELECT doc_id, base_score, {feat_cols},
+             ROUND(0.7 * base_score + {model}, 6) AS ltr_score
+      FROM feats
     )
-    SELECT doc_id, base_score, ltr_score, rnk FROM (
+    SELECT doc_id, base_score, {feat_cols}, ltr_score, rnk FROM (
       SELECT *, ROW_NUMBER() OVER (ORDER BY ltr_score DESC, doc_id ASC) AS rnk
       FROM rescored
     ) WHERE rnk <= {FINAL_K}
-    """,
-)
-def search_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase search: cheap match score → top-50 rescore window →
-    top-10 (W7 ★; search.py:78-94, rescore window semantics of ES).
-
-    Phase 1 scores every matching doc with a term-frequency count;
-    only the top ``RESCORE_WINDOW`` get the richer model — here the
-    reference query's rank_feature saturation boost·x/(x+pivot)
-    (measure-times.py:86-105) blended with the base score, standing in
-    for the RankLib model UDF. At scale the expensive model runs on 50
-    rows regardless of corpus size.
     """
-    docs = tbl(spark, sf_dir, "documents")
+
+
+@register("search_ltr_rescore", oracle=_ltr_oracle_sql())
+def search_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase LTR search: cheap match score → top-50 rescore window
+    → 22-feature model → top-10 (W7 ★; the rescore-window shape of
+    measure-times.py:86-105 with the feature families of
+    configure-ltr.py:92-121 and F13's public filter).
+
+    Phase 1 scores every public matching doc with a term-frequency
+    count; only the top ``RESCORE_WINDOW`` rows get feature extraction
+    (6 match + 10 saturation + 5 log + size) and the deterministic
+    linear model standing in for RankLib. At scale the feature
+    pipeline runs on 50 rows regardless of corpus size — exactly why
+    the reference extracts features at rescore time, not index time.
+    """
+    docs = _public(tbl(spark, sf_dir, "documents"))
     toks = spread(docs, "doc_id").select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
@@ -100,34 +213,78 @@ def search_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("base_score"))
     )
     window = _ranked_topk(
-        base.join(docs.select("doc_id", "n_chars"), "doc_id"),
-        RESCORE_WINDOW,
-        F.col("base_score").desc(),
-        F.col("doc_id").asc(),
-        rnk="base_rnk",
+        base, RESCORE_WINDOW, F.col("base_score").desc(), F.col("doc_id").asc(), rnk="base_rnk"
     )
-    rescored = window.select(
+
+    t = _LTR_TITLE_TOKENS
+    arr = F.split(F.lower("text"), " ")
+    enriched = window.join(
+        docs.select("doc_id", "text", "n_chars", "lang", "source"), "doc_id"
+    ).withColumn("toks", arr)
+    toks_c = F.col("toks")
+    title = F.slice(toks_c, 1, t)
+    body = F.slice(toks_c, t + 1, F.greatest(F.size(toks_c) - t, F.lit(0)))
+    in_terms = lambda x: x.isin(QUERY_TERMS)  # noqa: E731
+    stats = enriched.select(
         "doc_id",
         "base_score",
-        "base_rnk",
-        F.round(
-            0.7 * F.col("base_score")
-            + RANK_FEATURE_BOOST
-            * F.col("n_chars")
-            / (F.col("n_chars") + F.lit(RANK_FEATURE_PIVOT)),
-            6,
-        ).alias("ltr_score"),
+        F.size(F.filter(toks_c, in_terms)).alias("m_text"),
+        F.size(F.filter(title, in_terms)).alias("m_title"),
+        F.size(F.filter(body, in_terms)).alias("m_body"),
+        sum(
+            (F.array_contains(toks_c, q).cast("int") for q in QUERY_TERMS[1:]),
+            F.array_contains(toks_c, QUERY_TERMS[0]).cast("int"),
+        ).alias("m_distinct"),
+        sum(
+            ((F.col("lang") == q).cast("int") for q in QUERY_TERMS[1:]),
+            (F.col("lang") == QUERY_TERMS[0]).cast("int"),
+        ).alias("m_lang"),
+        sum(
+            (F.col("source").contains(q).cast("int") for q in QUERY_TERMS[1:]),
+            F.col("source").contains(QUERY_TERMS[0]).cast("int"),
+        ).alias("m_source"),
+        F.col("n_chars").alias("s_chars"),
+        F.size(toks_c).alias("s_tokens"),
+        F.size(F.array_distinct(toks_c)).alias("s_distinct"),
+        (F.col("n_chars").cast("double") / F.size(toks_c)).alias("s_avglen"),
+        F.array_max(F.transform(toks_c, F.length)).alias("s_maxlen"),
+        F.length(F.array_join(title, " ")).alias("s_title_chars"),
+        F.length(F.array_join(body, " ")).alias("s_body_chars"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).alias("s_digits"),
+        (
+            F.length(F.lower("text"))
+            - F.length(F.regexp_replace(F.lower("text"), "[aeiou]", ""))
+        ).alias("s_vowels"),
+        (1000.0 * F.size(F.array_distinct(toks_c)) / F.size(toks_c)).alias("s_uniq"),
     )
+    feat_cols = (
+        [F.col(f"m_{n}").cast("double").alias(f"f_match_{n}") for n in _MATCH_FEATURES]
+        + [
+            F.round(F.col(s).cast("double") / (F.col(s) + F.lit(p)), 6).alias(f"f_sat_{n}")
+            for n, s, p in _SAT_FEATURES
+        ]
+        + [F.round(F.log(1 + F.col(s)), 6).alias(f"f_log_{n}") for n, s in _LOG_FEATURES]
+        + [F.col("s_tokens").cast("double").alias("f_size_names")]
+    )
+    feats = stats.select("doc_id", "base_score", *feat_cols)
+    # left-associative fold starting at 0.7·base — the exact addition
+    # order of the oracle's `0.7 * base_score + w1*f1 + w2*f2 + …`, so
+    # the float sum is bit-identical across engines.
+    acc = 0.7 * F.col("base_score")
+    for name, w in FEATURE_WEIGHTS.items():
+        acc = acc + F.lit(w) * F.col(name)
+    rescored = feats.withColumn("ltr_score", F.round(acc, 6))
     return _ranked_topk(
         rescored, FINAL_K, F.col("ltr_score").desc(), F.col("doc_id").asc()
-    ).select("doc_id", "base_score", "ltr_score", "rnk")
+    ).select("doc_id", "base_score", *LTR_FEATURE_NAMES, "ltr_score", "rnk")
 
 
 @register(
     "bm25_search",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents WHERE {PUBLIC_SQL}
     ),
     doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
     corpus AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclen),
@@ -174,9 +331,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle in the whole query is the final top-k window over
     matched docs. Mirrors the ES query at
     research/learning-to-rank/measure-times.py:86-105 with b/k1 from
-    populate.py:106-112.
+    populate.py:106-112; F13's public filter applied like every
+    reference search (measure-times.py:15).
     """
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _public(tbl(spark, sf_dir, "documents"))
     toked = spread(docs, "doc_id").select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     )
@@ -231,7 +389,7 @@ NDCG_K = 10
       SELECT source, doc_id, CAST(n_chars % 4 AS INT) AS rel,
              ROW_NUMBER() OVER (PARTITION BY source
                                 ORDER BY n_chars DESC, doc_id ASC) AS rnk
-      FROM documents
+      FROM documents WHERE {PUBLIC_SQL}
     ),
     topk AS (SELECT * FROM ranked WHERE rnk <= {NDCG_K}),
     ideal AS (
@@ -265,9 +423,9 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance, IDCG over the ideal reordering of the same k, NDCG =
     DCG/IDCG. Per-position contributions round-then-decimal-sum so the
     metric is reproducible under any partitioning — an eval you can
-    trust across cluster sizes.
+    trust across cluster sizes. Evaluated over public docs only (F13).
     """
-    docs = tbl(spark, sf_dir, "documents")
+    docs = _public(tbl(spark, sf_dir, "documents"))
     w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     ranked = docs.select(
         "source",
@@ -315,12 +473,12 @@ TITLE_TOKENS = 5
     WITH fields AS (
       SELECT doc_id, 'title' AS field,
              list_slice(string_split(lower(text), ' '), 1, {TITLE_TOKENS}) AS toks
-      FROM documents
+      FROM documents WHERE {PUBLIC_SQL}
       UNION ALL
       SELECT doc_id, 'body' AS field,
              list_slice(string_split(lower(text), ' '), {TITLE_TOKENS} + 1,
                         len(string_split(text, ' '))) AS toks
-      FROM documents
+      FROM documents WHERE {PUBLIC_SQL}
     ),
     toks AS (SELECT doc_id, field, unnest(toks) AS token FROM fields),
     doclen AS (SELECT doc_id, field, COUNT(*) AS dl FROM toks GROUP BY doc_id, field),
@@ -367,9 +525,10 @@ def multifield_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens) and a body; per-field token stats feed per-field BM25 with
     the field's boost and b, summed per doc (most_fields semantics),
     global top-k window last. One explode + per-field aggs — field
-    count multiplies state, not passes over the data.
+    count multiplies state, not passes over the data. Public docs
+    only (F13).
     """
-    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    docs = spread(_public(tbl(spark, sf_dir, "documents")), "doc_id")
     all_toks = F.split(F.lower("text"), " ")
     fields = docs.select(
         "doc_id", F.lit("title").alias("field"), F.slice(all_toks, 1, TITLE_TOKENS).alias("toks")
@@ -433,7 +592,7 @@ def stemmed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from namegraph_collections_spark.functions.stemmer import porter_stem, porter_stem_tokens_udf
 
-    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    docs = spread(_public(tbl(spark, sf_dir, "documents")), "doc_id")
     stemmed = docs.select(
         "doc_id", porter_stem_tokens_udf(F.split(F.lower("text"), " ")).alias("toks")
     )

@@ -78,3 +78,61 @@ def test_sync_index_rotation(spark, tmp_path):
     assert ops2 == {"a": "update", "c": "create"}  # b unchanged → noop
     latest = latest_snapshot(spark, base)
     assert {r["id"] for r in latest.collect()} == {"a", "b", "c"}
+
+
+# --- three-way CDC (D2 full form + F12 gate + count adjustments) -----------
+
+def _snap3(spark, rows):
+    return spark.createDataFrame(rows, "id string, name string, members_count bigint")
+
+
+def _idx(spark, rows):
+    return spark.createDataFrame(rows, "id string, es_id string")
+
+
+def test_three_way_all_five_classes(spark):
+    from namegraph_collections_spark.operators.cdc import snapshot_diff_three_way
+
+    prev = _snap3(spark, [("upd", "old", 1), ("noop", "same", 1), ("gone", "x", 1),
+                          ("prev_only", "y", 1)])
+    curr = _snap3(spark, [("upd", "new", 1), ("noop", "same", 1),
+                          ("fresh", "z", 1), ("refill", "w", 1)])
+    # index: everything except 'fresh' (→ create) and 'prev_only'
+    idx = _idx(spark, [("upd", "e1"), ("noop", "e2"), ("gone", "e3"), ("refill", "e4")])
+    diff = snapshot_diff_three_way(prev, curr, idx, "id", ["name", "members_count"])
+    got = {r["id"]: (r["op"], r["es_id"]) for r in diff.collect()}
+    assert got == {
+        "fresh": ("create", None),        # ∉ index, even though ∉ prev too
+        "refill": ("full_update", "e4"),  # ∈ index, ∉ prev
+        "upd": ("update", "e1"),          # ∈ both, hash differs
+        "noop": ("noop", "e2"),           # ∈ both, hash equal
+        "gone": ("archive", "e3"),        # ∈ index, ∉ current
+        # 'prev_only' emits nothing — in neither current nor index
+    }
+
+
+def test_three_way_operations_gate_and_adjust(spark):
+    from namegraph_collections_spark.operators.cdc import (
+        snapshot_diff_three_way,
+        three_way_operations,
+    )
+
+    prev = _snap3(spark, [("upd", "old", 5), ("big_upd", "old", 5)])
+    curr = _snap3(spark, [("upd", "new", 5), ("big_upd", "new", 10001),
+                          ("fresh", "z", 7), ("big_new", "w", 20000)])
+    idx = _idx(spark, [("upd", "e1"), ("big_upd", "e2"), ("gone", "e3")])
+    diff = snapshot_diff_three_way(prev, curr, idx, "id", ["name", "members_count"])
+    ops = {
+        r["_id"]: r.asDict()
+        for r in three_way_operations(
+            diff, curr, "id", "idx-1", members_count_col="members_count",
+            adjust_cols=["members_count"],
+        ).collect()
+    }
+    # F12: oversized create and update dropped; archive always passes
+    assert set(ops) == {"e1", "fresh", "e3"}
+    assert ops["fresh"]["_op_type"] == "create"
+    src = json.loads(ops["fresh"]["_source"])
+    assert src["members_count"] == 8  # +1 adjustment (populate.py extra member)
+    assert json.loads(ops["e1"]["doc"])["members_count"] == 6
+    assert json.loads(ops["e3"]["doc"]) == {"archived": True}

@@ -14,3 +14,49 @@ def test_query_matches_oracle(spark, sf_dir, name):
     spec = REGISTRY[name]
     result = compare(spark, sf_dir, name, spec.fn, spec.oracle)
     assert result["ok"], result
+
+
+# stemmed_bm25 has no SQL oracle (pandas-UDF analyzer); pin its full
+# sf0.001 result as a golden so the stemmer+BM25 pipeline is still
+# value-checked. Regenerate deliberately if QUERY_TERMS / stemmer /
+# BM25 constants change.
+STEMMED_BM25_GOLDEN = [
+    (206, 1.65443, 1),
+    (96, 1.535825, 2),
+    (440, 1.533935, 3),
+    (149, 1.508929, 4),
+    (87, 1.49434, 5),
+    (125, 1.489385, 6),
+    (106, 1.480968, 7),
+    (34, 1.480705, 8),
+    (136, 1.478283, 9),
+    (59, 1.47565, 10),
+]
+
+
+def test_stemmed_bm25_golden(spark, sf_dir):
+    rows = [
+        (r["doc_id"], r["score"], r["rnk"])
+        for r in REGISTRY["stemmed_bm25"].fn(spark, sf_dir).collect()
+    ]
+    assert rows == STEMMED_BM25_GOLDEN
+
+
+def test_ltr_rescore_feature_columns(spark, sf_dir):
+    from namegraph_collections_spark.queries.search import FEATURE_WEIGHTS, LTR_FEATURE_NAMES
+
+    # the reference's 22-feature families (configure-ltr.py:92-121):
+    # 6 match + 10 rank_feature saturations + 5 log-scaled + size
+    assert len(LTR_FEATURE_NAMES) == 22
+    assert sum(n.startswith("f_match_") for n in LTR_FEATURE_NAMES) == 6
+    assert sum(n.startswith("f_sat_") for n in LTR_FEATURE_NAMES) == 10
+    assert sum(n.startswith("f_log_") for n in LTR_FEATURE_NAMES) == 5
+    assert "f_size_names" in LTR_FEATURE_NAMES
+    df = REGISTRY["search_ltr_rescore"].fn(spark, sf_dir)
+    assert set(LTR_FEATURE_NAMES) <= set(df.columns)
+    row = df.orderBy("rnk").first()
+    # the linear model reproduces ltr_score from the emitted features
+    expected = 0.7 * row["base_score"] + sum(
+        w * row[name] for name, w in FEATURE_WEIGHTS.items()
+    )
+    assert abs(row["ltr_score"] - expected) < 1e-6
