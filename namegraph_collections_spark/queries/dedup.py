@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from namegraph_collections_spark.queries.registry import register, spread, tbl
 
@@ -67,6 +68,14 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return toked.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+#: Shingles with document frequency above this cap are dropped before
+#: the inverted-index self-join: ONE stop-phrase shingle shared by 10⁶
+#: docs would otherwise meet itself into 10¹² candidate pairs. The cap
+#: bounds per-shingle join fan-out at cap², independent of corpus
+#: size; Jaccard is computed over the capped shingle universe on both
+#: engines (the standard stop-shingle treatment in web-scale dedup).
+HOT_SHINGLE_DF_CAP = 50
+
 _SHINGLES_SQL = """
     SELECT doc_id, unnest(list_distinct(
              list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
@@ -76,10 +85,52 @@ _SHINGLES_SQL = """
 """
 
 
+def _jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Capped-inverted-index Jaccard pairs over any documents frame
+    (exposed separately so tests can drive a skewed fixture)."""
+    # No persist(): this function returns a LAZY plan, so there is no
+    # safe point to unpersist — a persist here pins executor storage
+    # for the rest of the session. The shingle subplan is recomputed
+    # per use (cheap projection + explode); identical shuffle subtrees
+    # are deduplicated by ReusedExchange where they appear.
+    sh_all = _shingles(docs)
+    # Hot-shingle cap: the blocklist side is tiny by construction (only
+    # shingles with df > cap), so the anti-join broadcasts.
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
+    WITH shingles_all AS ({_SHINGLES_SQL}),
+    shingles AS (
+      SELECT * FROM shingles_all
+      WHERE shingle NOT IN (SELECT shingle FROM shingles_all
+                            GROUP BY shingle HAVING COUNT(*) > {HOT_SHINGLE_DF_CAP})
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -99,84 +150,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (driver brief).
 
     Candidate generation meets in a shuffle on the shingle (an
-    inverted-index join), never doc×doc: |pairs| is bounded by shingle
-    co-occurrence. Jaccard from |A∩B| and precomputed set sizes.
+    inverted-index join), never doc×doc, and hot shingles above
+    ``HOT_SHINGLE_DF_CAP`` are dropped first so no single stop-phrase
+    can fan out quadratically. Jaccard from |A∩B| and precomputed set
+    sizes over the capped shingle universe.
     """
-    # No persist(): this function returns a LAZY plan, so there is no
-    # safe point to unpersist — a persist here pins executor storage
-    # for the rest of the session. The shingle subplan is recomputed
-    # per use (cheap projection + explode); identical shuffle subtrees
-    # are deduplicated by ReusedExchange where they appear.
-    docs = tbl(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.1)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return _jaccard_pairs(tbl(spark, sf_dir, "documents"))
 
 
-SIMHASH_BITS = 16
-_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+SIMHASH_BITS = 64  # 64-bit fingerprints — 16 bits collides everything at scale
+SIMHASH_BANDS = 4  # 4 × 16-bit bands for the Hamming candidate stage
+MAX_HAMMING = 8
 
-
-@register(
-    "simhash_fingerprints",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, token, COUNT(*) AS w, md5(token) AS h
-      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
-      GROUP BY doc_id, token
-    ),
-    contrib AS (
-      SELECT doc_id, p.pos,
-             SUM(CASE WHEN substr(h, CAST(p.pos AS INT) + 1, 1)
-                        IN ({", ".join(f"'{d}'" for d in _ODD_HEX)})
-                      THEN w ELSE -w END) AS s
-      FROM tok CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS pos) p
-      GROUP BY doc_id, p.pos
-    ),
-    fp AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN s >= 0 THEN 1 << CAST(pos AS INT) ELSE 0 END) AS BIGINT)
-               AS simhash
-      FROM contrib GROUP BY doc_id
-    )
-    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
-    FROM fp GROUP BY simhash
-    """,
+#: Hex digits of md5 with bit j set (j = 0..3): bit source for 64
+#: independent fingerprint bits — bit p reads bit (p mod 4) of hex
+#: digit (p div 4), identically on both engines via substring+IN.
+_HEX_BIT_SETS = (
+    ("1", "3", "5", "7", "9", "b", "d", "f"),
+    ("2", "3", "6", "7", "a", "b", "e", "f"),
+    ("4", "5", "6", "7", "c", "d", "e", "f"),
+    ("8", "9", "a", "b", "c", "d", "e", "f"),
 )
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup fingerprints (driver brief).
 
-    Charikar's scheme on weighted token hashes: bit i of the
-    fingerprint is the sign of Σ_tokens tf·(±1), where ±1 is the
-    parity of hex digit i of md5(token) — a bit source both engines
-    compute identically. Documents sharing a fingerprint are near-dup
-    candidates.
 
-    Plan shape: Σ_tokens tf·(±1) ≡ Σ_occurrences ±1, so no tf
-    pre-aggregation and no position explode are needed — each token
-    occurrence contributes ±1 to all {SIMHASH_BITS} bit-sums inline,
-    and ONE groupBy(doc_id) with {SIMHASH_BITS} conditional sums
+def _simhash_bit_sums(docs: DataFrame) -> DataFrame:
+    """DataFrame[doc_id, s0..s63]: per-bit signed occurrence sums.
+
+    Charikar's scheme on token hashes: Σ_tokens tf·(±1) ≡
+    Σ_occurrences ±1, so no tf pre-aggregation and no position explode
+    are needed — each token occurrence contributes ±1 to all 64
+    bit-sums inline, and ONE groupBy(doc_id) with 64 conditional sums
     carries the whole signature. Map-side partial aggregation means
-    the only shuffle moves {SIMHASH_BITS} longs per (partition, doc),
-    regardless of document size — at 100 TB this is the difference
-    between shuffling token streams and shuffling fingerprints.
+    the only shuffle moves 64 longs per (partition, doc) regardless of
+    document size — shuffling fingerprints, never token streams.
     """
-    docs = tbl(spark, sf_dir, "documents")
     tok = (
         spread(docs, "doc_id")
         .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
@@ -184,21 +191,187 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bit_sums = [
         F.sum(
-            F.when(F.substring("h", i + 1, 1).isin(*_ODD_HEX), F.lit(1)).otherwise(F.lit(-1))
+            F.when(
+                F.substring("h", i // 4 + 1, 1).isin(*_HEX_BIT_SETS[i % 4]), F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"s{i}")
         for i in range(SIMHASH_BITS)
     ]
-    fp_bits = tok.groupBy("doc_id").agg(*bit_sums)
-    simhash = F.lit(0)
-    for i in range(SIMHASH_BITS):
-        simhash = simhash + F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    fp = fp_bits.select("doc_id", simhash.cast("long").alias("simhash"))
-    return fp.groupBy("simhash").agg(
+    return tok.groupBy("doc_id").agg(*bit_sums)
+
+
+_SIMHASH_BIT_SQL_CASE = f"""
+             CASE WHEN p.pos % 4 = 0 THEN substr(h, CAST(p.pos // 4 AS INT) + 1, 1)
+                        IN ({", ".join(f"'{d}'" for d in _HEX_BIT_SETS[0])})
+                  WHEN p.pos % 4 = 1 THEN substr(h, CAST(p.pos // 4 AS INT) + 1, 1)
+                        IN ({", ".join(f"'{d}'" for d in _HEX_BIT_SETS[1])})
+                  WHEN p.pos % 4 = 2 THEN substr(h, CAST(p.pos // 4 AS INT) + 1, 1)
+                        IN ({", ".join(f"'{d}'" for d in _HEX_BIT_SETS[2])})
+                  ELSE substr(h, CAST(p.pos // 4 AS INT) + 1, 1)
+                        IN ({", ".join(f"'{d}'" for d in _HEX_BIT_SETS[3])})
+             END"""
+
+_SIMHASH_CONTRIB_SQL = f"""
+    tok AS (
+      SELECT doc_id, token, COUNT(*) AS w, md5(token) AS h
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    contrib AS (
+      SELECT doc_id, p.pos,
+             SUM(CASE WHEN {_SIMHASH_BIT_SQL_CASE}
+                      THEN w ELSE -w END) AS s
+      FROM tok CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS pos) p
+      GROUP BY doc_id, p.pos
+    )
+"""
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH {_SIMHASH_CONTRIB_SQL},
+    fp AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN s >= 0 AND pos >= 32
+                      THEN CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) ELSE 0 END) AS BIGINT) AS simhash_hi,
+        CAST(SUM(CASE WHEN s >= 0 AND pos < 32
+                      THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS BIGINT) AS simhash_lo
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT simhash_hi, simhash_lo, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+    FROM fp GROUP BY simhash_hi, simhash_lo
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup fingerprints (driver brief).
+
+    Bit p of the fingerprint is the sign of Σ_occurrences ±1, where ±1
+    reads bit (p mod 4) of hex digit (p div 4) of md5(token) — a bit
+    source both engines compute identically. 64 bits (vs a 16-bit
+    toy) keeps the fingerprint space at 2⁶⁴ so a 100 TB corpus does
+    not collapse into 65,536 buckets; the fingerprint travels as two
+    32-bit halves so every value stays exact in signed int64 on both
+    engines. Documents sharing a fingerprint are exact near-dup
+    candidates; Hamming-ball candidates come from the banded query
+    (`simhash_hamming_candidates`).
+    """
+    fp_bits = _simhash_bit_sums(tbl(spark, sf_dir, "documents"))
+    hi = F.lit(0)
+    lo = F.lit(0)
+    for i in range(32):
+        lo = lo + F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    for i in range(32, SIMHASH_BITS):
+        hi = hi + F.when(F.col(f"s{i}") >= 0, F.lit(1 << (i - 32))).otherwise(F.lit(0))
+    fp = fp_bits.select(
+        "doc_id", hi.cast("long").alias("simhash_hi"), lo.cast("long").alias("simhash_lo")
+    )
+    return fp.groupBy("simhash_hi", "simhash_lo").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id")
     )
 
 
+@register(
+    "simhash_hamming_candidates",
+    oracle=f"""
+    WITH {_SIMHASH_CONTRIB_SQL},
+    fp AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN s >= 0 AND pos >= 32
+                      THEN CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi,
+        CAST(SUM(CASE WHEN s >= 0 AND pos < 32
+                      THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS BIGINT) AS lo
+      FROM contrib GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, hi, lo, b.band,
+             CASE b.band
+               WHEN 0 THEN lo % 65536
+               WHEN 1 THEN lo // 65536
+               WHEN 2 THEN hi % 65536
+               ELSE hi // 65536
+             END AS band_val
+      FROM fp CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= {MAX_HAMMING}
+    """,
+)
+def simhash_hamming_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming-distance near-dup candidates over 64-bit SimHash.
+
+    The 64-bit fingerprint splits into {SIMHASH_BANDS} 16-bit bands;
+    by pigeonhole, any pair within Hamming distance {SIMHASH_BANDS - 1}
+    shares at least one intact band, so the band-equality self-join
+    finds them without any doc×doc work — the sub-quadratic
+    Hamming-ball stage the flat fingerprint grouping lacks. Survivors
+    are filtered to true Hamming ≤ {MAX_HAMMING} via xor+popcount
+    (exact, cheap, JVM-side).
+    """
+    fp_bits = _simhash_bit_sums(tbl(spark, sf_dir, "documents"))
+    hi = F.lit(0)
+    lo = F.lit(0)
+    for i in range(32):
+        lo = lo + F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    for i in range(32, SIMHASH_BITS):
+        hi = hi + F.when(F.col(f"s{i}") >= 0, F.lit(1 << (i - 32))).otherwise(F.lit(0))
+    fp = fp_bits.select("doc_id", hi.cast("long").alias("hi"), lo.cast("long").alias("lo"))
+    band_val = (
+        F.when(F.col("band") == 0, F.col("lo") % 65536)
+        .when(F.col("band") == 1, F.shiftright("lo", 16))
+        .when(F.col("band") == 2, F.col("hi") % 65536)
+        .otherwise(F.shiftright("hi", 16))
+    )
+    bands = (
+        fp.crossJoin(
+            F.broadcast(
+                fp.sparkSession.range(SIMHASH_BANDS).select(F.col("id").cast("int").alias("band"))
+            )
+        )
+        .select("doc_id", "hi", "lo", "band", band_val.cast("long").alias("band_val"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.hi").alias("a_hi"),
+            F.col("a.lo").alias("a_lo"),
+            F.col("b.hi").alias("b_hi"),
+            F.col("b.lo").alias("b_lo"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi"))) + F.bit_count(
+        F.col("a_lo").bitwiseXOR(F.col("b_lo"))
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 NEARDUP_COSINE = 0.2  # synthetic embeddings are near-orthogonal; low bar keeps rows flowing
+N_HYPERPLANES = 16  # sign-bit hyperplanes (3 planes / 8 buckets is O(n²/8) at scale)
+EMB_BANDS = 4  # 4 bands × 4 bits — multi-band OR: a pair is a candidate
+EMB_BAND_BITS = 4  # if it agrees on ALL bits of ANY band
+EMB_BUCKET_CAP = 4096  # deterministic per-bucket membership cap (skew backstop)
 _EMB_DOT = (
     "list_sum(list_transform(range(1, 65), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
@@ -209,62 +382,101 @@ _EMB_DOT = (
     "embedding_neardup_pairs",
     oracle=f"""
     WITH sig AS (
-      SELECT vec_id, embedding, label,
-        (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
-         + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-         + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket
-      FROM embeddings
+      SELECT vec_id, embedding, b.band,
+        {" + ".join(
+            f"(CASE WHEN embedding[{EMB_BAND_BITS} * b.band + {j} + 1] >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(EMB_BAND_BITS)
+        )} AS band_val
+      FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_BANDS})) AS band) b
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY band, band_val ORDER BY vec_id) AS _rn
+        FROM sig
+      ) WHERE _rn <= {EMB_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS emb_a, b.embedding AS emb_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
-      ROUND({_EMB_DOT.format(a="a.embedding", b="b.embedding")}
-            / (sqrt({_EMB_DOT.format(a="a.embedding", b="a.embedding")})
-               * sqrt({_EMB_DOT.format(a="b.embedding", b="b.embedding")})), 6) AS cosine
-    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_EMB_DOT.format(a="a.embedding", b="b.embedding")}
-          / (sqrt({_EMB_DOT.format(a="a.embedding", b="a.embedding")})
-             * sqrt({_EMB_DOT.format(a="b.embedding", b="b.embedding")})) >= {NEARDUP_COSINE}
+    SELECT vec_a, vec_b,
+      ROUND({_EMB_DOT.format(a="emb_a", b="emb_b")}
+            / (sqrt({_EMB_DOT.format(a="emb_a", b="emb_a")})
+               * sqrt({_EMB_DOT.format(a="emb_b", b="emb_b")})), 6) AS cosine
+    FROM cand
+    WHERE {_EMB_DOT.format(a="emb_a", b="emb_b")}
+          / (sqrt({_EMB_DOT.format(a="emb_a", b="emb_a")})
+             * sqrt({_EMB_DOT.format(a="emb_b", b="emb_b")})) >= {NEARDUP_COSINE}
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed (driver
-    brief).
+    """Embedding-cosine near-duplicate pairs via multi-band sign-bit
+    LSH (driver brief).
 
-    Candidates are restricted to sign-bit LSH buckets (the IVF/LSH
-    pruning shape — same signature as `lsh_bucket_neighbors`), so the
-    pairwise cosine runs on bucket-local pairs, not the full n². Dot
+    {N_HYPERPLANES} sign-bit hyperplanes split into {EMB_BANDS} bands
+    of {EMB_BAND_BITS} bits; a pair is a candidate if it matches on
+    ALL bits of ANY band (banded OR — high recall without the O(n²/8)
+    tail of a single coarse 3-bit bucketing). Each (band, value)
+    bucket is capped at {EMB_BUCKET_CAP} members by deterministic
+    vec_id order, so one degenerate bucket can never go quadratic.
+    Candidates dedup across bands, then exact cosine filters. Dot
     products are ordered left-to-right double sums (unrolled codegen
     chain, see similarity._dot) for oracle-exact arithmetic.
     """
     from namegraph_collections_spark.queries.similarity import _dot as dot
 
-    emb = tbl(spark, sf_dir, "embeddings")
-    bit = lambda i, v: F.when(F.element_at("embedding", i) >= 0, F.lit(v)).otherwise(F.lit(0))  # noqa: E731
-
-    # Per-vector norm precomputed ONCE (n rows), not per pair (n²/buckets
-    # rows) — the identical left-to-right fold, so values match the
-    # oracle's inline form bit-for-bit.
-    sig = spread(emb, "vec_id").select(
-        "vec_id",
-        "embedding",
-        (bit(1, 4) + bit(2, 2) + bit(3, 1)).alias("bucket"),
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
+    band_rows = F.broadcast(
+        emb.sparkSession.range(EMB_BANDS).select(F.col("id").cast("int").alias("band"))
     )
-
-    a = sig.alias("a")
-    b = sig.alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
+    band_val = sum(
+        (
+            F.when(
+                F.element_at("embedding", EMB_BAND_BITS * F.col("band") + j + 1) >= 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(1, EMB_BAND_BITS)
+        ),
+        F.when(
+            F.element_at("embedding", EMB_BAND_BITS * F.col("band") + 1) >= 0, F.lit(1)
+        ).otherwise(F.lit(0)),
     )
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+    sig = emb.crossJoin(band_rows).select(
+        "vec_id", "embedding", "band", band_val.alias("band_val")
+    )
+    w_cap = Window.partitionBy("band", "band_val").orderBy("vec_id")
+    capped = (
+        sig.withColumn("_rn", F.row_number().over(w_cap))
+        .filter(F.col("_rn") <= EMB_BUCKET_CAP)
+        .drop("_rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.bucket").alias("bucket"),
-            cos.alias("_cos"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
         )
+        .distinct()
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(dot(F.col("emb_a"), F.col("emb_a"))) * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
+    )
+    return (
+        cand.withColumn("_cos", cos)
         .filter(F.col("_cos") >= NEARDUP_COSINE)
-        .select("vec_a", "vec_b", "bucket", F.round("_cos", 6).alias("cosine"))
+        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
     )
 
 
