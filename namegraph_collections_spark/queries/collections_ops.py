@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from namegraph_collections_spark.plans.letter_merge import (
     ALPHABET_RANGE_PATTERN,
@@ -266,4 +267,89 @@ def command_driven_sorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(strip_key(F.reverse(F.col("by_len")))),
             ",",
         ).alias("sorted_tokens"),
+    )
+
+
+# Related-collections precompute (precompute_related.py:110-156): for
+# every collection, ≤ RELATED_NUM related collections with at most
+# MAX_PER_TYPE sharing the same type ("so that first 3 will not be of
+# the same type") and deterministic ordering. The generator's
+# name-diversity step is service-internal; the structural semantics —
+# shared-type candidate generation, per-type cap, global top-k — are
+# restated on `part`, whose composite attributes act as the type set.
+RELATED_NUM = 10
+MAX_PER_TYPE = 2
+
+
+@register(
+    "related_collections_precompute",
+    oracle=f"""
+    WITH types AS (
+      SELECT p_partkey AS cid, p_type || '|' || CAST(p_size AS VARCHAR) AS ctype FROM part
+      UNION ALL
+      SELECT p_partkey AS cid, p_brand || '|' || CAST(p_size AS VARCHAR) AS ctype FROM part
+    ),
+    shared AS (
+      SELECT a.cid, b.cid AS rid, COUNT(*) AS n_shared, MIN(a.ctype) AS primary_type
+      FROM types a JOIN types b ON a.ctype = b.ctype AND a.cid <> b.cid
+      GROUP BY a.cid, b.cid
+    ),
+    per_type AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cid, primary_type
+                                   ORDER BY n_shared DESC, rid ASC) AS type_rnk
+      FROM shared
+    ),
+    capped AS (SELECT * FROM per_type WHERE type_rnk <= {MAX_PER_TYPE})
+    SELECT cid, rid, n_shared, primary_type, rel_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+                                   ORDER BY n_shared DESC, rid ASC) AS rel_rank
+      FROM capped
+    ) WHERE rel_rank <= {RELATED_NUM}
+    """,
+)
+def related_collections_precompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-collection related-collections list (precompute_related.py:
+    110-156): candidates share ≥1 type, at most {MAX_PER_TYPE} per
+    primary type, top-{RELATED_NUM} overall, all tiebreaks explicit.
+
+    Plan shape: the type table is an inverted index (collection →
+    type); candidates meet in ONE shuffle on the type value — never
+    collection×collection. Composite types keep per-type fan-out
+    bounded (the hot-key treatment the Jaccard path uses); both
+    windows partition by collection, so ranking never funnels through
+    a single reducer at any corpus size.
+    """
+    part = tbl(spark, sf_dir, "part")
+    t1 = part.select(
+        F.col("p_partkey").alias("cid"),
+        F.concat(F.col("p_type"), F.lit("|"), F.col("p_size").cast("string")).alias("ctype"),
+    )
+    t2 = part.select(
+        F.col("p_partkey").alias("cid"),
+        F.concat(F.col("p_brand"), F.lit("|"), F.col("p_size").cast("string")).alias("ctype"),
+    )
+    types = t1.unionByName(t2)
+    a = types.alias("a")
+    b = types.alias("b")
+    shared = (
+        a.join(b, (F.col("a.ctype") == F.col("b.ctype")) & (F.col("a.cid") != F.col("b.cid")))
+        .groupBy(F.col("a.cid").alias("cid"), F.col("b.cid").alias("rid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min(F.col("a.ctype")).alias("primary_type"),
+        )
+    )
+    w_type = Window.partitionBy("cid", "primary_type").orderBy(
+        F.col("n_shared").desc(), F.col("rid").asc()
+    )
+    capped = (
+        shared.withColumn("type_rnk", F.row_number().over(w_type))
+        .filter(F.col("type_rnk") <= MAX_PER_TYPE)
+        .drop("type_rnk")
+    )
+    w_rel = Window.partitionBy("cid").orderBy(F.col("n_shared").desc(), F.col("rid").asc())
+    return (
+        capped.withColumn("rel_rank", F.row_number().over(w_rel))
+        .filter(F.col("rel_rank") <= RELATED_NUM)
+        .select("cid", "rid", "n_shared", "primary_type", "rel_rank")
     )
