@@ -208,9 +208,19 @@ def validate_members(
     redirected = ent.select(
         F.col("e_qid").alias("r_qid"), F.col("entries").alias("r_entries")
     )
+    # The fallback fires when the member's own entry list is EMPTY, not
+    # just missing: assemble_entities yields [] (never NULL) for a
+    # subject with no instance_of/subclass_of triples, and the
+    # reference's ParentFinder falls back on falsy ([] included) —
+    # create_collections.py:566-575.
     m = (
         m.join(redirected, m.e_same_as == redirected.r_qid, "left")
-        .withColumn("type_entries", F.coalesce("entries", "r_entries", F.array()))
+        .withColumn(
+            "type_entries",
+            F.when(F.size(F.coalesce("entries", F.array())) > 0, F.col("entries")).otherwise(
+                F.coalesce("r_entries", F.array())
+            ),
+        )
         .select("item", "type_ids", "pos", "member_title", "member_qid", "type_entries")
     )
 

@@ -201,6 +201,39 @@ def test_extract_and_validate(validated):
     assert lst["type"] == ["Q482994"]
 
 
+def test_same_as_member_fallback(spark):
+    """A member whose OWN entity has no instance_of/subclass_of (empty
+    list, not NULL — assemble_entities never yields NULL arrays) but
+    carries a same_as redirect must validate via the canonical
+    entity's types (ParentFinder fallback,
+    create_collections.py:566-575)."""
+    triples = spark.createDataFrame(
+        [
+            ("Q1", "category_contains", "Q100"),
+            ("Q5", "same_as", "Q6"),  # alias member: no types of its own
+            ("Q5", "label", "Echoes"),
+            ("Q6", "instance_of", "Q100"),  # canonical carries the type
+            ("Echoes_(song)", "about", "Q5"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    entities = assemble_entities(triples)
+    grouped = spark.createDataFrame(
+        [("Q1", ["Q100"], "Category:Things", "category", ["Echoes_(song)"])],
+        "item string, type array<string>, article string, kind string, members array<string>",
+    )
+    wikimapper = spark.createDataFrame(
+        [],
+        "wikipedia_title string, wikipedia_id bigint, wikidata_id string,"
+        " redirect boolean, primary_mapping boolean",
+    )
+    reachable = subclass_reachability(entities)
+    out = validate_members(grouped, entities, wikimapper, reachable).collect()
+    assert len(out) == 1
+    assert out[0]["valid_members_count"] == 1
+    assert out[0]["members"][0]["qid"] == "Q5"
+
+
 @pytest.fixture(scope="module")
 def merged(spark, universe, validated):
     all_info = enrich_all_info(
