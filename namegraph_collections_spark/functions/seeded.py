@@ -75,8 +75,12 @@ def make_seeded_emoji_udf(emojis_by_type, counts_by_type, other_emojis):
             if i is None:
                 out.append(None)
             else:
+                # Arrow hands array columns over as numpy arrays, whose
+                # truthiness is ambiguous for >1 element — test None
+                # explicitly instead of `ts or []`.
+                labels = [] if ts is None else list(ts)
                 out.append(
-                    seeded_emoji(i, list(ts or []), emojis_by_type, counts_by_type, other_emojis)
+                    seeded_emoji(i, labels, emojis_by_type, counts_by_type, other_emojis)
                 )
         return pd.Series(out)
 
