@@ -45,7 +45,10 @@ HEADLINE = [
     "session_window_rollup",
     "letter_range_normalize",
     "multimodal_byte_histogram",
+    "wiki_all_info",
 ]
+
+RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas
 
 
 def main() -> None:
@@ -73,9 +76,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(

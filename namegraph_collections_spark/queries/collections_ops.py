@@ -353,3 +353,49 @@ def related_collections_precompute(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rel_rank") <= RELATED_NUM)
         .select("cid", "rid", "n_shared", "primary_type", "rel_rank")
     )
+
+
+@register(
+    "sqldump_extract",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS ck,
+           'Cust '' No' || c_custkey || ', ok' AS payload,
+           CAST(c_nationkey AS VARCHAR) AS nk
+    FROM customer
+    """,
+)
+def sqldump_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end to end under the value hash: MySQL-dump INSERT lines are
+    synthesized from the customer table (multi-tuple lines, quoted
+    strings with commas and backslash-escaped quotes, plus non-INSERT
+    noise lines), parsed back by the mapInPandas DFA
+    (sources/sqldump.py; reference airflow/sql_parser.c:32-2105), and
+    compared against the directly-derived rows.
+    """
+    from namegraph_collections_spark.sources.sqldump import extract_sqldump_columns
+
+    cust = tbl(spark, sf_dir, "customer")
+    piece = F.concat(
+        F.lit("("),
+        F.col("c_custkey").cast("string"),
+        F.lit(",'Cust \\' No"),
+        F.col("c_custkey").cast("string"),
+        F.lit(", ok',"),
+        F.col("c_nationkey").cast("string"),
+        F.lit(")"),
+    )
+    lines = (
+        cust.groupBy("c_nationkey")
+        .agg(F.concat_ws(",", F.collect_list(piece)).alias("tuples"))
+        .select(
+            F.concat(
+                F.lit("INSERT INTO `customer` VALUES "), F.col("tuples"), F.lit(";")
+            ).alias("value")
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("-- MySQL dump 10.13",), ("/*!40101 SET NAMES utf8 */;",)], "value string"
+            )
+        )
+    )
+    return extract_sqldump_columns(lines, [0, 1, 2], ["ck", "payload", "nk"])

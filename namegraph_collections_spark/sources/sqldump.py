@@ -76,13 +76,12 @@ def split_insert_tuples(line: str) -> Iterator[list[str]]:
             return
 
 
-def read_sqldump_columns(
-    spark: SparkSession,
-    path: str,
+def extract_sqldump_columns(
+    lines: DataFrame,
     column_indices: list[int],
     column_names: list[str],
 ) -> DataFrame:
-    """S4: dump file → DataFrame of the selected tuple columns.
+    """S4 core: DataFrame[value] of dump lines → selected tuple columns.
 
     ``column_indices`` mirrors the C parser's bitmask column selection
     (sql_parser.c:53-57) — projection pushdown done at parse time.
@@ -101,4 +100,14 @@ def read_sqldump_columns(
                         rows.append([tup[i] for i in column_indices])
             yield pd.DataFrame(rows, columns=column_names)
 
-    return spark.read.text(path).mapInPandas(extract, schema=schema)
+    return lines.mapInPandas(extract, schema=schema)
+
+
+def read_sqldump_columns(
+    spark: SparkSession,
+    path: str,
+    column_indices: list[int],
+    column_names: list[str],
+) -> DataFrame:
+    """S4: dump file → DataFrame of the selected tuple columns."""
+    return extract_sqldump_columns(spark.read.text(path), column_indices, column_names)
