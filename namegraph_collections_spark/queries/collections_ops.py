@@ -399,3 +399,175 @@ def sqldump_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return extract_sqldump_columns(lines, [0, 1, 2], ["ck", "payload", "nk"])
+
+
+_CUSTOM_ORACLE = """
+WITH surv AS (
+  -- members surviving curation (non-Latin titles drop; W5 pos keeps
+  -- input order, which is ascending custkey here)
+  SELECT c_custkey AS k, c_nationkey AS n, n_name,
+    CASE WHEN c_custkey % 5 = 0 THEN 'customerno' || c_custkey
+         ELSE 'customer' || c_custkey END AS nm,
+    CASE WHEN c_custkey % 5 = 0 THEN 3 ELSE 2 END AS ntok,
+    CASE WHEN c_custkey % 6 = 0 THEN 0.25e0 * ((c_custkey % 8) + 1) ELSE 0.0e0 END AS iscore,
+    CASE WHEN c_custkey % 20 = 3 THEN 'recently_released'
+         WHEN c_custkey % 4 = 0 THEN 'available'
+         WHEN c_custkey % 4 = 1 THEN 'taken'
+         WHEN c_custkey % 4 = 2 THEN 'on_sale' END AS status
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_custkey % 13 <> 0
+),
+meta AS (
+  SELECT n_nationkey AS n,
+    CASE n_nationkey % 6 WHEN 0 THEN 'none' WHEN 1 THEN 'a-z' WHEN 2 THEN 'z-a'
+      WHEN 3 THEN 'shortest' WHEN 4 THEN 'longest' ELSE 'interesting_score' END AS cmd
+  FROM nation
+),
+ordd AS (
+  SELECT s.*, m.cmd,
+    row_number() OVER (PARTITION BY s.n ORDER BY
+      CASE m.cmd WHEN 'interesting_score' THEN -s.iscore
+                 WHEN 'shortest' THEN CAST(s.ntok AS DOUBLE)
+                 WHEN 'longest' THEN -CAST(s.ntok AS DOUBLE)
+                 ELSE 0.0e0 END ASC,
+      CASE WHEN m.cmd = 'z-a' THEN s.nm ELSE '' END DESC,
+      CASE WHEN m.cmd = 'a-z' THEN s.nm ELSE '' END ASC,
+      s.k ASC) AS ord
+  FROM surv s JOIN meta m ON m.n = s.n
+),
+agg AS (
+  SELECT n, COUNT(*) AS cnt,
+    round(greatest(SUM(iscore) / COUNT(*), 1e-8), 6) AS score_mean,
+    CAST(COUNT(*) FILTER (WHERE status = 'available') AS BIGINT) AS available_count,
+    CAST(COUNT(*) FILTER (WHERE status = 'taken') AS BIGINT) AS taken_count,
+    CAST(COUNT(*) FILTER (WHERE status = 'on_sale') AS BIGINT) AS on_sale_count,
+    CAST(COUNT(*) FILTER (WHERE status = 'recently_released') AS BIGINT)
+      AS recently_released_count,
+    CAST(COUNT(*) FILTER (WHERE status IS NULL) AS BIGINT) AS never_registered_count,
+    array_to_string(list_slice(list(nm ORDER BY ord), 1, 10), ',') AS top10_csv,
+    array_to_string(list_slice(list(nm || '@' || coalesce(status, '-') ORDER BY ord), 1, 25),
+      '|') AS names25_csv
+  FROM ordd GROUP BY n
+)
+SELECT 'custom-' || a.n AS id,
+  'Custom ' || n.n_name AS collection_name,
+  a.cnt AS members_count,
+  a.available_count, a.taken_count, a.on_sale_count, a.recently_released_count,
+  a.never_registered_count,
+  a.taken_count + a.on_sale_count + a.recently_released_count
+    AS nonavailable_members_count,
+  a.score_mean,
+  CAST(CASE WHEN a.n % 2 = 0 THEN 100 + a.n ELSE 10000000 END AS BIGINT) AS member_rank,
+  a.top10_csv, a.names25_csv,
+  CASE WHEN a.n % 4 = 0 THEN 'Desc ' || n.n_name
+       ELSE 'Manually created custom collection' END AS description,
+  CASE WHEN a.n % 3 = 0 THEN 'kw' || a.n || ',common' ELSE '' END AS keywords_csv
+FROM agg a JOIN nation n ON n.n_nationkey = a.n
+"""
+
+
+@register("custom_collections_docs", oracle=_CUSTOM_ORACLE)
+def custom_collections_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.3 fourth ingest path under the value hash: user-style
+    custom collections (per-collection sort commands, default ranks,
+    curation drops, status histogram) synthesized from customer/nation,
+    run through plans/custom_collections.py, flattened to scalars.
+    One all-non-Latin collection verifies the drop-empty path
+    (load_custom_collections.py:300-303)."""
+    from namegraph_collections_spark.plans.custom_collections import (
+        process_custom_collections,
+    )
+
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    k = F.col("c_custkey")
+    title = (
+        F.when(k % 13 == 0, F.concat(F.lit("Πελάτης "), k.cast("string")))
+        .when(k % 5 == 0, F.concat(F.lit("Customer No "), k.cast("string")))
+        .otherwise(F.concat(F.lit("Customer "), k.cast("string")))
+    )
+    curated = F.when(k % 5 == 0, F.concat(F.lit("customerno"), k.cast("string"))).otherwise(
+        F.concat(F.lit("customer"), k.cast("string"))
+    )
+    n = F.col("c_nationkey")
+    raw = (
+        cust.groupBy(n.alias("n"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(k.alias("k"), title.alias("t")))),
+                lambda s: s["t"],
+            ).alias("members")
+        )
+        .join(nat, F.col("n") == nat.n_nationkey)
+        .select(
+            F.concat(F.lit("custom-"), F.col("n").cast("string")).alias("collection_id"),
+            F.concat(F.lit("Custom "), F.col("n_name")).alias("collection_name"),
+            "members",
+            F.element_at(
+                F.array(
+                    F.lit("none"), F.lit("a-z"), F.lit("z-a"),
+                    F.lit("shortest"), F.lit("longest"), F.lit("interesting_score"),
+                ),
+                (F.col("n") % 6 + 1).cast("int"),
+            ).alias("sort_labels"),
+            F.when(F.col("n") % 2 == 0, (100 + F.col("n")).cast("long")).alias("member_rank"),
+            F.when(F.col("n") % 4 == 0, F.concat(F.lit("Desc "), F.col("n_name"))).alias(
+                "description"
+            ),
+            F.when(
+                F.col("n") % 3 == 0,
+                F.array(F.concat(F.lit("kw"), F.col("n").cast("string")), F.lit("common")),
+            ).alias("keywords"),
+            F.lit("🎨").alias("avatar_emoji"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("custom-empty", "Dropped", ["ιοσρβυνγ", "αβγ"], "none", None, None, None, "x")],
+                "collection_id string, collection_name string, members array<string>,"
+                " sort_labels string, member_rank long, description string,"
+                " keywords array<string>, avatar_emoji string",
+            )
+        )
+    )
+    domains = cust.select(
+        curated.alias("name"),
+        F.when(k % 20 == 3, F.lit("recently_released"))
+        .when(k % 4 == 0, F.lit("available"))
+        .when(k % 4 == 1, F.lit("taken"))
+        .when(k % 4 == 2, F.lit("on_sale"))
+        .alias("status"),
+    ).filter(F.col("status").isNotNull())
+    scores = cust.filter(k % 6 == 0).select(
+        curated.alias("label"), (0.25 * ((k % 8) + 1)).cast("double").alias("interesting_score")
+    )
+    docs = process_custom_collections(raw, domains=domains, scores=scores, current_time_ms=0.0)
+    c = F.col
+    return docs.select(
+        c("metadata.id").alias("id"),
+        c("data.collection_name").alias("collection_name"),
+        c("metadata.members_count").cast("long").alias("members_count"),
+        c("template.available_count").cast("long").alias("available_count"),
+        c("template.taken_count").cast("long").alias("taken_count"),
+        c("template.on_sale_count").cast("long").alias("on_sale_count"),
+        c("template.recently_released_count").cast("long").alias("recently_released_count"),
+        c("template.never_registered_count").cast("long").alias("never_registered_count"),
+        c("template.nonavailable_members_count").cast("long").alias(
+            "nonavailable_members_count"
+        ),
+        F.round("template.members_system_interesting_score_mean", 6).alias("score_mean"),
+        F.try_element_at(c("template.names"), F.lit(1))["rank"].alias("member_rank"),
+        F.array_join(
+            F.transform(c("template.top10_names"), lambda t: t["normalized_name"]), ","
+        ).alias("top10_csv"),
+        F.array_join(
+            F.transform(
+                c("template.top25_names"),
+                lambda t: F.concat(
+                    t["normalized_name"], F.lit("@"), F.coalesce(t["cached_status"], F.lit("-"))
+                ),
+            ),
+            "|",
+        ).alias("names25_csv"),
+        c("data.collection_description").alias("description"),
+        F.array_join(c("data.collection_keywords"), ",").alias("keywords_csv"),
+    )
