@@ -148,7 +148,10 @@ def _fixture(spark: SparkSession, sf_dir: str):
     """Build (triples, wikimapper, categorylinks, pagelinks, qrank,
     domains, scores) — the synthetic wiki universe, all derived from
     the star tables."""
-    cust = _customers(spark, sf_dir)
+    # One eager checkpoint of the shared per-customer base: every union
+    # branch below reuses it, so the branches read a materialized block
+    # instead of re-scanning parquet and re-joining nation 18 times.
+    cust = _customers(spark, sf_dir).localCheckpoint(eager=True)
     cats = _nation_cats(spark, sf_dir)
     lists = _lists(spark, sf_dir)
     k = F.col("k")
@@ -324,16 +327,22 @@ def _fixture(spark: SparkSession, sf_dir: str):
         F.col("curated").alias("label"),
         (0.25 * ((k % 8) + 1)).cast("double").alias("interesting_score"),
     )
-    # The fixture tables are small (≤ a few thousand rows) but each is a
-    # many-way union over the star tables; feeding that lineage into the
-    # full pipeline plan makes Catalyst's analysis tree explode (driver
-    # OOM during analysis, not execution). Truncate lineage here — the
-    # same eager-localCheckpoint idiom operators/closure.py uses per
-    # iteration. At cluster scale these inputs would be real tables, so
-    # nothing is lost by materializing them.
-    return tuple(
-        df.localCheckpoint(eager=True)
-        for df in (all_triples, wikimapper, categorylinks, pagelinks, qrank, domains, scores)
+    # triples and wikimapper are many-way unions that feed the
+    # pipeline's self-join-heavy stages; without truncation Catalyst's
+    # analysis tree explodes combinatorially (driver OOM during
+    # analysis, not execution). Truncate their lineage — the same
+    # eager-localCheckpoint idiom operators/closure.py uses per
+    # iteration. The other five inputs are shallow single-selects over
+    # the checkpointed base and stay lazy (each checkpoint is a
+    # sequential job barrier; fewer barriers, faster wall-clock).
+    return (
+        all_triples.localCheckpoint(eager=True),
+        wikimapper.localCheckpoint(eager=True),
+        categorylinks,
+        pagelinks,
+        qrank,
+        domains,
+        scores,
     )
 
 
