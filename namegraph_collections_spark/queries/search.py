@@ -624,3 +624,160 @@ def stemmed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
     return _ranked_topk(scored, TOP_K, F.col("score").desc(), F.col("doc_id").asc())
+
+
+@register(
+    "crossfields_bm25",
+    oracle=f"""
+    WITH fields AS (
+      SELECT doc_id, 'title' AS field,
+             list_slice(string_split(lower(text), ' '), 1, {TITLE_TOKENS}) AS toks
+      FROM documents WHERE {PUBLIC_SQL}
+      UNION ALL
+      SELECT doc_id, 'body' AS field,
+             list_slice(string_split(lower(text), ' '), {TITLE_TOKENS} + 1,
+                        len(string_split(text, ' '))) AS toks
+      FROM documents WHERE {PUBLIC_SQL}
+    ),
+    toks AS (SELECT doc_id, field, unnest(toks) AS token FROM fields),
+    doclen AS (SELECT doc_id, field, COUNT(*) AS dl FROM toks GROUP BY doc_id, field),
+    corpus AS (SELECT field, COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+               FROM doclen GROUP BY field),
+    tf AS (
+      SELECT doc_id, field, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ({", ".join(f"'{t}'" for t in QUERY_TERMS)})
+      GROUP BY doc_id, field, token
+    ),
+    df AS (SELECT field, token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY field, token),
+    contrib AS (
+      SELECT tf.doc_id, tf.token,
+        CAST(ROUND(
+          (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["boost"]}
+                         ELSE {FIELD_SPECS["body"]["boost"]} END)
+          * ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * (tf.tf * ({K1} + 1))
+          / (tf.tf + {K1} * (1 - (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["b"]}
+                                                ELSE {FIELD_SPECS["body"]["b"]} END)
+                             + (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["b"]}
+                                              ELSE {FIELD_SPECS["body"]["b"]} END)
+                               * doclen.dl / corpus.avgdl)), 6)
+        AS DECIMAL(18,6)) AS c
+      FROM tf
+      JOIN df ON tf.field = df.field AND tf.token = df.token
+      JOIN doclen ON tf.doc_id = doclen.doc_id AND tf.field = doclen.field
+      JOIN corpus ON corpus.field = tf.field
+    ),
+    per_term AS (SELECT doc_id, token, MAX(c) AS c FROM contrib GROUP BY doc_id, token),
+    scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM per_term GROUP BY doc_id)
+    SELECT doc_id, score, rnk FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def crossfields_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross_fields variant of the multi-field query (§2.9;
+    measure-times.py:107-143): where most_fields SUMS a term's per-field
+    scores, cross_fields treats the fields as one blended field — per
+    term, the BEST field contribution counts (ES's blended term query
+    with tie_breaker=0), then terms sum per doc. Same single explode +
+    per-field stats as multifield_bm25; only the final per-term
+    aggregation differs (max, then sum)."""
+    docs = spread(_public(tbl(spark, sf_dir, "documents")), "doc_id")
+    all_toks = F.split(F.lower("text"), " ")
+    fields = docs.select(
+        "doc_id", F.lit("title").alias("field"), F.slice(all_toks, 1, TITLE_TOKENS).alias("toks")
+    ).unionByName(
+        docs.select(
+            "doc_id",
+            F.lit("body").alias("field"),
+            F.slice(
+                all_toks, TITLE_TOKENS + 1, F.greatest(F.size(all_toks) - TITLE_TOKENS, F.lit(0))
+            ).alias("toks"),
+        )
+    )
+    toks = fields.select("doc_id", "field", F.explode("toks").alias("token"))
+    doclen = toks.groupBy("doc_id", "field").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = doclen.groupBy("field").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(QUERY_TERMS))
+        .groupBy("doc_id", "field", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("field", "token").agg(F.countDistinct("doc_id").alias("df"))
+    boost = F.when(F.col("field") == "title", F.lit(FIELD_SPECS["title"]["boost"])).otherwise(
+        F.lit(FIELD_SPECS["body"]["boost"])
+    )
+    b = F.when(F.col("field") == "title", F.lit(FIELD_SPECS["title"]["b"])).otherwise(
+        F.lit(FIELD_SPECS["body"]["b"])
+    )
+    contrib = (
+        tf.join(F.broadcast(df), ["field", "token"])
+        .join(doclen, ["doc_id", "field"])
+        .join(F.broadcast(corpus), "field")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                boost
+                * F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (K1 + 1))
+                / (F.col("tf") + K1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    per_term = contrib.groupBy("doc_id", "token").agg(F.max("c").alias("c"))
+    scored = per_term.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
+    return _ranked_topk(scored, TOP_K, F.col("score").desc(), F.col("doc_id").asc())
+
+
+@register(
+    "recall_eval",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, CAST(n_chars % 4 AS INT) AS rel,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rnk
+      FROM documents WHERE {PUBLIC_SQL}
+    ),
+    per_source AS (
+      SELECT source,
+        CAST(COUNT(*) FILTER (WHERE rel >= 2) AS BIGINT) AS n_relevant,
+        CAST(COUNT(*) FILTER (WHERE rel >= 2 AND rnk <= {NDCG_K}) AS BIGINT) AS hits
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_relevant, hits,
+           ROUND(hits / nullif(n_relevant, 0), 6) AS recall
+    FROM per_source
+    """,
+)
+def recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{NDCG_K} ranking evaluation (§2.9;
+    evaluate_endpoints.py:580-598): per query group, the share of all
+    relevant docs (graded rel ≥ 2) that the ranked top-k retrieves.
+    Same ranking/relevance fixture as ndcg_eval; one window + one
+    conditional aggregation. Public docs only (F13)."""
+    docs = _public(tbl(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "source",
+        (F.col("n_chars") % 4).cast("int").alias("rel"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    rel = F.col("rel") >= 2
+    per_source = ranked.groupBy("source").agg(
+        F.count(F.when(rel, 1)).alias("n_relevant"),
+        F.count(F.when(rel & (F.col("rnk") <= NDCG_K), 1)).alias("hits"),
+    )
+    return per_source.select(
+        "source",
+        "n_relevant",
+        "hits",
+        F.round(F.col("hits") / F.nullif(F.col("n_relevant"), F.lit(0)), 6).alias("recall"),
+    )
