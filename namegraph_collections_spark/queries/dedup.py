@@ -480,10 +480,10 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "minhash_lsh_candidates",
-    oracle=f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
+#: MinHash-LSH candidate pairs as a reusable SQL fragment (expects a
+#: `shingles` CTE in scope); shared by `minhash_lsh_candidates` and
+#: the cluster-closure oracle in `neardup_clusters`.
+_MINHASH_PAIRS_SQL = f"""
     hashes AS (
       SELECT s.doc_id, seeds.seed, MIN(md5(seeds.seed || ':' || s.shingle)) AS mh
       FROM shingles s CROSS JOIN (SELECT unnest(range({NUM_MINHASHES})) AS seed) seeds
@@ -493,21 +493,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, seed // {BAND_SIZE} AS band,
              md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
       FROM hashes GROUP BY doc_id, seed // {BAND_SIZE}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    """,
-)
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding candidate pairs (driver brief).
+"""
 
-    shingle → {NUM_MINHASHES} seeded min-hashes → {NUM_MINHASHES // BAND_SIZE}
-    band signatures → bucket join. Deterministic md5 min-hashing keeps
-    the DuckDB oracle bit-identical. At scale the only doc×doc work is
-    within LSH buckets — the standard sub-quadratic near-dup build.
-    """
-    docs = tbl(spark, sf_dir, "documents")
+
+def _minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) via MinHash banding —
+    the plan behind `minhash_lsh_candidates`, exposed for reuse by the
+    cluster-closure query."""
     sh = _shingles(docs)
     # All NUM_MINHASHES mins as one groupBy(doc_id) with inline min
     # aggs — no seed explode, no (doc, seed) shuffle: the map side
@@ -540,4 +538,73 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    {_MINHASH_PAIRS_SQL}
+    SELECT doc_a, doc_b FROM pairs
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs (driver brief).
+
+    shingle → {NUM_MINHASHES} seeded min-hashes → {NUM_MINHASHES // BAND_SIZE}
+    band signatures → bucket join. Deterministic md5 min-hashing keeps
+    the DuckDB oracle bit-identical. At scale the only doc×doc work is
+    within LSH buckets — the standard sub-quadratic near-dup build.
+    """
+    return _minhash_pairs(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+    {_MINHASH_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           (c.doc_id = c.cluster_id) AS is_canonical
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs closed
+    into connected components, one canonical doc per cluster (driver
+    brief — the keep/drop decision a dedup pipeline actually ships).
+
+    Pairs alone mishandle transitivity (A~B, B~C ⇒ one cluster even
+    if (A,C) never met in a band); the component closure runs
+    alternating large-star/small-star (`operators.components`) —
+    O(log² n) shuffle rounds on any graph shape, vs O(diameter) for
+    plain label propagation — and every document (including
+    singletons) gets a cluster id, so `is_canonical` IS the keep
+    filter. The oracle closes the same edge set with a recursive CTE.
+    """
+    from namegraph_collections_spark.operators.components import connected_components
+
+    docs = tbl(spark, sf_dir, "documents")
+    comp = connected_components(
+        _minhash_pairs(docs), vertices=docs.select("doc_id")
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )

@@ -45,6 +45,41 @@ def _dfs_closure(edges: set[tuple[int, int]]) -> set[tuple[int, int]]:
     return out
 
 
+def _union_find(edges: set[tuple[int, int]], vertices: set[int]) -> dict[int, int]:
+    parent = {v: v for v in vertices}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in vertices}
+
+
+@settings(**_SETTINGS)
+@given(edge_sets)
+def test_connected_components_match_union_find(spark, edges):
+    """large-star/small-star == union-find on arbitrary undirected
+    graphs (self-loops, cycles, isolated vertices) — the cluster
+    closure behind neardup_clusters."""
+    from namegraph_collections_spark.operators.components import connected_components
+
+    vertices = {n for e in edges for n in e} | {99}  # 99: always-isolated vertex
+    edf = spark.createDataFrame(list(edges), "src int, dst int")
+    vdf = spark.createDataFrame([(v,) for v in vertices], "node int")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edf, vertices=vdf).collect()
+    }
+    want = set(_union_find(edges, vertices).items())
+    assert got == want
+
+
 @settings(**_SETTINGS)
 @given(edge_sets)
 def test_closure_matches_dfs_oracle(spark, edges):
