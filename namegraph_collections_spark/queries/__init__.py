@@ -20,3 +20,4 @@ from namegraph_collections_spark.queries import pipeline_demo  # noqa: E402,F401
 from namegraph_collections_spark.queries import collections_ops  # noqa: E402,F401
 from namegraph_collections_spark.queries import multimodal  # noqa: E402,F401
 from namegraph_collections_spark.queries import wiki_slice  # noqa: E402,F401
+from namegraph_collections_spark.queries import training_data  # noqa: E402,F401

@@ -1,0 +1,255 @@
+"""Training-data pipeline operators beyond the reference (driver brief):
+decontamination, sequence packing, and deterministic corpus mixing.
+
+These are the corpus-construction steps an LLM data pipeline runs after
+dedup: drop train docs that leak into eval sets, pack variable-length
+documents into fixed context windows, and re-weight domains. All three
+are pure column/window math — zero Python in the hot path — with exact
+integer arithmetic wherever a sampling decision is made so the DuckDB
+oracle reproduces every row bit-for-bit.
+
+Shared split rule: ``bucket16(doc_id)`` = the first 4 hex chars of
+``md5(doc_id)`` as an integer in [0, 65536). Both engines compute md5
+of the same decimal string, so membership decisions (test split,
+sampling keep/drop) are exact integer comparisons — no float RNG, no
+engine-specific hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from namegraph_collections_spark.queries.dedup import HOT_SHINGLE_DF_CAP, _shingles, _SHINGLES_SQL
+from namegraph_collections_spark.queries.registry import register, spread, tbl
+
+#: bucket16 values below this are the held-out "eval" split (~10%).
+TEST_BUCKET_CUTOFF = 6554
+
+#: Context-window budget (tokens) for concat-and-chop packing.
+PACK_BUDGET = 512
+
+#: Mixing: keep ~40% of the corpus, re-weighted by sqrt(domain size).
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 2, 5
+MIX_ALPHA_SQL = "0.5"
+
+
+def _bucket16(col):
+    """Integer in [0, 65536) from md5 of the value's decimal string."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
+
+
+_BUCKET16_SQL = "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 4) AS BIGINT)"
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH shingles_all AS ({_SHINGLES_SQL}),
+    shingles AS (
+      SELECT * FROM shingles_all
+      WHERE shingle NOT IN (SELECT shingle FROM shingles_all
+                            GROUP BY shingle HAVING COUNT(*) > {HOT_SHINGLE_DF_CAP})
+    ),
+    tagged AS (
+      SELECT doc_id, shingle,
+             {_BUCKET16_SQL.format(c='doc_id')} < {TEST_BUCKET_CUTOFF} AS is_test
+      FROM shingles
+    )
+    SELECT t.doc_id AS test_doc_id,
+           COUNT(DISTINCT tr.doc_id) AS n_train_docs,
+           COUNT(DISTINCT t.shingle) AS n_shared_shingles
+    FROM tagged t JOIN tagged tr ON t.shingle = tr.shingle
+    WHERE t.is_test AND NOT tr.is_test
+    GROUP BY t.doc_id
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination: for each eval doc, which train docs
+    share a word trigram and how many distinct trigrams leak.
+
+    The standard decontamination build (n-gram overlap against held-out
+    sets): explode both splits to (doc, shingle), meet in ONE shuffle on
+    the shingle — never doc×doc. The same hot-shingle df cap as the
+    Jaccard path bounds per-shingle fan-out (a stop phrase shared by
+    10⁶ docs would otherwise dominate the join); dropping
+    universally-shared shingles is also what you want semantically —
+    they carry no contamination signal. At 100 TB the eval side is tiny,
+    so the planner broadcasts it; here both sides flow through the
+    shingle shuffle.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    sh_all = _shingles(docs)
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti").withColumn(
+        "is_test", _bucket16(F.col("doc_id")) < TEST_BUCKET_CUTOFF
+    )
+    test = sh.filter(F.col("is_test")).select(F.col("doc_id").alias("test_doc_id"), "shingle")
+    train = sh.filter(~F.col("is_test")).select(F.col("doc_id").alias("train_doc_id"), "shingle")
+    return (
+        test.join(train, "shingle")
+        .groupBy("test_doc_id")
+        .agg(
+            F.countDistinct("train_doc_id").alias("n_train_docs"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+        )
+    )
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    ),
+    binned AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {PACK_BUDGET} AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM binned
+    GROUP BY source, bin_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: assign each doc to the context
+    window its first token lands in when the corpus is concatenated in
+    doc_id order, per source shard.
+
+    bin = exclusive-prefix-sum(tokens) div budget — the GPT-style
+    pack-then-chunk rule, as a single window + groupBy. Partitioning the
+    window BY SOURCE is the scale decision: a global packing order is a
+    one-partition sort at 100 TB, while per-shard packing runs one
+    independent window per source (training shards are independent
+    anyway). Two shuffles total: one on source for the window, one for
+    the (source, bin) rollup — and the second reuses the first's
+    partitioning since source is a prefix of the grouping key.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = toks.withColumn(
+        "bin_id",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(PACK_BUDGET))
+        .cast("long"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+_MIX_PLAN_SQL = f"""
+    counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    weights AS (
+      SELECT source, n_docs,
+             CAST(round(pow(n_docs, {MIX_ALPHA_SQL}), 6) AS DECIMAL(18, 6)) AS weight
+      FROM counts
+    ),
+    totals AS (
+      SELECT SUM(weight) AS total_weight,
+             (SUM(n_docs) * {MIX_BUDGET_NUM}) // {MIX_BUDGET_DEN} AS budget
+      FROM weights
+    ),
+    plan AS (
+      SELECT w.source, w.n_docs,
+             CAST(round(w.weight / t.total_weight, 6) AS DECIMAL(18, 6)) AS share,
+             CAST(FLOOR(CAST(round(w.weight / t.total_weight, 6) AS DECIMAL(18, 6))
+                        * t.budget) AS BIGINT) AS expected_docs
+      FROM weights w CROSS JOIN totals t
+    )
+"""
+
+
+@register(
+    "domain_mix_plan",
+    oracle=f"""
+    WITH {_MIX_PLAN_SQL}
+    SELECT source, n_docs, CAST(share AS DOUBLE) AS share, expected_docs FROM plan
+    """,
+)
+def domain_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain re-weighting (alpha = 0.5): each
+    domain's share of the output corpus is sqrt(n) / sum(sqrt(n)), the
+    standard multiplier that upsamples small domains relative to raw
+    proportion.
+
+    Determinism across engines: per-domain weights are rounded to 6
+    places and summed as DECIMAL(18,6) — an exact, order-independent
+    sum — so share and the integer expected_docs match bit-for-bit.
+    The totals side is a 1-row aggregate crossJoined back (broadcast;
+    no driver-side collect in plan construction).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = counts.withColumn(
+        "weight", F.round(F.pow(F.col("n_docs"), F.lit(0.5)), 6).cast("decimal(18,6)")
+    )
+    totals = weights.agg(
+        F.sum("weight").alias("total_weight"),
+        ((F.sum("n_docs") * MIX_BUDGET_NUM) / MIX_BUDGET_DEN).cast("long").alias("budget"),
+    )
+    share = F.round(F.col("weight") / F.col("total_weight"), 6).cast("decimal(18,6)")
+    return (
+        weights.crossJoin(F.broadcast(totals))
+        .withColumn("share", share)
+        .select(
+            "source",
+            "n_docs",
+            F.col("share").cast("double").alias("share"),
+            F.floor(F.col("share") * F.col("budget")).cast("long").alias("expected_docs"),
+        )
+    )
+
+
+@register(
+    "deterministic_mix_sample",
+    oracle=f"""
+    WITH {_MIX_PLAN_SQL}
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN plan p ON d.source = p.source
+    WHERE {_BUCKET16_SQL.format(c='d.doc_id')} * p.n_docs < p.expected_docs * 65536
+    """,
+)
+def deterministic_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the mixed corpus: keep a doc iff its md5 bucket
+    falls under its domain's target rate.
+
+    keep ⇔ bucket16(doc_id) · n_docs < expected_docs · 65536 — pure
+    integer cross-multiplication, so the same docs are kept on every
+    engine and every run (content-addressed sampling, the property that
+    makes the mix reproducible and incrementally maintainable: a new
+    snapshot re-derives the identical sample for unchanged docs). The
+    20-row plan broadcasts onto the scan; the filter runs map-side with
+    no shuffle at all.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    plan = domain_mix_plan(spark, sf_dir).select("source", "n_docs", "expected_docs")
+    return (
+        docs.join(F.broadcast(plan), "source")
+        .filter(_bucket16(F.col("doc_id")) * F.col("n_docs") < F.col("expected_docs") * 65536)
+        .select("doc_id", "source")
+    )
