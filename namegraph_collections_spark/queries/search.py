@@ -17,9 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from namegraph_collections_spark.functions.porter_sql import porter_ctes
+from namegraph_collections_spark.functions.stemmer import porter_stem
 from namegraph_collections_spark.queries.registry import register, spread, tbl
 
 QUERY_TERMS = ["spark", "join", "merge", "window"]
+#: Query terms after the analyzer: what stemmed_bm25 actually matches.
+STEMMED_TERMS = [porter_stem(t) for t in QUERY_TERMS]
 K1 = 1.2
 B = 0.75
 TOP_K = 10
@@ -579,12 +583,61 @@ def multifield_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(scored, TOP_K, F.col("score").desc(), F.col("doc_id").asc())
 
 
-@register("stemmed_bm25", oracle=None)  # analyzer UDF → non-SQL-expressible
+@register(
+    "stemmed_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents WHERE {PUBLIC_SQL}
+    ),
+    -- doclen counts RAW tokens: the analyzer is 1:1, so stemming
+    -- cannot change document length or the corpus averages.
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doclen),
+    -- Exact pre-filter before the (large) SQL stemmer: Porter never
+    -- alters the first 3 characters of a word whose stem is >= 4
+    -- chars (it only strips/replaces suffixes and appends 'e'/'i';
+    -- no replacement string can fabricate these terms), so only
+    -- tokens sharing a query term's 3-char prefix can match.
+    cand AS MATERIALIZED (
+      SELECT doc_id, token AS w FROM toks
+      WHERE substring(token, 1, 3) IN ({", ".join(f"'{t[:3]}'" for t in STEMMED_TERMS)})
+    ),
+    {porter_ctes("cand")},
+    tf AS (
+      SELECT doc_id, w AS token, COUNT(*) AS tf FROM p_done
+      WHERE w IN ({", ".join(f"'{t}'" for t in STEMMED_TERMS)})
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    contrib AS (
+      SELECT tf.doc_id,
+        CAST(ROUND(
+          ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * (tf.tf * ({K1} + 1))
+          / (tf.tf + {K1} * (1 - {B} + {B} * doclen.dl / corpus.avgdl)), 6)
+        AS DECIMAL(18,6)) AS c
+      FROM tf
+      JOIN df ON tf.token = df.token
+      JOIN doclen ON tf.doc_id = doclen.doc_id
+      CROSS JOIN corpus
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, rnk FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
 def stemmed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over the porter-stemmed analyzer (§2.9 — the index's
-    analyzed text fields, populate.py:97-105). The stemmer is a pandas
-    UDF, so there is no DuckDB twin; the driver records the weaker
-    rows-only check, and the stemmer itself is pinned by golden tests.
+    analyzed text fields, populate.py:97-105). The analyzer is a
+    pandas UDF on the Spark side; the oracle runs a generated
+    SQL twin of the stemmer (functions/porter_sql.py, parity-tested
+    on 28k adversarial words) so this path gets a full value check.
 
     Analyzer shape at scale: stemming runs ONCE per document over the
     token array (Arrow-batched, after spread()), not per token row —
