@@ -104,11 +104,31 @@ def _jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     )
     sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Inverted-list pair generation: ONE shuffle groups each shingle's
+    # posting list (bounded at HOT_SHINGLE_DF_CAP by the cap above, so
+    # aggregation state can't grow unboundedly), then the ≤cap² pairs
+    # are emitted MAP-side from the sorted list — no sorted self-join
+    # of the full (doc, shingle) stream. The pair stream then meets in
+    # one count shuffle. Two exchanges total where the self-join build
+    # needed the posting stream shuffled twice plus the pair shuffle.
+    lists = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    docs_arr = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs_arr,
+            lambda x, i: F.transform(
+                F.slice(docs_arr, i + 2, HOT_SHINGLE_DF_CAP),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        lists.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
@@ -382,7 +402,7 @@ _EMB_DOT = (
     "embedding_neardup_pairs",
     oracle=f"""
     WITH sig AS (
-      SELECT vec_id, embedding, b.band,
+      SELECT vec_id, b.band,
         {" + ".join(
             f"(CASE WHEN embedding[{EMB_BAND_BITS} * b.band + {j} + 1] >= 0"
             f" THEN {1 << j} ELSE 0 END)"
@@ -397,16 +417,21 @@ _EMB_DOT = (
       ) WHERE _rn <= {EMB_BUCKET_CAP}
     ),
     cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             a.embedding AS emb_a, b.embedding AS emb_b
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM capped a JOIN capped b
         ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT vec_a, vec_b, ea.embedding AS emb_a, eb.embedding AS emb_b
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.vec_a
+      JOIN embeddings eb ON eb.vec_id = cand.vec_b
     )
     SELECT vec_a, vec_b,
       ROUND({_EMB_DOT.format(a="emb_a", b="emb_b")}
             / (sqrt({_EMB_DOT.format(a="emb_a", b="emb_a")})
                * sqrt({_EMB_DOT.format(a="emb_b", b="emb_b")})), 6) AS cosine
-    FROM cand
+    FROM scored
     WHERE {_EMB_DOT.format(a="emb_a", b="emb_b")}
           / (sqrt({_EMB_DOT.format(a="emb_a", b="emb_a")})
              * sqrt({_EMB_DOT.format(a="emb_b", b="emb_b")})) >= {NEARDUP_COSINE}
@@ -422,30 +447,39 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail of a single coarse 3-bit bucketing). Each (band, value)
     bucket is capped at {EMB_BUCKET_CAP} members by deterministic
     vec_id order, so one degenerate bucket can never go quadratic.
-    Candidates dedup across bands, then exact cosine filters. Dot
-    products are ordered left-to-right double sums (unrolled codegen
-    chain, see similarity._dot) for oracle-exact arithmetic.
+    Candidates dedup across bands AS ID PAIRS (16 bytes each) — the
+    vectors themselves never ride through the band explode, the bucket
+    join, or the distinct; they are joined back by id only for the
+    surviving pairs. At 100 TB that is the difference between
+    shuffling 2×256 B per duplicate candidate and shuffling two longs.
+    Dot products are ordered left-to-right double sums (unrolled
+    codegen chain, see similarity._dot) for oracle-exact arithmetic.
     """
     from namegraph_collections_spark.queries.similarity import _dot as dot
 
     emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
-    band_rows = F.broadcast(
-        emb.sparkSession.range(EMB_BANDS).select(F.col("id").cast("int").alias("band"))
-    )
-    band_val = sum(
-        (
-            F.when(
-                F.element_at("embedding", EMB_BAND_BITS * F.col("band") + j + 1) >= 0,
-                F.lit(1 << j),
-            ).otherwise(F.lit(0))
-            for j in range(1, EMB_BAND_BITS)
+
+    def band_val(b: int):
+        return sum(
+            (
+                F.when(
+                    F.element_at("embedding", EMB_BAND_BITS * b + j + 1) >= 0,
+                    F.lit(1 << j),
+                ).otherwise(F.lit(0))
+                for j in range(1, EMB_BAND_BITS)
+            ),
+            F.when(F.element_at("embedding", EMB_BAND_BITS * b + 1) >= 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+
+    # all band signatures in ONE projection over the vector, then a
+    # posexplode of 4 ints — no crossJoin duplicating the embedding
+    sig = emb.select(
+        "vec_id",
+        F.posexplode(F.array(*[band_val(b) for b in range(EMB_BANDS)])).alias(
+            "band", "band_val"
         ),
-        F.when(
-            F.element_at("embedding", EMB_BAND_BITS * F.col("band") + 1) >= 0, F.lit(1)
-        ).otherwise(F.lit(0)),
-    )
-    sig = emb.crossJoin(band_rows).select(
-        "vec_id", "embedding", "band", band_val.alias("band_val")
     )
     w_cap = Window.partitionBy("band", "band_val").orderBy("vec_id")
     capped = (
@@ -462,19 +496,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("emb_a"),
-            F.col("b.embedding").alias("emb_b"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
+    )
+    vecs = tbl(spark, sf_dir, "embeddings")
+    scored = (
+        cand.join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")), "vec_a")
+        .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")), "vec_b")
     )
     cos = dot(F.col("emb_a"), F.col("emb_b")) / (
         F.sqrt(dot(F.col("emb_a"), F.col("emb_a"))) * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
     )
     return (
-        cand.withColumn("_cos", cos)
+        scored.withColumn("_cos", cos)
         .filter(F.col("_cos") >= NEARDUP_COSINE)
         .select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
     )
