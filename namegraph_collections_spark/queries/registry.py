@@ -107,11 +107,50 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(n, F.col(key))
 
 
-def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table ships TIMESTAMP(NANOS) parquet, which Spark only
-    reads via the nanosAsLong legacy conf — ``ts`` arrives as BIGINT
-    epoch-nanoseconds. All event queries emit microseconds (``ts div
-    1000``) to match DuckDB, which truncates TIMESTAMP_NS to micros.
+def ts_us_expr(dtype: str, col: str = "ts"):
+    """Normalize an event-time column of ANY physical encoding to BIGINT
+    epoch microseconds, timezone-independently.
+
+    The testdata's ``ts`` has shipped as TIMESTAMP(NANOS) (readable only
+    as long nanos under the nanosAsLong legacy conf) in one generation
+    and as plain ``timestamp[us]`` (read as TIMESTAMP_NTZ) in another —
+    so we branch on the dtype Spark actually resolved instead of
+    assuming either:
+
+    - ``bigint``        → epoch nanos, integer-divide to micros;
+    - ``timestamp_ntz`` → ``timestampdiff(MICROSECOND, NTZ-epoch, ts)``:
+      pure wall-clock arithmetic between two NTZ values, so the session
+      timezone never enters (an NTZ→TIMESTAMP cast + unix_micros would
+      shift by the session zone on non-UTC hosts and diverge from
+      DuckDB's ``epoch_us``);
+    - ``timestamp``     → ``unix_micros`` reads the internal UTC-epoch
+      micros directly (also tz-independent).
     """
+    from pyspark.sql import functions as F
+
+    if dtype == "bigint":
+        return F.expr(f"{col} div 1000")
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    if dtype == "timestamp":
+        return F.unix_micros(F.col(col))
+    raise TypeError(f"unsupported event-time dtype for {col!r}: {dtype}")
+
+
+def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table, with ``ts`` normalized to a single ``ts_us``
+    BIGINT epoch-microseconds column (matching DuckDB's ``epoch_us``)
+    regardless of the parquet file's physical timestamp encoding.
+
+    nanosAsLong is set defensively before the read: it is required if
+    the file carries TIMESTAMP(NANOS) and a no-op otherwise, and it must
+    be in place before the scan is planned.
+    """
+    from pyspark.sql import functions as F
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dtype = dict(df.dtypes)["ts"]
+    return df.withColumn("ts_us", ts_us_expr(dtype)).drop("ts")

@@ -335,7 +335,7 @@ def segment_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY user_id
     """,
-)  # ts is TIMESTAMP_NS: DuckDB truncates to micros; Spark reads nanos-as-long (events_tbl)
+)  # events_tbl normalizes ts to BIGINT epoch-micros (ts_us) matching DuckDB epoch_us
 def entity_assembly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity assembly: triples/events → one wide row per subject (A2 ★).
 
@@ -348,8 +348,8 @@ def entity_assembly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_tbl(spark, sf_dir)
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.expr("min(ts) div 1000").alias("first_ts_us"),
-        F.expr("max(ts) div 1000").alias("last_ts_us"),
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("ts_us").alias("last_ts_us"),
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
         F.sum(_dec("value", 6)).cast("double").alias("total_value"),
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
@@ -444,7 +444,7 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = events_tbl(spark, sf_dir)
     return ev.groupBy(
-        F.expr("(ts div 1000 div 3600000000) * 3600000000").alias("hour_us"),
+        F.expr("(ts_us div 3600000000) * 3600000000").alias("hour_us"),
         F.col("event_type"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
@@ -493,7 +493,7 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     session, and session_end = last event + gap.
     """
     ev = events_tbl(spark, sf_dir)
-    e = ev.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    e = ev.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
     return (
         e.groupBy(F.session_window("event_time", "30 minutes"), "user_id")
         .agg(

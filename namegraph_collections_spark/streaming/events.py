@@ -7,11 +7,14 @@ through a query into an in-memory sink, which is also how an
 incremental production run would execute (AvailableNow = process all
 new files since the last checkpoint, then stop).
 
-Schema note: the driver's events.parquet carries TIMESTAMP(NANOS),
-which stock Spark reads only as long nanos under
-``spark.sql.legacy.parquet.nanosAsLong`` — so the stream schema types
-``ts`` as LONG and `with_event_time` derives the TimestampType column
-watermarks need.
+Schema note: the testdata's events.parquet has shipped ``ts`` as both
+TIMESTAMP(NANOS) (readable only as long nanos under
+``spark.sql.legacy.parquet.nanosAsLong``) and plain ``timestamp[us]``
+(TIMESTAMP_NTZ) across generations; the stream schema types ``ts`` as
+TIMESTAMP_NTZ to match the current files, and `with_event_time`
+branches on the dtype it actually sees — the same normalization as the
+batch-side ``events_tbl`` — so every operator consumes one
+TimestampType ``event_time`` column.
 """
 
 from __future__ import annotations
@@ -26,12 +29,15 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
+
+from namegraph_collections_spark.queries.registry import ts_us_expr
 
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanos (nanosAsLong)
+        StructField("ts", TimestampNTZType()),  # parquet timestamp[us], no tz
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -44,10 +50,8 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-stream source over a directory of events parquet files.
 
     One file = one micro-batch unit; at scale this is the landing-zone
-    pattern (upstream drops files, the stream discovers them). The
-    nanosAsLong conf must be set before the first batch is planned.
+    pattern (upstream drops files, the stream discovers them).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -56,8 +60,11 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
 
 def with_event_time(events: DataFrame) -> DataFrame:
-    """Derive the TimestampType event-time column from long nanos."""
-    return events.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    """Derive the TimestampType event-time column watermarks need,
+    timezone-independently, from whichever physical ``ts`` encoding the
+    source produced (long nanos / TIMESTAMP_NTZ micros / TIMESTAMP)."""
+    dtype = dict(events.dtypes)["ts"]
+    return events.withColumn("event_time", F.timestamp_micros(ts_us_expr(dtype)))
 
 
 def windowed_rollup(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
