@@ -38,8 +38,8 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "cosine_topk_bruteforce",
-    "doc_quality_scores",
-    "simhash_fingerprints",
+    "text_features",
+    "simhash_neardup_candidates",
     "embedding_neardup_pairs",
     "search_ltr_rescore",
     "session_window_rollup",
@@ -73,17 +73,25 @@ def main() -> None:
 
     spark.range(1000).select(_warm(F.col("id"))).count()
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken query must never erase the
+    # whole round's bench evidence — it records null and the JSON line
+    # still prints (with any failure reported on stderr, never stdout,
+    # which must stay a single parseable line).
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         samples = []
-        for _ in range(RUNS_PER_QUERY):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        try:
+            for _ in range(RUNS_PER_QUERY):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            timings[name] = None
+            print(f"bench: {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {

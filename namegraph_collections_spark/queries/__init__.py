@@ -3,11 +3,23 @@
 Importing this package populates ``REGISTRY`` (name → QuerySpec) by
 importing each query module. ``__spark_entry__.py`` exposes the
 registry to the driver's correctness harness.
+
+Import order sets registry insertion order, which is the order the
+driver checks queries in (it evaluates a bounded window from the
+front) — so the flagship parity evidence registers FIRST: the wiki
+pipeline slices, the training-data corpus ops, and multimodal, then
+the operator families. The whole registry is kept at ≤50 entries so
+every query gets a driver correctness row; redundant single-operator
+proxies were merged into tagged multi-part queries rather than
+dropped, so no operator lost its value-hash check.
 """
 
 from namegraph_collections_spark.queries.registry import REGISTRY, QuerySpec, register  # noqa: F401
 
-# Import for registration side effects.
+# Import for registration side effects. Flagship evidence first.
+from namegraph_collections_spark.queries import wiki_slice  # noqa: E402,F401
+from namegraph_collections_spark.queries import training_data  # noqa: E402,F401
+from namegraph_collections_spark.queries import multimodal  # noqa: E402,F401
 from namegraph_collections_spark.queries import relational  # noqa: E402,F401
 from namegraph_collections_spark.queries import closure  # noqa: E402,F401
 from namegraph_collections_spark.queries import strings  # noqa: E402,F401
@@ -18,6 +30,3 @@ from namegraph_collections_spark.queries import search  # noqa: E402,F401
 from namegraph_collections_spark.queries import cdc  # noqa: E402,F401
 from namegraph_collections_spark.queries import pipeline_demo  # noqa: E402,F401
 from namegraph_collections_spark.queries import collections_ops  # noqa: E402,F401
-from namegraph_collections_spark.queries import multimodal  # noqa: E402,F401
-from namegraph_collections_spark.queries import wiki_slice  # noqa: E402,F401
-from namegraph_collections_spark.queries import training_data  # noqa: E402,F401

@@ -279,15 +279,28 @@ def command_driven_sorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # restated on `part`, whose composite attributes act as the type set.
 RELATED_NUM = 10
 MAX_PER_TYPE = 2
+#: Types shared by more than this many collections are dropped before
+#: the type self-join — the stop-shingle treatment from the Jaccard
+#: path (HOT_SHINGLE_DF_CAP): one mega-type ("human" has ~10⁸ members
+#: in the reference predicate table) would otherwise fan out
+#: quadratically, and membership in a type that large carries no
+#: relatedness signal anyway. Bounds per-type join fan-out at cap².
+HOT_TYPE_DF_CAP = 200
 
 
 @register(
     "related_collections_precompute",
     oracle=f"""
-    WITH types AS (
+    WITH types_all AS (
       SELECT p_partkey AS cid, p_type || '|' || CAST(p_size AS VARCHAR) AS ctype FROM part
       UNION ALL
       SELECT p_partkey AS cid, p_brand || '|' || CAST(p_size AS VARCHAR) AS ctype FROM part
+    ),
+    hot AS (
+      SELECT ctype FROM types_all GROUP BY ctype HAVING COUNT(*) > {HOT_TYPE_DF_CAP}
+    ),
+    types AS (
+      SELECT * FROM types_all WHERE ctype NOT IN (SELECT ctype FROM hot)
     ),
     shared AS (
       SELECT a.cid, b.cid AS rid, COUNT(*) AS n_shared, MIN(a.ctype) AS primary_type
@@ -314,10 +327,11 @@ def related_collections_precompute(spark: SparkSession, sf_dir: str) -> DataFram
 
     Plan shape: the type table is an inverted index (collection →
     type); candidates meet in ONE shuffle on the type value — never
-    collection×collection. Composite types keep per-type fan-out
-    bounded (the hot-key treatment the Jaccard path uses); both
-    windows partition by collection, so ranking never funnels through
-    a single reducer at any corpus size.
+    collection×collection. Types hotter than {HOT_TYPE_DF_CAP}
+    members are dropped by a broadcast anti-join before the self-join
+    (the HOT_SHINGLE_DF_CAP treatment), so one mega-type can never go
+    quadratic; both windows partition by collection, so ranking never
+    funnels through a single reducer at any corpus size.
     """
     part = tbl(spark, sf_dir, "part")
     t1 = part.select(
@@ -328,7 +342,16 @@ def related_collections_precompute(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("p_partkey").alias("cid"),
         F.concat(F.col("p_brand"), F.lit("|"), F.col("p_size").cast("string")).alias("ctype"),
     )
-    types = t1.unionByName(t2)
+    types_all = t1.unionByName(t2)
+    # The hot side is tiny by construction (only types with membership
+    # above the cap), so the anti-join broadcasts.
+    hot = (
+        types_all.groupBy("ctype")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > HOT_TYPE_DF_CAP)
+        .select("ctype")
+    )
+    types = types_all.join(F.broadcast(hot), "ctype", "left_anti")
     a = types.alias("a")
     b = types.alias("b")
     shared = (

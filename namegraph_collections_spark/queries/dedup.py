@@ -180,6 +180,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_BITS = 64  # 64-bit fingerprints — 16 bits collides everything at scale
 SIMHASH_BANDS = 4  # 4 × 16-bit bands for the Hamming candidate stage
+SIMHASH_BUCKET_CAP = 4096  # deterministic per-(band, band_val) cap — degenerate-band skew backstop
 MAX_HAMMING = 8
 
 #: Hex digits of md5 with bit j set (j = 0..3): bit source for 64
@@ -248,51 +249,7 @@ _SIMHASH_CONTRIB_SQL = f"""
 
 
 @register(
-    "simhash_fingerprints",
-    oracle=f"""
-    WITH {_SIMHASH_CONTRIB_SQL},
-    fp AS (
-      SELECT doc_id,
-        CAST(SUM(CASE WHEN s >= 0 AND pos >= 32
-                      THEN CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) ELSE 0 END) AS BIGINT) AS simhash_hi,
-        CAST(SUM(CASE WHEN s >= 0 AND pos < 32
-                      THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS BIGINT) AS simhash_lo
-      FROM contrib GROUP BY doc_id
-    )
-    SELECT simhash_hi, simhash_lo, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
-    FROM fp GROUP BY simhash_hi, simhash_lo
-    """,
-)
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup fingerprints (driver brief).
-
-    Bit p of the fingerprint is the sign of Σ_occurrences ±1, where ±1
-    reads bit (p mod 4) of hex digit (p div 4) of md5(token) — a bit
-    source both engines compute identically. 64 bits (vs a 16-bit
-    toy) keeps the fingerprint space at 2⁶⁴ so a 100 TB corpus does
-    not collapse into 65,536 buckets; the fingerprint travels as two
-    32-bit halves so every value stays exact in signed int64 on both
-    engines. Documents sharing a fingerprint are exact near-dup
-    candidates; Hamming-ball candidates come from the banded query
-    (`simhash_hamming_candidates`).
-    """
-    fp_bits = _simhash_bit_sums(tbl(spark, sf_dir, "documents"))
-    hi = F.lit(0)
-    lo = F.lit(0)
-    for i in range(32):
-        lo = lo + F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    for i in range(32, SIMHASH_BITS):
-        hi = hi + F.when(F.col(f"s{i}") >= 0, F.lit(1 << (i - 32))).otherwise(F.lit(0))
-    fp = fp_bits.select(
-        "doc_id", hi.cast("long").alias("simhash_hi"), lo.cast("long").alias("simhash_lo")
-    )
-    return fp.groupBy("simhash_hi", "simhash_lo").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id")
-    )
-
-
-@register(
-    "simhash_hamming_candidates",
+    "simhash_neardup_candidates",
     oracle=f"""
     WITH {_SIMHASH_CONTRIB_SQL},
     fp AS (
@@ -313,28 +270,49 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS band_val
       FROM fp CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS band) b
     ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY band, band_val ORDER BY doc_id) AS _rn
+        FROM bands
+      ) WHERE _rn <= {SIMHASH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b,
+    SELECT doc_a, doc_b, a_hi, a_lo, b_hi, b_lo,
            CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) AS INT) AS hamming
     FROM cand
     WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= {MAX_HAMMING}
     """,
 )
-def simhash_hamming_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded Hamming-distance near-dup candidates over 64-bit SimHash.
+def simhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints + banded Hamming-ball candidates in
+    one query (driver brief: SimHash near-dup).
 
-    The 64-bit fingerprint splits into {SIMHASH_BANDS} 16-bit bands;
-    by pigeonhole, any pair within Hamming distance {SIMHASH_BANDS - 1}
-    shares at least one intact band, so the band-equality self-join
-    finds them without any doc×doc work — the sub-quadratic
-    Hamming-ball stage the flat fingerprint grouping lacks. Survivors
-    are filtered to true Hamming ≤ {MAX_HAMMING} via xor+popcount
-    (exact, cheap, JVM-side).
+    Fingerprint: bit p is the sign of a signed occurrence sum, where
+    each token occurrence contributes ±1 read from bit (p mod 4) of hex
+    digit (p div 4) of md5(token) — a bit source both engines compute
+    identically. 64 bits (vs a 16-bit toy) keeps the fingerprint space
+    at 2⁶⁴ so a 100 TB corpus does not collapse into 65,536 buckets;
+    the fingerprint travels as two 32-bit halves so every value stays
+    exact in signed int64 on both engines, and the output carries both
+    docs' halves so the fingerprint VALUES are driver-checked alongside
+    the candidate logic.
+
+    Candidates: the 64-bit fingerprint splits into {SIMHASH_BANDS}
+    16-bit bands; by pigeonhole, any pair within Hamming distance
+    {SIMHASH_BANDS - 1} shares at least one intact band, so the
+    band-equality self-join finds them without any doc×doc work.
+    Each (band, band_val) bucket is capped at {SIMHASH_BUCKET_CAP}
+    members by deterministic doc_id order — the skew backstop for
+    degenerate band values (e.g. the all-zero band every short/empty
+    doc lands in), which would otherwise go quadratic; same treatment
+    as EMB_BUCKET_CAP on the embedding path. Survivors are filtered to
+    true Hamming ≤ {MAX_HAMMING} via xor+popcount (exact, cheap,
+    JVM-side).
     """
     fp_bits = _simhash_bit_sums(tbl(spark, sf_dir, "documents"))
     hi = F.lit(0)
@@ -358,8 +336,14 @@ def simhash_hamming_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "hi", "lo", "band", band_val.cast("long").alias("band_val"))
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    w_cap = Window.partitionBy("band", "band_val").orderBy("doc_id")
+    capped = (
+        bands.withColumn("_rn", F.row_number().over(w_cap))
+        .filter(F.col("_rn") <= SIMHASH_BUCKET_CAP)
+        .drop("_rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     cand = (
         a.join(
             b,
@@ -383,7 +367,7 @@ def simhash_hamming_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= MAX_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "a_hi", "a_lo", "b_hi", "b_lo", "hamming")
     )
 
 

@@ -120,55 +120,78 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Semi / anti joins (S5/F5 allowlist filter; J13 archive sweep).
+# Semi / anti joins + set ops (S5/F5 allowlist filter; J13 archive sweep;
+# U1-U4 union/except) — one tagged query so every family keeps a
+# driver-visible value check inside the 50-query window.
 # ---------------------------------------------------------------------------
 @register(
-    "semi_join_urgent_customers",
+    "customer_key_set_algebra",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'semi' AS op, c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment
     FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-    """,
-)
-def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join — the allowlist-filter idiom (SURVEY §2.1 S5, §2.2 F5).
-
-    Reference analogue: keep TSV rows whose key is in an in-RAM
-    allowlist set (create_collections.py:160-188). Here the allowlist
-    is a broadcast semi-join, which scales past RAM.
-    """
-    customer = tbl(spark, sf_dir, "customer")
-    urgent = tbl(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return customer.join(
-        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "anti_join_orderless_customers",
-    oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
+    UNION ALL
+    SELECT 'anti' AS op, c_custkey, c_name, c_mktsegment
     FROM customer
     WHERE c_custkey NOT IN
           (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'setop' AS op, c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+           CAST(NULL AS VARCHAR) AS c_mktsegment
+    FROM (
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+       UNION
+       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
     """,
 )
-def anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join — the archive-sweep idiom (SURVEY §2.3 J13):
-    customers with no urgent order.
+def customer_key_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join + anti-join + union/except in one tagged result
+    (SURVEY §2.1 S5, §2.2 F5, §2.3 J13, §2.6 U1-U4).
 
-    Reference analogue: ES ids not covered by the current input get
-    archived (update_es.py:306-311) — an anti-join of index state
-    against the new snapshot. The right side is filtered (urgent
-    orders only) so the anti-join is non-vacuous at every scale
-    factor: with the unfiltered orders table the synthetic data gives
-    every customer an order and the result is always empty.
+    - ``semi``: LEFT SEMI join — the allowlist-filter idiom: keep rows
+      whose key is in an allowlist (reference: in-RAM set membership,
+      create_collections.py:160-188; here a broadcast semi-join, which
+      scales past RAM).
+    - ``anti``: LEFT ANTI join — the archive-sweep idiom: ES ids not
+      covered by the current input get archived (update_es.py:306-311).
+      The right side is filtered (urgent orders only) so the anti-join
+      is non-vacuous at every scale factor.
+    - ``setop``: UNION-distinct then EXCEPT (merged stream = categories
+      ∪ lists, create_merged.py:624-706; unknown articles = input −
+      validated, scripts/functions.py:221-226).
     """
     customer = tbl(spark, sf_dir, "customer")
-    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name", "c_mktsegment"
+    orders = tbl(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    null_str = F.lit(None).cast("string")
+    semi = (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_name", null_str.alias("c_mktsegment"))
     )
+    anti = (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey", "c_name", "c_mktsegment")
+    )
+    auto = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    setop = (
+        auto.union(building)
+        .distinct()
+        .exceptAll(low.distinct())
+        .select(
+            F.lit("setop").alias("op"),
+            "c_custkey",
+            null_str.alias("c_name"),
+            null_str.alias("c_mktsegment"),
+        )
+    )
+    return semi.unionByName(anti).unionByName(setop)
 
 
 # ---------------------------------------------------------------------------
@@ -354,36 +377,6 @@ def entity_assembly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("value", 6)).cast("double").alias("total_value"),
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
     )
-
-
-# ---------------------------------------------------------------------------
-# U1-U4: set operations.
-# ---------------------------------------------------------------------------
-@register(
-    "set_ops_customer_keys",
-    oracle="""
-    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
-     UNION
-     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-    EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    """,
-)
-def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION-distinct then EXCEPT (SURVEY §2.6 U1-U4).
-
-    Reference analogue: merged stream = categories ∪ lists
-    (create_merged.py:624-706); unknown articles = input − validated
-    (scripts/functions.py:221-226).
-    """
-    customer = tbl(spark, sf_dir, "customer")
-    orders = tbl(spark, sf_dir, "orders")
-    auto = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
-    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return auto.union(building).distinct().exceptAll(low.distinct())
 
 
 # ---------------------------------------------------------------------------

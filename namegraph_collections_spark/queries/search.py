@@ -387,7 +387,7 @@ NDCG_K = 10
 
 
 @register(
-    "ndcg_eval",
+    "search_eval_metrics",
     oracle=f"""
     WITH ranked AS (
       SELECT source, doc_id, CAST(n_chars % 4 AS INT) AS rel,
@@ -411,21 +411,31 @@ NDCG_K = 10
       SELECT source,
         SUM(CAST(ROUND((pow(2, rel) - 1) / log2(irnk + 1), 6) AS DECIMAL(18,6))) AS idcg
       FROM ideal GROUP BY source
+    ),
+    per_source AS (
+      SELECT source,
+        CAST(COUNT(*) FILTER (WHERE rel >= 2) AS BIGINT) AS n_relevant,
+        CAST(COUNT(*) FILTER (WHERE rel >= 2 AND rnk <= {NDCG_K}) AS BIGINT) AS hits
+      FROM ranked GROUP BY source
     )
     SELECT dcg.source,
            CAST(dcg.dcg AS DOUBLE) AS dcg,
            CAST(idcg.idcg AS DOUBLE) AS idcg,
-           ROUND(CAST(dcg.dcg AS DOUBLE) / nullif(CAST(idcg.idcg AS DOUBLE), 0), 6) AS ndcg
-    FROM dcg JOIN idcg USING (source)
+           ROUND(CAST(dcg.dcg AS DOUBLE) / nullif(CAST(idcg.idcg AS DOUBLE), 0), 6) AS ndcg,
+           n_relevant, hits,
+           ROUND(hits / nullif(n_relevant, 0), 6) AS recall
+    FROM dcg JOIN idcg USING (source) JOIN per_source USING (source)
     """,
 )
-def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@{NDCG_K} ranking-quality evaluation (SURVEY §2.9;
-    compare_window_sizes.py:191-211, evaluate_endpoints.py:450-473).
+def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{NDCG_K} + Recall@{NDCG_K} ranking evaluation (SURVEY §2.9;
+    compare_window_sizes.py:191-211, evaluate_endpoints.py:450-473 and
+    :580-598) — both metrics over one shared ranking fixture.
 
     Per query group (source): DCG over the ranked top-k with graded
     relevance, IDCG over the ideal reordering of the same k, NDCG =
-    DCG/IDCG. Per-position contributions round-then-decimal-sum so the
+    DCG/IDCG; recall = share of all relevant docs (rel ≥ 2) the top-k
+    retrieves. Per-position contributions round-then-decimal-sum so the
     metric is reproducible under any partitioning — an eval you can
     trust across cluster sizes. Evaluated over public docs only (F13).
     """
@@ -436,17 +446,24 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("n_chars") % 4).cast("int").alias("rel"),
         F.row_number().over(w).alias("rnk"),
-    ).filter(F.col("rnk") <= NDCG_K)
+    )
+    topk = ranked.filter(F.col("rnk") <= NDCG_K)
     wi = Window.partitionBy("source").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
-    ideal = ranked.select("source", "rel", F.row_number().over(wi).alias("irnk"))
+    ideal = topk.select("source", "rel", F.row_number().over(wi).alias("irnk"))
 
     def contrib(rel, pos):
         return F.round((F.pow(F.lit(2.0), rel) - 1) / F.log2(pos + 1), 6).cast("decimal(18,6)")
 
-    dcg = ranked.groupBy("source").agg(F.sum(contrib(F.col("rel"), F.col("rnk"))).alias("dcg"))
+    dcg = topk.groupBy("source").agg(F.sum(contrib(F.col("rel"), F.col("rnk"))).alias("dcg"))
     idcg = ideal.groupBy("source").agg(F.sum(contrib(F.col("rel"), F.col("irnk"))).alias("idcg"))
+    rel = F.col("rel") >= 2
+    per_source = ranked.groupBy("source").agg(
+        F.count(F.when(rel, 1)).alias("n_relevant"),
+        F.count(F.when(rel & (F.col("rnk") <= NDCG_K), 1)).alias("hits"),
+    )
     return (
         dcg.join(idcg, "source")
+        .join(per_source, "source")
         .select(
             "source",
             F.col("dcg").cast("double").alias("dcg"),
@@ -456,6 +473,9 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.nullif(F.col("idcg").cast("double"), F.lit(0.0)),
                 6,
             ).alias("ndcg"),
+            "n_relevant",
+            "hits",
+            F.round(F.col("hits") / F.nullif(F.col("n_relevant"), F.lit(0)), 6).alias("recall"),
         )
     )
 
@@ -471,10 +491,8 @@ FIELD_SPECS = {
 TITLE_TOKENS = 5
 
 
-@register(
-    "multifield_bm25",
-    oracle=f"""
-    WITH fields AS (
+_FIELD_CONTRIB_SQL = f"""
+    fields AS (
       SELECT doc_id, 'title' AS field,
              list_slice(string_split(lower(text), ' '), 1, {TITLE_TOKENS}) AS toks
       FROM documents WHERE {PUBLIC_SQL}
@@ -495,7 +513,7 @@ TITLE_TOKENS = 5
     ),
     df AS (SELECT field, token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY field, token),
     contrib AS (
-      SELECT tf.doc_id,
+      SELECT tf.doc_id, tf.token,
         CAST(ROUND(
           (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["boost"]}
                          ELSE {FIELD_SPECS["body"]["boost"]} END)
@@ -511,27 +529,14 @@ TITLE_TOKENS = 5
       JOIN df ON tf.field = df.field AND tf.token = df.token
       JOIN doclen ON tf.doc_id = doclen.doc_id AND tf.field = doclen.field
       JOIN corpus ON corpus.field = tf.field
-    ),
-    scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM contrib GROUP BY doc_id)
-    SELECT doc_id, score, rnk FROM (
-      SELECT doc_id, score,
-             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
-      FROM scored
-    ) WHERE rnk <= {TOP_K}
-    """,
-)
-def multifield_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-field boosted BM25 — the reference's actual query shape
-    (§2.9 ★: multi_match most_fields with boosts, per-field b; name
-    fields length-neutral with b=0).
+    )
+"""
 
-    Documents are split into a title field (first {TITLE_TOKENS}
-    tokens) and a body; per-field token stats feed per-field BM25 with
-    the field's boost and b, summed per doc (most_fields semantics),
-    global top-k window last. One explode + per-field aggs — field
-    count multiplies state, not passes over the data. Public docs
-    only (F13).
-    """
+
+def _field_contribs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, field, term) boosted BM25 contributions — the shared
+    stats pipeline of both multi-field variants: one explode, per-field
+    token stats, per-field BM25 with the field's boost and b."""
     docs = spread(_public(tbl(spark, sf_dir, "documents")), "doc_id")
     all_toks = F.split(F.lower("text"), " ")
     fields = docs.select(
@@ -562,12 +567,13 @@ def multifield_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.when(F.col("field") == "title", F.lit(FIELD_SPECS["title"]["b"])).otherwise(
         F.lit(FIELD_SPECS["body"]["b"])
     )
-    contrib = (
+    return (
         tf.join(F.broadcast(df), ["field", "token"])
         .join(doclen, ["doc_id", "field"])
         .join(F.broadcast(corpus), "field")
         .select(
             "doc_id",
+            "token",
             F.round(
                 boost
                 * F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -579,8 +585,74 @@ def multifield_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
-    scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
-    return _ranked_topk(scored, TOP_K, F.col("score").desc(), F.col("doc_id").asc())
+
+
+@register(
+    "multifield_bm25_variants",
+    oracle=f"""
+    WITH {_FIELD_CONTRIB_SQL},
+    most_scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM contrib GROUP BY doc_id),
+    per_term AS (SELECT doc_id, token, MAX(c) AS c FROM contrib GROUP BY doc_id, token),
+    cross_scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM per_term GROUP BY doc_id)
+    SELECT 'most_fields' AS variant, doc_id, score, rnk FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM most_scored
+    ) WHERE rnk <= {TOP_K}
+    UNION ALL
+    SELECT 'cross_fields' AS variant, doc_id, score, rnk FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM cross_scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def multifield_bm25_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field boosted BM25, both ES variants in one tagged result
+    (§2.9 ★: multi_match with collection_name^3-style boosts and
+    per-field b — b=0 name fields are length-neutral;
+    measure-times.py:86-143, populate.py:106-112).
+
+    Documents split into a title field (first {TITLE_TOKENS} tokens)
+    and a body; per-field token stats feed per-field BM25 with the
+    field's boost and b. ``most_fields`` SUMS a term's per-field
+    scores per doc; ``cross_fields`` treats the fields as one blended
+    field — per term the BEST field contribution counts (ES's blended
+    term query with tie_breaker=0), then terms sum. The expensive
+    stats pipeline (one explode + per-field aggs) is computed once and
+    shared; only the final aggregation differs, so the variant
+    dimension costs one extra tiny agg, not another pass over the
+    corpus. Public docs only (F13).
+    """
+    contrib = _field_contribs(spark, sf_dir)
+    per_term = contrib.groupBy("doc_id", "token").agg(
+        F.sum("c").alias("sum_c"), F.max("c").alias("max_c")
+    )
+    # Both variants from ONE aggregation pass: most_fields = Σ all
+    # field contribs, cross_fields = Σ per-term best-field contrib.
+    # localCheckpoint is load-bearing twice over: (a) it materializes
+    # the expensive stats pipeline once instead of once per variant,
+    # and (b) it cuts the lineage so the two top-k branches below do
+    # not share an agg+window subtree — Spark's plan deduplication
+    # mis-rewrites the second occurrence of an identical aggregate
+    # chain under a union (observed: the second branch's groupBy
+    # silently drops terms), and a checkpointed leaf sidesteps the
+    # rewrite entirely. The checkpointed set is one row of two doubles
+    # per MATCHED doc — small at any corpus size.
+    scores = per_term.groupBy("doc_id").agg(
+        F.sum("sum_c").cast("double").alias("most_score"),
+        F.sum("max_c").cast("double").alias("cross_score"),
+    ).localCheckpoint()
+
+    def tag(col: str, v: str) -> DataFrame:
+        return _ranked_topk(
+            scores.select("doc_id", F.col(col).alias("score")),
+            TOP_K,
+            F.col("score").desc(),
+            F.col("doc_id").asc(),
+        ).select(F.lit(v).alias("variant"), "doc_id", "score", "rnk")
+
+    return tag("most_score", "most_fields").unionByName(tag("cross_score", "cross_fields"))
 
 
 @register(
@@ -679,158 +751,3 @@ def stemmed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked_topk(scored, TOP_K, F.col("score").desc(), F.col("doc_id").asc())
 
 
-@register(
-    "crossfields_bm25",
-    oracle=f"""
-    WITH fields AS (
-      SELECT doc_id, 'title' AS field,
-             list_slice(string_split(lower(text), ' '), 1, {TITLE_TOKENS}) AS toks
-      FROM documents WHERE {PUBLIC_SQL}
-      UNION ALL
-      SELECT doc_id, 'body' AS field,
-             list_slice(string_split(lower(text), ' '), {TITLE_TOKENS} + 1,
-                        len(string_split(text, ' '))) AS toks
-      FROM documents WHERE {PUBLIC_SQL}
-    ),
-    toks AS (SELECT doc_id, field, unnest(toks) AS token FROM fields),
-    doclen AS (SELECT doc_id, field, COUNT(*) AS dl FROM toks GROUP BY doc_id, field),
-    corpus AS (SELECT field, COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
-               FROM doclen GROUP BY field),
-    tf AS (
-      SELECT doc_id, field, token, COUNT(*) AS tf FROM toks
-      WHERE token IN ({", ".join(f"'{t}'" for t in QUERY_TERMS)})
-      GROUP BY doc_id, field, token
-    ),
-    df AS (SELECT field, token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY field, token),
-    contrib AS (
-      SELECT tf.doc_id, tf.token,
-        CAST(ROUND(
-          (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["boost"]}
-                         ELSE {FIELD_SPECS["body"]["boost"]} END)
-          * ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
-          * (tf.tf * ({K1} + 1))
-          / (tf.tf + {K1} * (1 - (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["b"]}
-                                                ELSE {FIELD_SPECS["body"]["b"]} END)
-                             + (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["b"]}
-                                              ELSE {FIELD_SPECS["body"]["b"]} END)
-                               * doclen.dl / corpus.avgdl)), 6)
-        AS DECIMAL(18,6)) AS c
-      FROM tf
-      JOIN df ON tf.field = df.field AND tf.token = df.token
-      JOIN doclen ON tf.doc_id = doclen.doc_id AND tf.field = doclen.field
-      JOIN corpus ON corpus.field = tf.field
-    ),
-    per_term AS (SELECT doc_id, token, MAX(c) AS c FROM contrib GROUP BY doc_id, token),
-    scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM per_term GROUP BY doc_id)
-    SELECT doc_id, score, rnk FROM (
-      SELECT doc_id, score,
-             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
-      FROM scored
-    ) WHERE rnk <= {TOP_K}
-    """,
-)
-def crossfields_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cross_fields variant of the multi-field query (§2.9;
-    measure-times.py:107-143): where most_fields SUMS a term's per-field
-    scores, cross_fields treats the fields as one blended field — per
-    term, the BEST field contribution counts (ES's blended term query
-    with tie_breaker=0), then terms sum per doc. Same single explode +
-    per-field stats as multifield_bm25; only the final per-term
-    aggregation differs (max, then sum)."""
-    docs = spread(_public(tbl(spark, sf_dir, "documents")), "doc_id")
-    all_toks = F.split(F.lower("text"), " ")
-    fields = docs.select(
-        "doc_id", F.lit("title").alias("field"), F.slice(all_toks, 1, TITLE_TOKENS).alias("toks")
-    ).unionByName(
-        docs.select(
-            "doc_id",
-            F.lit("body").alias("field"),
-            F.slice(
-                all_toks, TITLE_TOKENS + 1, F.greatest(F.size(all_toks) - TITLE_TOKENS, F.lit(0))
-            ).alias("toks"),
-        )
-    )
-    toks = fields.select("doc_id", "field", F.explode("toks").alias("token"))
-    doclen = toks.groupBy("doc_id", "field").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = doclen.groupBy("field").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
-    )
-    tf = (
-        toks.filter(F.col("token").isin(QUERY_TERMS))
-        .groupBy("doc_id", "field", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("field", "token").agg(F.countDistinct("doc_id").alias("df"))
-    boost = F.when(F.col("field") == "title", F.lit(FIELD_SPECS["title"]["boost"])).otherwise(
-        F.lit(FIELD_SPECS["body"]["boost"])
-    )
-    b = F.when(F.col("field") == "title", F.lit(FIELD_SPECS["title"]["b"])).otherwise(
-        F.lit(FIELD_SPECS["body"]["b"])
-    )
-    contrib = (
-        tf.join(F.broadcast(df), ["field", "token"])
-        .join(doclen, ["doc_id", "field"])
-        .join(F.broadcast(corpus), "field")
-        .select(
-            "doc_id",
-            "token",
-            F.round(
-                boost
-                * F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * (F.col("tf") * (K1 + 1))
-                / (F.col("tf") + K1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("c"),
-        )
-    )
-    per_term = contrib.groupBy("doc_id", "token").agg(F.max("c").alias("c"))
-    scored = per_term.groupBy("doc_id").agg(F.sum("c").cast("double").alias("score"))
-    return _ranked_topk(scored, TOP_K, F.col("score").desc(), F.col("doc_id").asc())
-
-
-@register(
-    "recall_eval",
-    oracle=f"""
-    WITH ranked AS (
-      SELECT source, doc_id, CAST(n_chars % 4 AS INT) AS rel,
-             ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY n_chars DESC, doc_id ASC) AS rnk
-      FROM documents WHERE {PUBLIC_SQL}
-    ),
-    per_source AS (
-      SELECT source,
-        CAST(COUNT(*) FILTER (WHERE rel >= 2) AS BIGINT) AS n_relevant,
-        CAST(COUNT(*) FILTER (WHERE rel >= 2 AND rnk <= {NDCG_K}) AS BIGINT) AS hits
-      FROM ranked GROUP BY source
-    )
-    SELECT source, n_relevant, hits,
-           ROUND(hits / nullif(n_relevant, 0), 6) AS recall
-    FROM per_source
-    """,
-)
-def recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{NDCG_K} ranking evaluation (§2.9;
-    evaluate_endpoints.py:580-598): per query group, the share of all
-    relevant docs (graded rel ≥ 2) that the ranked top-k retrieves.
-    Same ranking/relevance fixture as ndcg_eval; one window + one
-    conditional aggregation. Public docs only (F13)."""
-    docs = _public(tbl(spark, sf_dir, "documents"))
-    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-    ranked = docs.select(
-        "source",
-        (F.col("n_chars") % 4).cast("int").alias("rel"),
-        F.row_number().over(w).alias("rnk"),
-    )
-    rel = F.col("rel") >= 2
-    per_source = ranked.groupBy("source").agg(
-        F.count(F.when(rel, 1)).alias("n_relevant"),
-        F.count(F.when(rel & (F.col("rnk") <= NDCG_K), 1)).alias("hits"),
-    )
-    return per_source.select(
-        "source",
-        "n_relevant",
-        "hits",
-        F.round(F.col("hits") / F.nullif(F.col("n_relevant"), F.lit(0)), 6).alias("recall"),
-    )

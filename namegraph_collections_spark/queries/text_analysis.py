@@ -19,36 +19,54 @@ STOPWORDS = ["the", "a", "of", "and", "to"]
 
 
 @register(
-    "doc_quality_scores",
+    "text_features",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, lang, n_chars,
+    WITH feat AS (
+      SELECT doc_id, lang, n_chars, text,
              string_split(text, ' ') AS tokens,
              length(text) AS text_len
       FROM documents
     ), stats AS (
-      SELECT doc_id, lang, n_chars, text_len,
+      SELECT doc_id, lang, text, text_len,
              len(tokens) AS n_tokens,
              len(list_filter(tokens, t -> list_contains({STOPWORDS!r}, t))) AS n_stopwords,
-             len(list_distinct(tokens)) AS n_unique_tokens
-      FROM toks
+             len(list_distinct(tokens)) AS n_unique_tokens,
+             len(list_filter(tokens, t -> t IN ('the', 'a'))) AS en_markers
+      FROM feat
     )
     SELECT doc_id, lang, n_tokens, n_unique_tokens, n_stopwords,
       ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
       ROUND(CAST(n_unique_tokens AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
       ROUND(CAST(text_len AS DOUBLE) / n_tokens, 6) AS avg_token_span,
       CASE WHEN n_tokens >= 50 AND CAST(n_unique_tokens AS DOUBLE) / n_tokens >= 0.3
-           THEN 'high' WHEN n_tokens >= 20 THEN 'medium' ELSE 'low' END AS quality_bucket
+           THEN 'high' WHEN n_tokens >= 20 THEN 'medium' ELSE 'low' END AS quality_bucket,
+      CASE WHEN CAST(en_markers AS DOUBLE) / n_tokens > 0.05 THEN 'en' ELSE 'other' END
+        AS predicted_lang,
+      ROUND(CAST(en_markers AS DOUBLE) / n_tokens, 6) AS marker_ratio,
+      md5(lower(trim(text))) AS fingerprint,
+      md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+        AS bag_fingerprint
     FROM stats
     """,
 )
-def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features + bucket (driver brief: text analysis).
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text features in ONE scan (driver brief: quality
+    scoring + language-ID + document fingerprinting):
 
-    Length/stopword/type-token ratios as pure column expressions —
-    scan-parallel, zero shuffle. Mirrors the shape of the reference's
-    interesting-score enrichment (create_merged.py:82-97) with a
-    deterministic, expression-level model.
+    - quality: length/stopword/type-token ratios + bucket, the shape
+      of the reference's interesting-score enrichment
+      (create_merged.py:82-97) with a deterministic expression model;
+    - language-ID: marker-token n-gram-profile classifier (the corpus
+      is English-wordlist text, so a two-class en/other profile — the
+      scan-parallel per-doc-feature→classify plumbing is the
+      scale-relevant part);
+    - fingerprints: ``fingerprint`` hashes the normalized text;
+      ``bag_fingerprint`` hashes the sorted unique-token set so
+      token-order-shuffled copies collide — the cheap first stage
+      before MinHash (queries/dedup.py).
+
+    All pure column expressions over one pass — scan-parallel, zero
+    shuffle, and one scan instead of three for the three families.
     """
     docs = tbl(spark, sf_dir, "documents")
     tokens = F.split(F.col("text"), " ")
@@ -56,11 +74,14 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.select(
         "doc_id",
         "lang",
+        "text",
         F.length("text").alias("text_len"),
         F.size(tokens).alias("n_tokens"),
         F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))).alias("n_stopwords"),
         F.size(F.array_distinct(tokens)).alias("n_unique_tokens"),
+        F.size(F.filter(tokens, lambda t: t.isin("the", "a"))).alias("en_markers"),
     )
+    marker_ratio = F.col("en_markers").cast("double") / F.col("n_tokens")
     return stats.select(
         "doc_id",
         "lang",
@@ -80,6 +101,12 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_tokens") >= 20, "medium")
         .otherwise("low")
         .alias("quality_bucket"),
+        F.when(marker_ratio > 0.05, "en").otherwise("other").alias("predicted_lang"),
+        F.round(marker_ratio, 6).alias("marker_ratio"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " ")
+        ).alias("bag_fingerprint"),
     )
 
 
@@ -109,74 +136,6 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df"))
         .filter(F.col("n") >= 5)
-    )
-
-
-@register(
-    "language_id_heuristic",
-    oracle="""
-    WITH feat AS (
-      SELECT doc_id, lang AS actual_lang,
-             len(string_split(text, ' ')) AS n_tokens,
-             len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS en_markers
-      FROM documents
-    )
-    SELECT doc_id, actual_lang,
-           CASE WHEN CAST(en_markers AS DOUBLE) / n_tokens > 0.05 THEN 'en' ELSE 'other' END
-             AS predicted_lang,
-           ROUND(CAST(en_markers AS DOUBLE) / n_tokens, 6) AS marker_ratio
-    FROM feat
-    """,
-)
-def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language-ID heuristic (driver brief: language-ID).
-
-    An n-gram/marker-profile classifier expressed as column math. The
-    synthetic corpus is English-wordlist text, so the heuristic is a
-    two-class en/other profile; the *plumbing* (per-doc feature →
-    classify, scan-parallel) is the scale-relevant part.
-    """
-    docs = tbl(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), " ")
-    feat = docs.select(
-        "doc_id",
-        F.col("lang").alias("actual_lang"),
-        F.size(tokens).alias("n_tokens"),
-        F.size(F.filter(tokens, lambda t: t.isin("the", "a"))).alias("en_markers"),
-    )
-    ratio = F.col("en_markers").cast("double") / F.col("n_tokens")
-    return feat.select(
-        "doc_id",
-        "actual_lang",
-        F.when(ratio > 0.05, "en").otherwise("other").alias("predicted_lang"),
-        F.round(ratio, 6).alias("marker_ratio"),
-    )
-
-
-@register(
-    "doc_fingerprints",
-    oracle="""
-    SELECT doc_id,
-           md5(lower(trim(text))) AS fingerprint,
-           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
-             AS bag_fingerprint
-    FROM documents
-    """,
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact + bag-of-words document fingerprints (driver brief).
-
-    ``fingerprint`` hashes the normalized text; ``bag_fingerprint``
-    hashes the sorted unique-token set, so token-order-shuffled copies
-    collide — the cheap first stage before MinHash (queries/dedup.py).
-    """
-    docs = tbl(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
-        F.md5(
-            F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " ")
-        ).alias("bag_fingerprint"),
     )
 
 

@@ -51,14 +51,76 @@ def test_hot_shingle_cap_keeps_candidates_subquadratic(spark):
 def test_simhash_banding_finds_identical_docs(spark, sf_dir):
     from namegraph_collections_spark.queries import REGISTRY
 
-    fp = REGISTRY["simhash_fingerprints"].fn(spark, sf_dir)
-    dup_groups = fp.filter(F.col("n_docs") > 1).count()
-    cands = REGISTRY["simhash_hamming_candidates"].fn(spark, sf_dir)
-    # every multi-doc fingerprint group implies ≥1 hamming-0 pair the
-    # banded join must surface
-    zero = cands.filter(F.col("hamming") == 0).count()
-    assert (dup_groups == 0) or (zero > 0)
-    # banding is a candidate filter, not all-pairs: the pair set stays
-    # far below quadratic in corpus size
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    assert cands.count() < n_docs * (n_docs - 1) / 4
+    cands = REGISTRY["simhash_neardup_candidates"].fn(spark, sf_dir).cache()
+    try:
+        # identical-fingerprint pairs must surface with hamming 0 (the
+        # output carries both docs' fingerprint halves, so this checks
+        # the fingerprint computation and the banding in one pass)
+        ident = cands.filter(
+            (F.col("a_hi") == F.col("b_hi")) & (F.col("a_lo") == F.col("b_lo"))
+        )
+        assert ident.count() == ident.filter(F.col("hamming") == 0).count()
+        # banding is a candidate filter, not all-pairs: the pair set
+        # stays far below quadratic in corpus size
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert cands.count() < n_docs * (n_docs - 1) / 4
+    finally:
+        cands.unpersist()
+
+
+def test_hot_type_cap_bounds_related_collections(spark, monkeypatch, tmp_path):
+    """A mega-type shared by every collection must be dropped by the
+    df-cap before the type self-join — otherwise related-collections
+    goes N² on one hot key (the 'human'-type scenario)."""
+    import namegraph_collections_spark.queries.collections_ops as co
+
+    n = 60
+    rows = [
+        # every part shares brand MEGA and size 1 → one hot composite
+        # type of df=n; p_type gives each a small distinct type shared
+        # with exactly one neighbour
+        (i, f"t{i // 2}", 1, "MEGA") for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_type string, p_size int, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    monkeypatch.setattr(co, "HOT_TYPE_DF_CAP", 10)
+    out = co.related_collections_precompute(spark, str(tmp_path)).collect()
+    # hot type contributes nothing: only the n/2 neighbour pairs remain
+    # (each produces two directed rows), far below quadratic
+    assert len(out) == n
+    assert all(r["n_shared"] == 1 for r in out)
+    assert all(r["primary_type"].startswith("t") for r in out)
+
+
+def test_simhash_bucket_cap_bounds_degenerate_bands(spark, monkeypatch):
+    """A corpus of near-empty docs collapses every fingerprint to the
+    same few band values; the per-(band, band_val) cap must keep the
+    band self-join sub-quadratic instead of letting one degenerate
+    bucket go N²."""
+    import namegraph_collections_spark.queries.dedup as dd
+
+    n = 80
+    # one shared token → every doc has the identical fingerprint, the
+    # worst case for banding (all 4 bands collide for all docs)
+    docs = spark.createDataFrame(
+        [(i, "sametoken") for i in range(n)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(dd, "SIMHASH_BUCKET_CAP", 10)
+
+    fp_bits = dd._simhash_bit_sums(docs)
+    # run the registered plan on a temp view-backed dir is overkill;
+    # exercise the capped join shape directly through the query fn by
+    # pointing it at a parquet dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("s")
+        ).withColumn("n_chars", F.length("text")).write.parquet(f"{d}/documents.parquet")
+        pairs = dd.simhash_neardup_candidates(spark, d)
+        # cap=10 → at most C(10,2)=45 pairs per (band, band_val) bucket;
+        # 4 bands of the same 10 capped docs dedup to ≤45 total, far
+        # below the uncapped C(80,2)=3160
+        assert pairs.count() <= 45
+    assert fp_bits.count() == n

@@ -35,13 +35,9 @@ def test_regional_revenue_broadcasts_dimensions(spark):
     assert "BroadcastHashJoin" in plan  # region/nation are dimension-sized
 
 
-def test_semi_join_physical(spark):
-    plan = formatted_plan(REGISTRY["semi_join_urgent_customers"].fn(spark, SF))
+def test_semi_and_anti_join_physical(spark):
+    plan = formatted_plan(REGISTRY["customer_key_set_algebra"].fn(spark, SF))
     assert "LeftSemi" in plan
-
-
-def test_anti_join_physical(spark):
-    plan = formatted_plan(REGISTRY["anti_join_orderless_customers"].fn(spark, SF))
     assert "LeftAnti" in plan
 
 
@@ -53,7 +49,7 @@ def test_anti_join_physical(spark):
         "topk_orders_per_customer",
         "bm25_search",
         "minhash_lsh_candidates",
-        "simhash_fingerprints",
+        "simhash_neardup_candidates",
         "session_window_rollup",
         "exact_dedup_groups",
         "hourly_event_rollup",
