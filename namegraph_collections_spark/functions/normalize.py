@@ -53,7 +53,14 @@ def force_normalize(label: str) -> str:
     Raises DisallowedLabel on empty results or non-Latin/digit/emoji
     content (mirroring the reference's DisallowedSequence path at
     create_merged.py:199-206).
+
+    With ``NGCS_REAL_LIBS=1`` and ens-normalize + unidecode installed,
+    the real reference recipe runs instead (functions/real_adapter.py).
     """
+    from namegraph_collections_spark.functions import real_adapter
+
+    if real_adapter.use_real_normalize():
+        return real_adapter.force_normalize_real(label)
     s = unicodedata.normalize("NFKC", label).casefold()
     s = "".join(ch for ch in s if ch not in _REMOVE)
     if not s:

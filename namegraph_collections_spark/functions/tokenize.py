@@ -60,7 +60,14 @@ _MAX_WORD = max(len(w) for w in _VOCAB_ORDERED)
 @lru_cache(maxsize=4096)
 def dictionary_split(chunk: str) -> tuple[str, ...]:
     """Min-cost DP split of ``chunk`` into vocabulary words; returns
-    the chunk unsplit when no full cover exists."""
+    the chunk unsplit when no full cover exists.
+
+    With ``NGCS_REAL_LIBS=1`` and wordninja installed, the real
+    splitter runs instead (functions/real_adapter.py)."""
+    from namegraph_collections_spark.functions import real_adapter
+
+    if real_adapter.use_real_wordsplit():
+        return real_adapter.word_split_real(chunk)
     lower = chunk.lower()
     n = len(lower)
     best: list[tuple[float, int] | None] = [None] * (n + 1)
