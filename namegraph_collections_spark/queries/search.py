@@ -93,34 +93,71 @@ _LOG_FEATURES = [  # (name, stat column)
     ("digits", "s_digits"),
     ("vowels", "s_vowels"),
 ]
-#: Deterministic linear model standing in for the RankLib ensemble —
-#: order matters: the weighted sum is evaluated in this exact order on
-#: both engines so float addition is bit-identical.
-FEATURE_WEIGHTS = {
-    "f_match_text": 0.5,
-    "f_match_title": 0.4,
-    "f_match_body": 0.3,
-    "f_match_distinct": 0.6,
-    "f_match_lang": 0.2,
-    "f_match_source": 0.2,
-    "f_sat_chars": 2.0,
-    "f_sat_tokens": 1.5,
-    "f_sat_distinct": 1.2,
-    "f_sat_avglen": 0.8,
-    "f_sat_maxlen": 0.5,
-    "f_sat_title_chars": 0.7,
-    "f_sat_body_chars": 0.9,
-    "f_sat_digits": 0.4,
-    "f_sat_vowels": 0.6,
-    "f_sat_uniq": 1.1,
-    "f_log_chars": 0.3,
-    "f_log_tokens": 0.25,
-    "f_log_distinct": 0.2,
-    "f_log_digits": 0.1,
-    "f_log_vowels": 0.15,
-    "f_size_names": 0.05,
-}
-LTR_FEATURE_NAMES = list(FEATURE_WEIGHTS)
+LTR_FEATURE_NAMES = [
+    "f_match_text",
+    "f_match_title",
+    "f_match_body",
+    "f_match_distinct",
+    "f_match_lang",
+    "f_match_source",
+    "f_sat_chars",
+    "f_sat_tokens",
+    "f_sat_distinct",
+    "f_sat_avglen",
+    "f_sat_maxlen",
+    "f_sat_title_chars",
+    "f_sat_body_chars",
+    "f_sat_digits",
+    "f_sat_vowels",
+    "f_sat_uniq",
+    "f_log_chars",
+    "f_log_tokens",
+    "f_log_distinct",
+    "f_log_digits",
+    "f_log_vowels",
+    "f_size_names",
+]
+
+#: Deterministic tree-ensemble model standing in for the trained
+#: RankLib LambdaMART the reference rescores with (an sltr stored
+#: model, research/learning-to-rank/search.py:78-94; RankLib's
+#: LambdaMART output is an additive ensemble of small regression
+#: trees). Each entry is one depth-2 tree:
+#:   (root_feat, root_thr,
+#:    (left_feat, left_thr, leafLL, leafLR),
+#:    (right_feat, right_thr, leafRL, leafRR))
+#: meaning: if root_feat <= root_thr descend left, else right; each
+#: child splits once more and emits a leaf value. The ensemble score
+#: is the plain sum of leaf outputs — weights are fixed constants, so
+#: both engines compile the SAME nested conditionals from this one
+#: spec and the float sum is evaluated in the same order.
+LTR_TREES = [
+    ("f_match_distinct", 1.0, ("f_sat_chars", 0.45, 0.031, 0.118), ("f_log_tokens", 4.1, 0.205, 0.344)),
+    ("f_match_text", 2.0, ("f_sat_tokens", 0.42, 0.027, 0.094), ("f_match_title", 0.0, 0.156, 0.262)),
+    ("f_sat_chars", 0.5, ("f_log_chars", 5.6, 0.018, 0.071), ("f_sat_uniq", 0.48, 0.125, 0.199)),
+    ("f_log_distinct", 3.9, ("f_match_body", 1.0, 0.022, 0.087), ("f_sat_distinct", 0.44, 0.141, 0.228)),
+    ("f_sat_avglen", 0.41, ("f_sat_digits", 0.35, 0.012, 0.058), ("f_sat_maxlen", 0.46, 0.096, 0.167)),
+    ("f_match_lang", 0.0, ("f_sat_vowels", 0.43, 0.019, 0.066), ("f_log_vowels", 4.7, 0.103, 0.178)),
+    ("f_sat_body_chars", 0.47, ("f_match_source", 0.0, 0.015, 0.061), ("f_log_digits", 2.3, 0.089, 0.152)),
+    ("f_size_names", 60.0, ("f_sat_title_chars", 0.44, 0.024, 0.079), ("f_match_text", 1.0, 0.112, 0.186)),
+]
+
+
+def _tree_sql(tree) -> str:
+    rf, rt, (lf, lt, ll, lr), (gf, gt, gl, gr) = tree
+    return (
+        f"(CASE WHEN {rf} <= {rt} "
+        f"THEN (CASE WHEN {lf} <= {lt} THEN {ll} ELSE {lr} END) "
+        f"ELSE (CASE WHEN {gf} <= {gt} THEN {gl} ELSE {gr} END) END)"
+    )
+
+
+def _tree_col(tree):
+    rf, rt, (lf, lt, ll, lr), (gf, gt, gl, gr) = tree
+    return F.when(
+        F.col(rf) <= rt,
+        F.when(F.col(lf) <= lt, F.lit(ll)).otherwise(F.lit(lr)),
+    ).otherwise(F.when(F.col(gf) <= gt, F.lit(gl)).otherwise(F.lit(gr)))
 
 
 def _ltr_oracle_sql() -> str:
@@ -158,7 +195,11 @@ def _ltr_oracle_sql() -> str:
         + [f"ROUND(ln(1 + {s}), 6) AS f_log_{n}" for n, s in _LOG_FEATURES]
         + ["CAST(s_tokens AS DOUBLE) AS f_size_names"]
     )
-    model = " + ".join(f"{w} * {name}" for name, w in FEATURE_WEIGHTS.items())
+    # Leaf values are ≤3-decimal constants, so the ensemble sum is
+    # exact in DECIMAL(18,6) — the usual cross-engine determinism
+    # treatment (DuckDB parses numeric literals as DECIMAL, Spark as
+    # DOUBLE; summing decimals on both sides removes the mismatch).
+    model = " + ".join(f"CAST({_tree_sql(t)} AS DECIMAL(18,6))" for t in LTR_TREES)
     feat_cols = ", ".join(LTR_FEATURE_NAMES)
     return f"""
     WITH toks AS (
@@ -183,7 +224,7 @@ def _ltr_oracle_sql() -> str:
     ),
     rescored AS (
       SELECT doc_id, base_score, {feat_cols},
-             ROUND(0.7 * base_score + {model}, 6) AS ltr_score
+             CAST({model} AS DOUBLE) AS ltr_score
       FROM feats
     )
     SELECT doc_id, base_score, {feat_cols}, ltr_score, rnk FROM (
@@ -203,9 +244,11 @@ def search_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Phase 1 scores every public matching doc with a term-frequency
     count; only the top ``RESCORE_WINDOW`` rows get feature extraction
     (6 match + 10 saturation + 5 log + size) and the deterministic
-    linear model standing in for RankLib. At scale the feature
-    pipeline runs on 50 rows regardless of corpus size — exactly why
-    the reference extracts features at rescore time, not index time.
+    depth-2 tree ensemble standing in for the trained RankLib
+    LambdaMART (LTR_TREES — same additive-trees shape, fixed splits).
+    At scale the feature pipeline runs on 50 rows regardless of corpus
+    size — exactly why the reference extracts features at rescore
+    time, not index time.
     """
     docs = _public(tbl(spark, sf_dir, "documents"))
     toks = spread(docs, "doc_id").select(
@@ -271,13 +314,16 @@ def search_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [F.col("s_tokens").cast("double").alias("f_size_names")]
     )
     feats = stats.select("doc_id", "base_score", *feat_cols)
-    # left-associative fold starting at 0.7·base — the exact addition
-    # order of the oracle's `0.7 * base_score + w1*f1 + w2*f2 + …`, so
-    # the float sum is bit-identical across engines.
-    acc = 0.7 * F.col("base_score")
-    for name, w in FEATURE_WEIGHTS.items():
-        acc = acc + F.lit(w) * F.col(name)
-    rescored = feats.withColumn("ltr_score", F.round(acc, 6))
+    # left-associative fold over the tree outputs — the exact addition
+    # order of the oracle's `tree1 + tree2 + …`, so the float sum is
+    # bit-identical across engines. The base score carries weight 0 in
+    # the rescore, matching the reference's `"query_weight": 0`
+    # (research/learning-to-rank/search.py:88) — inside the window the
+    # model alone ranks.
+    acc = _tree_col(LTR_TREES[0]).cast("decimal(18,6)")
+    for t in LTR_TREES[1:]:
+        acc = acc + _tree_col(t).cast("decimal(18,6)")
+    rescored = feats.withColumn("ltr_score", acc.cast("double"))
     return _ranked_topk(
         rescored, FINAL_K, F.col("ltr_score").desc(), F.col("doc_id").asc()
     ).select("doc_id", "base_score", *LTR_FEATURE_NAMES, "ltr_score", "rnk")

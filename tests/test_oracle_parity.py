@@ -43,7 +43,7 @@ def test_stemmed_bm25_golden(spark, sf_dir):
 
 
 def test_ltr_rescore_feature_columns(spark, sf_dir):
-    from namegraph_collections_spark.queries.search import FEATURE_WEIGHTS, LTR_FEATURE_NAMES
+    from namegraph_collections_spark.queries.search import LTR_FEATURE_NAMES, LTR_TREES
 
     # the reference's 22-feature families (configure-ltr.py:92-121):
     # 6 match + 10 rank_feature saturations + 5 log-scaled + size
@@ -52,11 +52,19 @@ def test_ltr_rescore_feature_columns(spark, sf_dir):
     assert sum(n.startswith("f_sat_") for n in LTR_FEATURE_NAMES) == 10
     assert sum(n.startswith("f_log_") for n in LTR_FEATURE_NAMES) == 5
     assert "f_size_names" in LTR_FEATURE_NAMES
+    # every tree splits only on declared features
+    for rf, _, (lf, *_l), (gf, *_g) in LTR_TREES:
+        assert {rf, lf, gf} <= set(LTR_FEATURE_NAMES)
     df = REGISTRY["search_ltr_rescore"].fn(spark, sf_dir)
     assert set(LTR_FEATURE_NAMES) <= set(df.columns)
     row = df.orderBy("rnk").first()
-    # the linear model reproduces ltr_score from the emitted features
-    expected = 0.7 * row["base_score"] + sum(
-        w * row[name] for name, w in FEATURE_WEIGHTS.items()
-    )
+
+    # the tree ensemble reproduces ltr_score from the emitted features
+    def tree_out(tree):
+        rf, rt, (lf, lt, ll, lr), (gf, gt, gl, gr) = tree
+        if row[rf] <= rt:
+            return ll if row[lf] <= lt else lr
+        return gl if row[gf] <= gt else gr
+
+    expected = sum(tree_out(t) for t in LTR_TREES)
     assert abs(row["ltr_score"] - expected) < 1e-6
