@@ -142,7 +142,14 @@ def enrich_all_info(
         .withColumn("tokenized", F.coalesce("t_tokenized", "l_tokenized"))
         .filter(F.col("curated").isNotNull())
     )
-    # score (fixture model table), rank, status.
+    # interesting_score joins from a PRECOMPUTED score table — the
+    # engine's treatment for the reference's NameRank interesting-score
+    # model (create_merged.py:82-97), an external-service call per
+    # member. SURVEY's stance on external-model UDFs: the model runs
+    # out-of-engine and its outputs arrive as a table; the fixture
+    # scores used in tests are NOT a model, just deterministic stand-in
+    # rows. Swap in a real scored table (same (label, score) contract)
+    # to run with NameRank.
     m = (
         m.join(
             scores.select(

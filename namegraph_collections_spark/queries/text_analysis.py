@@ -17,6 +17,17 @@ from namegraph_collections_spark.queries.registry import register, spread, tbl
 # in the oracle SQL).
 STOPWORDS = ["the", "a", "of", "and", "to"]
 
+# PII scrub patterns (training-data hygiene): RE2- and Java-compatible
+# (no lookarounds), applied email → URL → IP, with the IP count taken
+# after URL masking so dotted quads inside URLs are never
+# double-counted. The synthetic corpus carries no PII, so both
+# engines synthesize a deterministic PII-bearing suffix from doc_id
+# and scrub THAT — the masks and counts are then value-checked, not
+# vacuously zero.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[A-Za-z0-9./_-]+"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
 
 @register(
     "text_features",
@@ -24,10 +35,13 @@ STOPWORDS = ["the", "a", "of", "and", "to"]
     WITH feat AS (
       SELECT doc_id, lang, n_chars, text,
              string_split(text, ' ') AS tokens,
-             length(text) AS text_len
+             length(text) AS text_len,
+             'contact user' || doc_id || '@example.com or http://host'
+               || doc_id || '.example/x at 10.0.' || (doc_id % 256) || '.7'
+               AS pii_text
       FROM documents
     ), stats AS (
-      SELECT doc_id, lang, text, text_len,
+      SELECT doc_id, lang, text, text_len, pii_text,
              len(tokens) AS n_tokens,
              len(list_filter(tokens, t -> list_contains({STOPWORDS!r}, t))) AS n_stopwords,
              len(list_distinct(tokens)) AS n_unique_tokens,
@@ -45,7 +59,15 @@ STOPWORDS = ["the", "a", "of", "and", "to"]
       ROUND(CAST(en_markers AS DOUBLE) / n_tokens, 6) AS marker_ratio,
       md5(lower(trim(text))) AS fingerprint,
       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
-        AS bag_fingerprint
+        AS bag_fingerprint,
+      len(regexp_extract_all(pii_text, '{PII_EMAIL}')) AS n_emails,
+      len(regexp_extract_all(pii_text, '{PII_URL}')) AS n_urls,
+      len(regexp_extract_all(
+            regexp_replace(pii_text, '{PII_URL}', '<URL>', 'g'), '{PII_IPV4}')) AS n_ips,
+      regexp_replace(regexp_replace(regexp_replace(pii_text,
+        '{PII_EMAIL}', '<EMAIL>', 'g'),
+        '{PII_URL}', '<URL>', 'g'),
+        '{PII_IPV4}', '<IP>', 'g') AS scrubbed
     FROM stats
     """,
 )
@@ -63,18 +85,30 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     - fingerprints: ``fingerprint`` hashes the normalized text;
       ``bag_fingerprint`` hashes the sorted unique-token set so
       token-order-shuffled copies collide — the cheap first stage
-      before MinHash (queries/dedup.py).
+      before MinHash (queries/dedup.py);
+    - PII scrub: email/URL/IPv4 detection counts + a masked text
+      (<EMAIL>/<URL>/<IP>), the standard redaction pass a training
+      corpus gets before tokenization. The corpus itself is PII-free,
+      so a deterministic PII-bearing suffix is synthesized from doc_id
+      identically on both engines and scrubbed for real evidence.
 
     All pure column expressions over one pass — scan-parallel, zero
-    shuffle, and one scan instead of three for the three families.
+    shuffle, and one scan instead of four for the four families.
     """
     docs = tbl(spark, sf_dir, "documents")
     tokens = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    did = F.col("doc_id").cast("string")
+    pii_text = F.concat(
+        F.lit("contact user"), did, F.lit("@example.com or http://host"),
+        did, F.lit(".example/x at 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
     stats = docs.select(
         "doc_id",
         "lang",
         "text",
+        pii_text.alias("pii_text"),
         F.length("text").alias("text_len"),
         F.size(tokens).alias("n_tokens"),
         F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))).alias("n_stopwords"),
@@ -107,6 +141,20 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " ")
         ).alias("bag_fingerprint"),
+        F.size(F.regexp_extract_all("pii_text", F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("pii_text", F.lit(PII_URL), F.lit(0))).alias("n_urls"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace("pii_text", PII_URL, "<URL>"), F.lit(PII_IPV4), F.lit(0)
+            )
+        ).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("pii_text", PII_EMAIL, "<EMAIL>"), PII_URL, "<URL>"
+            ),
+            PII_IPV4,
+            "<IP>",
+        ).alias("scrubbed"),
     )
 
 

@@ -53,6 +53,11 @@ def test_semi_and_anti_join_physical(spark):
         "session_window_rollup",
         "exact_dedup_groups",
         "hourly_event_rollup",
+        "customer_key_set_algebra",
+        "text_features",
+        "multifield_bm25_variants",
+        "search_ltr_rescore",
+        "related_collections_precompute",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
