@@ -28,6 +28,16 @@ PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_URL = r"https?://[A-Za-z0-9./_-]+"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
+# BPE-ish pre-tokenizer (driver brief: token counting beyond
+# whitespace): the GPT-2 pattern's segment classes — contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# residual spaces — with the trailing-space lookahead dropped so the
+# SAME regex runs under Java (Spark) and RE2 (DuckDB), neither of
+# which needs it for counting. Counting segments of this pattern
+# approximates BPE token counts far better than whitespace splitting
+# on punctuation-heavy text.
+BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
 
 @register(
     "text_features",
@@ -60,6 +70,7 @@ PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
       md5(lower(trim(text))) AS fingerprint,
       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
         AS bag_fingerprint,
+      len(regexp_extract_all(text, '{BPE_ISH.replace("'", "''")}')) AS n_bpe_tokens,
       len(regexp_extract_all(pii_text, '{PII_EMAIL}')) AS n_emails,
       len(regexp_extract_all(pii_text, '{PII_URL}')) AS n_urls,
       len(regexp_extract_all(
@@ -86,6 +97,10 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``bag_fingerprint`` hashes the sorted unique-token set so
       token-order-shuffled copies collide — the cheap first stage
       before MinHash (queries/dedup.py);
+    - token counting: whitespace tokens (n_tokens) AND a BPE-ish
+      pre-tokenizer segment count (n_bpe_tokens, the GPT-2 pattern's
+      classes) — the latter tracks real tokenizer budgets on
+      punctuation-heavy text where whitespace counts undershoot;
     - PII scrub: email/URL/IPv4 detection counts + a masked text
       (<EMAIL>/<URL>/<IP>), the standard redaction pass a training
       corpus gets before tokenization. The corpus itself is PII-free,
@@ -141,6 +156,7 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " ")
         ).alias("bag_fingerprint"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), F.lit(0))).alias("n_bpe_tokens"),
         F.size(F.regexp_extract_all("pii_text", F.lit(PII_EMAIL), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all("pii_text", F.lit(PII_URL), F.lit(0))).alias("n_urls"),
         F.size(
