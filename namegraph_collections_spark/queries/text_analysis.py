@@ -55,7 +55,13 @@ BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
              len(tokens) AS n_tokens,
              len(list_filter(tokens, t -> list_contains({STOPWORDS!r}, t))) AS n_stopwords,
              len(list_distinct(tokens)) AS n_unique_tokens,
-             len(list_filter(tokens, t -> t IN ('the', 'a'))) AS en_markers
+             len(list_filter(tokens, t -> t IN ('the', 'a'))) AS en_markers,
+             CASE WHEN len(tokens) >= 3 THEN
+               ROUND(1.0 - CAST(len(list_distinct(
+                 list_transform(range(1, len(tokens) - 2 + 1),
+                                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+               )) AS DOUBLE) / (len(tokens) - 2), 6)
+             ELSE 0.0e0 END AS dup_trigram_ratio
       FROM feat
     )
     SELECT doc_id, lang, n_tokens, n_unique_tokens, n_stopwords,
@@ -67,6 +73,7 @@ BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
       CASE WHEN CAST(en_markers AS DOUBLE) / n_tokens > 0.05 THEN 'en' ELSE 'other' END
         AS predicted_lang,
       ROUND(CAST(en_markers AS DOUBLE) / n_tokens, 6) AS marker_ratio,
+      dup_trigram_ratio,
       md5(lower(trim(text))) AS fingerprint,
       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
         AS bag_fingerprint,
@@ -86,9 +93,12 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text features in ONE scan (driver brief: quality
     scoring + language-ID + document fingerprinting):
 
-    - quality: length/stopword/type-token ratios + bucket, the shape
-      of the reference's interesting-score enrichment
-      (create_merged.py:82-97) with a deterministic expression model;
+    - quality: length/stopword/type-token ratios + bucket (the shape
+      of the reference's interesting-score enrichment,
+      create_merged.py:82-97, with a deterministic expression model)
+      plus the within-document repetition signal ``dup_trigram_ratio``
+      (duplicate-trigram fraction — the standard repetition filter for
+      training corpora);
     - language-ID: marker-token n-gram-profile classifier (the corpus
       is English-wordlist text, so a two-class en/other profile — the
       scan-parallel per-doc-feature→classify plumbing is the
@@ -129,6 +139,12 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t))).alias("n_stopwords"),
         F.size(F.array_distinct(tokens)).alias("n_unique_tokens"),
         F.size(F.filter(tokens, lambda t: t.isin("the", "a"))).alias("en_markers"),
+        F.transform(
+            F.slice(tokens, 1, F.greatest(F.size(tokens) - 2, F.lit(0))),
+            lambda t, i: F.concat_ws(
+                " ", t, F.element_at(tokens, i + 2), F.element_at(tokens, i + 3)
+            ),
+        ).alias("trigrams"),
     )
     marker_ratio = F.col("en_markers").cast("double") / F.col("n_tokens")
     return stats.select(
@@ -152,6 +168,17 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quality_bucket"),
         F.when(marker_ratio > 0.05, "en").otherwise("other").alias("predicted_lang"),
         F.round(marker_ratio, 6).alias("marker_ratio"),
+        F.when(
+            F.col("n_tokens") >= 3,
+            F.round(
+                1.0
+                - F.size(F.array_distinct(F.col("trigrams"))).cast("double")
+                / (F.col("n_tokens") - 2),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_ratio"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
         F.md5(
             F.array_join(F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " ")
