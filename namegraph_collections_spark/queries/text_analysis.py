@@ -117,10 +117,12 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       so a deterministic PII-bearing suffix is synthesized from doc_id
       identically on both engines and scrubbed for real evidence.
 
-    All pure column expressions over one pass — scan-parallel, zero
-    shuffle, and one scan instead of four for the four families.
+    All pure column expressions over one pass. The spread() exists
+    because a small parquet table arrives as ONE split and the regex +
+    trigram work is CPU-bound — at cluster scale the same partitioning
+    is free (the table already arrives in many splits).
     """
-    docs = tbl(spark, sf_dir, "documents")
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
     tokens = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     did = F.col("doc_id").cast("string")
