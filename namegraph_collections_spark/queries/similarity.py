@@ -103,102 +103,194 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_PROBE = 2
+KMEANS_K = 8  # inverted lists
+#: Mean quantization step: component sums are FLOOR(v * 2^20) integers,
+#: summed exactly as BIGINT, divided once in double. Power of two → the
+#: scale is exact for every float32; floor-to-integer is deterministic
+#: on both engines, where float→DECIMAL casts and double ROUND both
+#: turned out to disagree at the last digit (engine-specific decimal
+#: expansion / shortest-repr rounding) and a single flipped digit
+#: cascades through Lloyd iterations into different clusterings.
+QUANT = 1 << 20
+KMEANS_ROUNDS = 2  # fixed Lloyd refinements (deterministic, oracle-mirrored)
+
+
+def _centroid_sql(assign_cte: str, name: str) -> str:
+    """SQL: per-cluster per-dimension decimal means -> centroid arrays."""
+    return f"""{name} AS (
+      SELECT cluster,
+             list(CAST(s AS DOUBLE) / (n * {QUANT}) ORDER BY pos) AS centroid
+      FROM (
+        SELECT cluster, CAST(u.i AS INT) AS pos,
+               SUM(CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {QUANT}) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM {assign_cte}, (SELECT unnest(range(1, {DIM} + 1)) AS i) u
+        GROUP BY cluster, CAST(u.i AS INT)
+      ) GROUP BY cluster
+    )"""
+
+
+def _assign_sql(cent_cte: str, name: str) -> str:
+    """SQL: re-assign every vector to its best-dot centroid."""
+    return f"""{name} AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND({_DOT_SQL.format(dim=DIM, a="e.embedding", b="c.centroid")}, 6) DESC,
+                 c.cluster ASC) AS rn
+        FROM embeddings e CROSS JOIN {cent_cte} c
+      ) WHERE rn = 1
+    )"""
 
 
 @register(
     "ivf_topk",
     oracle=f"""
-    WITH dims AS (
-      SELECT label, CAST(u.i AS INT) AS pos, CAST(embedding[u.i] AS DECIMAL(18,9)) AS val
-      FROM embeddings, (SELECT unnest(range(1, {DIM} + 1)) AS i) u
-    ),
-    centroids AS (
-      SELECT label, list(ROUND(CAST(s AS DOUBLE) / n, 6) ORDER BY pos) AS centroid
-      FROM (SELECT label, pos, SUM(val) AS s, COUNT(*) AS n FROM dims GROUP BY label, pos)
-      GROUP BY label
-    ),
+    WITH a0 AS (SELECT vec_id, embedding, CAST(vec_id % {KMEANS_K} AS INT) AS cluster
+                FROM embeddings),
+    {_centroid_sql("a0", "c1")},
+    {_assign_sql("c1", "a1")},
+    {_centroid_sql("a1", "c2")},
+    {_assign_sql("c2", "a2")},
     q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
           WHERE vec_id < {N_QUERY_VECS}),
     probes AS (
-      SELECT q_id, q_emb, label FROM (
-        SELECT q.q_id, q.q_emb, c.label,
+      SELECT q_id, q_emb, cluster FROM (
+        SELECT q.q_id, q.q_emb, c.cluster,
                ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-                 {_DOT_SQL.format(dim=DIM, a="q.q_emb", b="c.centroid")} DESC,
-                 c.label ASC) AS prnk
-        FROM q CROSS JOIN centroids c
+                 ROUND({_DOT_SQL.format(dim=DIM, a="q.q_emb", b="c.centroid")}, 6) DESC,
+                 c.cluster ASC) AS prnk
+        FROM q CROSS JOIN c2 c
       ) WHERE prnk <= {N_PROBE}
     ),
     scored AS (
-      SELECT p.q_id, e.vec_id AS c_id, e.label AS c_label,
+      SELECT p.q_id, e.vec_id AS c_id, e.cluster AS c_cluster,
         ROUND({_DOT_SQL.format(dim=DIM, a="p.q_emb", b="e.embedding")}
               / (sqrt({_DOT_SQL.format(dim=DIM, a="p.q_emb", b="p.q_emb")})
                  * sqrt({_DOT_SQL.format(dim=DIM, a="e.embedding", b="e.embedding")})),
               6) AS cosine
-      FROM probes p JOIN embeddings e ON e.label = p.label
+      FROM probes p JOIN a2 e ON e.cluster = p.cluster
       WHERE e.vec_id <> p.q_id
     )
-    SELECT q_id, c_id, c_label, cosine, rnk FROM (
+    SELECT q_id, c_id, c_cluster, cosine, rnk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
       FROM scored
     ) WHERE rnk <= {TOP_K}
     """,
 )
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: cluster centroids → probe the {N_PROBE} nearest
-    lists → exact cosine only within probed lists (driver brief's
-    "IVF variant as the scale path").
+    """IVF ANN with LEARNED inverted lists: deterministic k-means
+    ({KMEANS_ROUNDS} fixed Lloyd rounds, k={KMEANS_K}) builds the
+    centroids, queries probe the {N_PROBE} nearest lists, exact cosine
+    runs only within probed lists (driver brief's "IVF variant as the
+    scale path").
 
-    The inverted-file lists are the `label` clusters; centroids are
-    exact per-dimension decimal means rounded to 6 (so both engines
-    agree bit-for-bit). At scale the corpus is partitioned BY list —
-    each query touches {N_PROBE}/n_lists of the data, and the centroid
-    table (n_lists × {DIM}) broadcasts.
+    k-means as iterative DataFrame ops: init assignment is
+    vec_id % k (deterministic seeding); each round is (a) per-cluster
+    per-dimension means (exact decimal sums, then one IEEE double
+    division — identical bit-for-bit on both engines, where a
+    round-to-6 would diverge on half-way cases) via ONE
+    explode+groupBy whose shuffle
+    carries k x {DIM} partial sums (map-side combined — never vectors),
+    then (b) re-assignment via a broadcast cross join of the k x {DIM}
+    centroid table with a max-dot window over k rows per vector. Dots
+    are rounded to 6 before comparison with cluster-id tiebreaks, so
+    both engines converge to the SAME clustering and the value hash
+    pins the whole training loop, not just the final search. At scale
+    the corpus is partitioned BY list, each query touches
+    {N_PROBE}/{KMEANS_K} of the data, and every centroid table
+    broadcasts.
     """
-    emb = tbl(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "label", F.posexplode("embedding").alias("pos0", "v")
-    ).select("label", "pos0", F.col("v").cast("decimal(18,9)").alias("val"))
-    centroids = (
-        dims.groupBy("label", "pos0")
-        .agg(F.round(F.sum("val").cast("double") / F.count(F.lit(1)), 6).alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos0", "m"))), lambda s: s["m"]
-            ).alias("centroid")
+    emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
+
+    def centroids_of(assigned: DataFrame) -> DataFrame:
+        dims = assigned.select(
+            "cluster", F.posexplode("embedding").alias("pos0", "v")
+        ).select(
+            "cluster", "pos0",
+            F.floor(F.col("v").cast("double") * F.lit(float(QUANT))).alias("val"),
         )
+        return (
+            dims.groupBy("cluster", "pos0")
+            .agg(
+                (F.sum("val").cast("double") / (F.count(F.lit(1)) * F.lit(QUANT))).alias("m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+
+    def assign_to(cents: DataFrame) -> DataFrame:
+        # project the rounded dot ONCE per (vec, cluster) row, then
+        # rank the k rows by the materialized column — keeping the
+        # 64-term dot out of the window comparator
+        scored_rows = (
+            emb.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "embedding",
+                "cluster",
+                F.round(_dot(F.col("embedding"), F.col("centroid")), 6).alias("d"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cluster").asc())
+        return (
+            scored_rows.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cluster")
+        )
+
+    assigned = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % KMEANS_K).cast("int").alias("cluster")
     )
+    cents = None
+    for _ in range(KMEANS_ROUNDS):
+        cents = centroids_of(assigned)
+        assigned = assign_to(cents)
+    # probes search the LAST ROUND's centroids — the ones the final
+    # assignment was built against (tiny table, checkpointed so the
+    # iterative lineage isn't replayed per use, broadcast below)
+    final_cents = cents.localCheckpoint(eager=True)
+    lists = assigned
+
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     w_probe = Window.partitionBy("q_id").orderBy(
-        _dot(F.col("q_emb"), F.col("centroid")).desc(), F.col("label").asc()
+        F.round(_dot(F.col("q_emb"), F.col("centroid")), 6).desc(), F.col("cluster").asc()
     )
     probes = (
-        q.crossJoin(F.broadcast(centroids))
+        q.crossJoin(F.broadcast(final_cents))
         .withColumn("prnk", F.row_number().over(w_probe))
         .filter(F.col("prnk") <= N_PROBE)
-        .select("q_id", "q_emb", "label")
+        .select("q_id", "q_emb", "cluster")
     )
-    cand = emb.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
-        F.col("label").alias("label"),
+    cand = lists.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "cluster"
     )
     cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
         F.sqrt(_dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
     )
     scored = (
-        cand.join(F.broadcast(probes), "label")
+        cand.join(F.broadcast(probes), "cluster")
         .filter(F.col("c_id") != F.col("q_id"))
         .select(
             "q_id",
             "c_id",
-            F.col("label").alias("c_label"),
+            F.col("cluster").alias("c_cluster"),
             F.round(cos, 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "c_id", "c_cluster", "cosine", "rnk")
+    )
 
 
 @register(
