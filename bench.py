@@ -46,6 +46,9 @@ HEADLINE = [
     "letter_range_normalize",
     "multimodal_byte_histogram",
     "wiki_all_info",
+    "decontamination_overlap",
+    "neardup_clusters",
+    "sequence_packing",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas
