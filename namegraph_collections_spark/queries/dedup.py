@@ -210,15 +210,29 @@ def _simhash_bit_sums(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .select("doc_id", F.md5("token").alias("h"))
     )
+    # Decode the 16 hex digits ONCE into small ints, then read bit
+    # (i mod 4) of digit (i div 4) arithmetically. Semantically equal
+    # to the substring+IN form the oracle uses, but ~10x less
+    # generated code per bit — the substring+IN(8 literals) x 64 agg
+    # previously overflowed Janino's 64KB method limit and silently
+    # fell back to interpreted execution for the whole aggregate.
+    digs = tok.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int").alias(f"d{d}")
+            for d in range(16)
+        ],
+    )
     bit_sums = [
         F.sum(
             F.when(
-                F.substring("h", i // 4 + 1, 1).isin(*_HEX_BIT_SETS[i % 4]), F.lit(1)
+                F.shiftright(F.col(f"d{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
             ).otherwise(F.lit(-1))
         ).alias(f"s{i}")
         for i in range(SIMHASH_BITS)
     ]
-    return tok.groupBy("doc_id").agg(*bit_sums)
+    return digs.groupBy("doc_id").agg(*bit_sums)
 
 
 _SIMHASH_BIT_SQL_CASE = f"""
