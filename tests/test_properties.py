@@ -154,3 +154,43 @@ def test_force_normalize_idempotent(s):
 def test_dictionary_split_covers_input(s):
     """Tokenizer splits must concatenate back to the input chunk."""
     assert "".join(dictionary_split(s)) == s
+
+
+# --- S4: sqldump DFA round-trip (pure Python, no Spark session) ------------
+_sql_text = st.text(
+    alphabet=st.characters(blacklist_characters="\n\r", min_codepoint=32, max_codepoint=0x2FFF),
+    max_size=30,
+)
+_sql_field = st.one_of(st.integers(-10**9, 10**9), _sql_text)
+_sql_tuples = st.lists(st.lists(_sql_field, min_size=1, max_size=6), min_size=1, max_size=5)
+
+
+def _render_insert(tuples):
+    """MySQL-dump escaping: strings quoted with ', backslash escapes
+    for backslash and quote (the grammar sql_parser.c implements)."""
+
+    def field(v):
+        if isinstance(v, int):
+            return str(v)
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    body = ",".join("(" + ",".join(field(v) for v in tup) + ")" for tup in tuples)
+    return f"INSERT INTO `t` VALUES {body};"
+
+
+@given(_sql_tuples)
+@settings(max_examples=200, deadline=None)
+def test_sqldump_dfa_roundtrip(tuples):
+    """Every tuple rendered with MySQL escaping parses back verbatim —
+    same-width tuples only, matching the renderer's single-table
+    contract (the C parser's too)."""
+    from namegraph_collections_spark.sources.sqldump import split_insert_tuples
+
+    # the renderer emits one INSERT for a single table: normalize all
+    # tuples to the first tuple's width (dumps are rectangular)
+    width = len(tuples[0])
+    tuples = [t[:width] + [0] * (width - len(t)) for t in tuples]
+    line = _render_insert(tuples)
+    parsed = list(split_insert_tuples(line))
+    want = [[str(v) for v in tup] for tup in tuples]
+    assert parsed == want
