@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md: formatted physical plans for the bench headline
+queries at sf0.001, the artifact backing the engine's plan-quality
+claims (pushdown reaching scans, broadcast dims, whole-stage codegen
+spans, no Python eval nodes in relational paths).
+
+Run from the repo root: python3 tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from namegraph_collections_spark.queries import REGISTRY  # noqa: E402
+from namegraph_collections_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+HEADER = """# Physical plans (generated — do not edit)
+
+`tools/dump_plans.py` renders `.explain("formatted")` for every bench
+headline query at sf0.001. What to look for, per the engine's design
+claims (SURVEY §4): `PushedFilters`/`ReadSchema` on the parquet scans
+(pushdown + pruning), `BroadcastHashJoin` on dimension joins, wide
+`WholeStageCodegen` spans, partial `HashAggregate` pairs, and no
+`BatchEvalPython`/`ArrowEvalPython` in relational hot paths (pandas
+UDFs appear only at genuine library boundaries: curation, multimodal).
+"""
+
+
+def main() -> None:
+    spark = get_spark("plan-dump", cpus=8)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    out = [HEADER]
+    for name in HEADLINE:
+        df = REGISTRY[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().explainString(mode)
+        out.append(f"\n## {name}\n\n```\n{plan}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("".join(out))
+    print(f"wrote PLANS.md with {len(HEADLINE)} plans")
+
+
+if __name__ == "__main__":
+    main()
