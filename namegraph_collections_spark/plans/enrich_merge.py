@@ -243,7 +243,16 @@ def merge_lists_and_categories(all_info: DataFrame, entities: DataFrame) -> Data
     collision; the engine deterministically takes the minimum list qid
     (documented deviation, SURVEY §4 item 3).
     """
-    filtered = apply_merge_filters(all_info)
+    # Stage-boundary materialization: the merge consumes the filtered
+    # all-info from SIX subplans (lists x3, cats x3); left lazy, each
+    # one re-derives the whole enrichment — including both curation
+    # Arrow stages — per reference (observed: a 7.5k-line physical
+    # plan with 320 exchanges and zero reuse). The reference
+    # materializes exactly this boundary too (compute_all_info writes
+    # the JSONL that merge_collections reads back,
+    # create_merged.py:482/549). At scale this is a persisted
+    # intermediate dataset; locally, localCheckpoint.
+    filtered = apply_merge_filters(all_info).localCheckpoint(eager=True)
     lists = filtered.filter(F.col("kind") == "list")
     cats = filtered.filter(F.col("kind") == "category")
 
