@@ -174,3 +174,22 @@ def test_ens_namehash_empty_labels_hash_not_raise():
     # reference behavior: empty labels hash keccak(b'') instead of erroring
     assert ens_namehash("a..b").startswith("0x")
     assert ens_namehash("trailing.") != ens_namehash("trailing")
+
+
+def test_curate_name_goldens(spark):
+    """Reference goldens (tests/test_wiki_api.py:135-141): strip the
+    Category:/List_of prefixes, underscores to spaces, first char
+    uppercased."""
+    from namegraph_collections_spark.functions.curation import curate_name_col
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("Adolfo_Pérez_Esquivel", "Adolfo Pérez Esquivel"),
+        ("Category:Nobel_Peace_Prize_laureates", "Nobel Peace Prize laureates"),
+        ("List_of_sovereign_states", "Sovereign states"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], "article string")
+    got = {r["article"]: r["name"] for r in df.select(
+        "article", curate_name_col(F.col("article")).alias("name")).collect()}
+    for a, want in cases:
+        assert got[a] == want, (a, got[a], want)
