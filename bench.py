@@ -56,6 +56,10 @@ RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Dev-loop helper: SPARK_GRAFT_ONLY=q1,q2 restricts the run; the
+    # driver never sets it, so the contract output is unchanged.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("ngcs-bench")
@@ -81,7 +85,7 @@ def main() -> None:
     # still prints (with any failure reported on stderr, never stdout,
     # which must stay a single parseable line).
     timings: dict[str, float | None] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = REGISTRY[name].fn
         samples = []
         try:

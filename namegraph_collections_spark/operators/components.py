@@ -77,9 +77,15 @@ def connected_components(
     ``component = node``; without it only nodes incident to an edge
     are labeled.
 
-    Convergence is an exact edge-set fixpoint check (both ``except``
-    directions), one action per round — same cost class as the
-    semi-naive emptiness probe in ``transitive_closure``.
+    Convergence is an exact edge-set fixpoint check, kept off the hot
+    path: both rounds' edge sets are ``.distinct()`` by construction,
+    so set equality is ``count(e2) == count(e)`` (one cheap scan of the
+    already-checkpointed partitions — no shuffle) AND, only when the
+    counts agree, a single one-direction ``left_anti`` emptiness probe
+    (``e2 ⊆ e`` + equal cardinality ⟹ ``e2 = e``). Early rounds
+    shrink the edge count, so the join-shaped probe typically runs
+    exactly once, at the fixpoint — versus the two full ``exceptAll``
+    set-difference jobs per round this replaced.
     """
     e = (
         edges.select(F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v"))
@@ -87,14 +93,15 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n = e.count()
     for _ in range(max_iterations):
         # large-star reads both orientations; build them explicitly.
         both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         e2 = _small_star(_large_star(both)).localCheckpoint(eager=True)
-        changed = not (
-            e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()
-        )
-        e = e2
+        n2 = e2.count()
+        # Exact fixpoint: equal counts (cheap) gate the one join probe.
+        changed = n2 != n or not e2.join(e, ["u", "v"], "left_anti").isEmpty()
+        e, n = e2, n2
         if not changed:
             break
     # Fixpoint is a star forest: (u, root) with root < u, plus roots

@@ -515,15 +515,29 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: MinHash-LSH candidate pairs as a reusable SQL fragment (expects a
 #: `shingles` CTE in scope); shared by `minhash_lsh_candidates` and
 #: the cluster-closure oracle in `neardup_clusters`.
+#: Universal-hash family prime (largest prime < 2³²). One md5 per
+#: shingle yields two independent 32-bit words (h1, h2); minhash s is
+#: min over (h1 + (s+1)·h2) mod P — the textbook (a + s·b) family.
+#: Versus md5-per-seed this cuts the map-side digest work 16× while
+#: keeping both engines bit-identical on integer arithmetic.
+MINHASH_PRIME = 4294967291
+
 _MINHASH_PAIRS_SQL = f"""
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS h2
+      FROM shingles
+    ),
     hashes AS (
-      SELECT s.doc_id, seeds.seed, MIN(md5(seeds.seed || ':' || s.shingle)) AS mh
-      FROM shingles s CROSS JOIN (SELECT unnest(range({NUM_MINHASHES})) AS seed) seeds
+      SELECT s.doc_id, seeds.seed,
+             MIN((s.h1 + (seeds.seed + 1) * s.h2) % {MINHASH_PRIME}) AS mh
+      FROM hashed s CROSS JOIN (SELECT unnest(range({NUM_MINHASHES})) AS seed) seeds
       GROUP BY s.doc_id, seeds.seed
     ),
     bands AS (
       SELECT doc_id, seed // {BAND_SIZE} AS band,
-             md5(string_agg(mh, ',' ORDER BY seed)) AS band_sig
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_sig
       FROM hashes GROUP BY doc_id, seed // {BAND_SIZE}
     ),
     pairs AS (
@@ -541,16 +555,29 @@ def _minhash_pairs(docs: DataFrame) -> DataFrame:
     sh = _shingles(docs)
     # All NUM_MINHASHES mins as one groupBy(doc_id) with inline min
     # aggs — no seed explode, no (doc, seed) shuffle: the map side
-    # computes the md5s and partial-aggregates, so the shuffle carries
-    # one fixed-width row per (partition, doc).
+    # partial-aggregates, so the shuffle carries one fixed-width row
+    # per (partition, doc). ONE md5 per shingle feeds the whole
+    # (h1 + s·h2) mod P universal family; the 16 mins are then pure
+    # integer multiply-adds inside whole-stage codegen.
+    hexd = F.md5(F.col("shingle"))
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
     min_cols = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+        F.min(
+            (F.col("h1") + F.lit(s + 1) * F.col("h2")) % F.lit(MINHASH_PRIME)
+        ).alias(f"mh{s}")
         for s in range(NUM_MINHASHES)
     ]
-    hashes = sh.groupBy("doc_id").agg(*min_cols)
+    hashes = hashed.groupBy("doc_id").agg(*min_cols)
     band_sigs = [
         F.md5(
-            F.concat_ws(",", *[F.col(f"mh{s}") for s in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)])
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh{s}").cast("string") for s in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)],
+            )
         ).alias(f"b{b}")
         for b in range(NUM_MINHASHES // BAND_SIZE)
     ]

@@ -119,7 +119,7 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc_id,
            MAX(doc_id) AS last_doc_id
     FROM binned
