@@ -6,8 +6,11 @@ ens-normalize (``ens_cure``) + unidecode in ``force_normalize``
 (load_custom_collections.py:125-162). Per SURVEY §7 the engine ships
 deterministic stand-ins (functions/normalize.py, functions/tokenize.py)
 that carry the reference's golden tests; this adapter lets a
-deployment with the real libraries installed opt into byte-identical
-reference behavior without code changes.
+deployment with the real libraries installed opt into reference
+behavior without code changes. Parity caveat: the Latin-script
+predicate is approximated from stdlib Unicode names (see
+``_script_is_latin``), so inputs containing Latin-named combining
+marks can diverge from a myunicode-backed reference run.
 
 Opt-in is EXPLICIT: set ``NGCS_REAL_LIBS=1`` in the environment. The
 flag (not mere importability) decides, because silently switching
@@ -63,8 +66,15 @@ def missing() -> list[str]:
 
 
 def _script_is_latin(ch: str) -> bool:
-    # Stand-in for myunicode.script_of(c) == 'Latin' — Unicode names of
-    # Latin-script letters all carry 'LATIN' (public Unicode property).
+    # Approximation of myunicode.script_of(c) == 'Latin' via the
+    # Unicode character NAME (Latin-script letters carry 'LATIN').
+    # Known divergence: name-based matching also catches characters
+    # whose Script property is Inherited/Common but whose name mentions
+    # LATIN (e.g. U+0363 COMBINING LATIN SMALL LETTER A), which the
+    # reference predicate would NOT treat as Latin — such combining
+    # marks get unidecoded here where the reference keeps them. Exact
+    # parity needs the Unicode Script property (regex \p{Script=Latin}
+    # or myunicode), neither of which is stdlib.
     try:
         return "LATIN" in unicodedata.name(ch)
     except ValueError:
@@ -91,8 +101,16 @@ def force_normalize_real(label: str) -> str:
         return step3
     except DisallowedLabel:
         raise
-    except Exception as e:  # DisallowedSequence and subclasses
-        raise DisallowedLabel(str(e)) from e
+    except Exception as e:
+        # Map ONLY ens-normalize's own rejection hierarchy
+        # (DisallowedSequence and subclasses) to the engine's
+        # DisallowedLabel; genuine runtime faults (TypeError from a
+        # broken install, etc.) must propagate, not be silently
+        # classified as disallowed labels and dropped by curation.
+        dis = getattr(_ens, "DisallowedSequence", None)
+        if dis is not None and isinstance(e, dis):
+            raise DisallowedLabel(str(e)) from e
+        raise
 
 
 def word_split_real(chunk: str) -> tuple[str, ...]:

@@ -57,17 +57,24 @@ _COST = {w: math.log((i + 1) * math.log(len(_VOCAB_ORDERED))) for i, w in enumer
 _MAX_WORD = max(len(w) for w in _VOCAB_ORDERED)
 
 
-@lru_cache(maxsize=4096)
 def dictionary_split(chunk: str) -> tuple[str, ...]:
     """Min-cost DP split of ``chunk`` into vocabulary words; returns
     the chunk unsplit when no full cover exists.
 
     With ``NGCS_REAL_LIBS=1`` and wordninja installed, the real
-    splitter runs instead (functions/real_adapter.py)."""
+    splitter runs instead (functions/real_adapter.py). The dispatch is
+    resolved BEFORE the cache on purpose: only the stand-in DP is
+    memoized, so toggling the flag (or installing wordninja)
+    mid-process can never serve stale stand-in results."""
     from namegraph_collections_spark.functions import real_adapter
 
     if real_adapter.use_real_wordsplit():
         return real_adapter.word_split_real(chunk)
+    return _standin_split(chunk)
+
+
+@lru_cache(maxsize=4096)
+def _standin_split(chunk: str) -> tuple[str, ...]:
     lower = chunk.lower()
     n = len(lower)
     best: list[tuple[float, int] | None] = [None] * (n + 1)

@@ -419,20 +419,22 @@ _EMB_DOT = (
       FROM capped a JOIN capped b
         ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
     ),
+    norms AS (
+      SELECT vec_id, embedding,
+             sqrt({_EMB_DOT.format(a="embedding", b="embedding")}) AS nrm
+      FROM embeddings
+    ),
     scored AS (
-      SELECT vec_a, vec_b, ea.embedding AS emb_a, eb.embedding AS emb_b
+      SELECT vec_a, vec_b, ea.embedding AS emb_a, eb.embedding AS emb_b,
+             ea.nrm AS nrm_a, eb.nrm AS nrm_b
       FROM cand
-      JOIN embeddings ea ON ea.vec_id = cand.vec_a
-      JOIN embeddings eb ON eb.vec_id = cand.vec_b
+      JOIN norms ea ON ea.vec_id = cand.vec_a
+      JOIN norms eb ON eb.vec_id = cand.vec_b
     )
     SELECT vec_a, vec_b,
-      ROUND({_EMB_DOT.format(a="emb_a", b="emb_b")}
-            / (sqrt({_EMB_DOT.format(a="emb_a", b="emb_a")})
-               * sqrt({_EMB_DOT.format(a="emb_b", b="emb_b")})), 6) AS cosine
+      ROUND({_EMB_DOT.format(a="emb_a", b="emb_b")} / (nrm_a * nrm_b), 6) AS cosine
     FROM scored
-    WHERE {_EMB_DOT.format(a="emb_a", b="emb_b")}
-          / (sqrt({_EMB_DOT.format(a="emb_a", b="emb_a")})
-             * sqrt({_EMB_DOT.format(a="emb_b", b="emb_b")})) >= {NEARDUP_COSINE}
+    WHERE {_EMB_DOT.format(a="emb_a", b="emb_b")} / (nrm_a * nrm_b) >= {NEARDUP_COSINE}
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,14 +499,32 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    vecs = tbl(spark, sf_dir, "embeddings")
+    # Per-VECTOR norms once (N sqrt-dots), not per candidate PAIR
+    # (|pairs| ≫ N): same sqrt-then-multiply arithmetic, 3× less dot
+    # work at the pair stage and a 3×-smaller codegen expression.
+    vecs = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
     scored = (
-        cand.join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")), "vec_a")
-        .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")), "vec_b")
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("emb_a"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "vec_a",
+        ).join(
+            vecs.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("emb_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "vec_b",
+        )
     )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.sqrt(dot(F.col("emb_a"), F.col("emb_a"))) * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
-    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         scored.withColumn("_cos", cos)
         .filter(F.col("_cos") >= NEARDUP_COSINE)

@@ -31,33 +31,54 @@ CDC_OUTPUT = "key string, op string, new_hash string"
 CDC_STATE = "last_hash string"
 
 
-def change_capture(snapshots: DataFrame, key: str, compare_cols: Sequence[str]) -> DataFrame:
+def change_capture(
+    snapshots: DataFrame,
+    key: str,
+    compare_cols: Sequence[str],
+    order_col: str | None = None,
+) -> DataFrame:
     """Forward create/update ops from a stream of snapshot rows.
 
     ``snapshots`` is a (streaming or batch) DataFrame carrying ``key``
     and ``compare_cols``. The row hash is computed JVM-side (the same
     ``row_hash`` the batch diff uses, so stream and batch classify
-    identically); only (key, hash) ever reaches Python, keeping the
-    Arrow transfer and the per-key state O(1) regardless of row width.
+    identically); only (key, hash) — plus ``order_col`` when given —
+    ever reaches Python, keeping the Arrow transfer and the per-key
+    state O(1) regardless of row width.
+
+    Ordering contract: classification is sequential per key, so rows
+    for one key must be processed in snapshot order. Within ONE
+    micro-batch Spark does not guarantee any particular row order for
+    a group, so either (a) run one snapshot file per trigger
+    (``maxFilesPerTrigger=1``, as ``read_event_stream`` sets — then
+    batch boundaries ARE snapshot boundaries), or (b) pass
+    ``order_col`` naming a monotone snapshot-sequence column; the
+    group's rows are then sorted on it before classifying, which is
+    correct even when several snapshot files land in one trigger.
     """
     import pandas as pd  # noqa: PLC0415 — also needed on the worker
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    hashed = snapshots.select(
-        F.col(key).cast("string").alias("key"), row_hash(compare_cols).alias("h")
-    )
+    cols = [F.col(key).cast("string").alias("key"), row_hash(compare_cols).alias("h")]
+    if order_col is not None:
+        cols.append(F.col(order_col).alias("_seq"))
+    hashed = snapshots.select(*cols)
 
     def update(k, pdf_iter, state: GroupState):
         last = state.get[0] if state.exists else None
         rows = []
-        for pdf in pdf_iter:
-            for h in pdf["h"]:
-                if last is None:
-                    rows.append((k[0], "create", h))
-                    last = h
-                elif h != last:
-                    rows.append((k[0], "update", h))
-                    last = h
+        pdfs = [pdf for pdf in pdf_iter]
+        if order_col is not None and pdfs:
+            hs = pd.concat(pdfs, ignore_index=True).sort_values("_seq", kind="stable")["h"]
+        else:
+            hs = (h for pdf in pdfs for h in pdf["h"])
+        for h in hs:
+            if last is None:
+                rows.append((k[0], "create", h))
+                last = h
+            elif h != last:
+                rows.append((k[0], "update", h))
+                last = h
         if last is not None:
             state.update((last,))
         yield pd.DataFrame(rows, columns=["key", "op", "new_hash"])

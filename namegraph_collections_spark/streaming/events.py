@@ -8,12 +8,12 @@ incremental production run would execute (AvailableNow = process all
 new files since the last checkpoint, then stop).
 
 Schema note: the testdata's events.parquet has shipped ``ts`` as both
-TIMESTAMP(NANOS) (readable only as long nanos under
-``spark.sql.legacy.parquet.nanosAsLong``) and plain ``timestamp[us]``
-(TIMESTAMP_NTZ) across generations; the stream schema types ``ts`` as
-TIMESTAMP_NTZ to match the current files, and `with_event_time`
-branches on the dtype it actually sees — the same normalization as the
-batch-side ``events_tbl`` — so every operator consumes one
+TIMESTAMP(NANOS) and plain ``timestamp[us]`` (TIMESTAMP_NTZ) across
+generations; `read_event_stream` probes which generation a directory
+holds and picks the matching stream schema (long nanos under the
+``nanosAsLong`` legacy conf, or TIMESTAMP_NTZ), and `with_event_time`
+branches on the dtype it actually sees — the same normalization as
+the batch-side ``events_tbl`` — so every operator consumes one
 TimestampType ``event_time`` column.
 """
 
@@ -34,16 +34,26 @@ from pyspark.sql.types import (
 
 from namegraph_collections_spark.queries.registry import ts_us_expr
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", TimestampNTZType()),  # parquet timestamp[us], no tz
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_field: StructField) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            ts_field,
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+#: Schema for the timestamp[us] (TIMESTAMP_NTZ) events generation.
+EVENTS_SCHEMA = _events_schema(StructField("ts", TimestampNTZType()))
+#: Schema for the TIMESTAMP(NANOS) generation, which Spark can only
+#: read as long nanos under spark.sql.legacy.parquet.nanosAsLong.
+EVENTS_SCHEMA_NANOS = _events_schema(StructField("ts", LongType()))
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -51,9 +61,30 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
     One file = one micro-batch unit; at scale this is the landing-zone
     pattern (upstream drops files, the stream discovers them).
+
+    The testdata's ``ts`` has shipped as both TIMESTAMP(NANOS) and
+    timestamp[us] across generations, so the physical encoding is
+    probed with a batch schema read under ``nanosAsLong`` (the only
+    mode in which the NANOS generation resolves at all): ``bigint`` ⇒
+    nanos files — keep the conf set (the stream needs it at execution
+    time) and type ``ts`` as LongType; anything else ⇒ restore the
+    conf and use the TIMESTAMP_NTZ schema. Either way
+    ``with_event_time`` sees the dtype it branches on.
     """
+    prev = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        ts_dtype = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    except Exception:  # empty/unreadable dir — assume current generation
+        ts_dtype = None
+    if ts_dtype != "bigint":
+        if prev is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev)
+    schema = EVENTS_SCHEMA_NANOS if ts_dtype == "bigint" else EVENTS_SCHEMA
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )

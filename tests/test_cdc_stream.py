@@ -67,6 +67,39 @@ def test_change_capture_stream_matches_batch_diff(spark, snap_dir, tmp_path):
     assert sum(1 for _, op in got if op == "update") == 40
 
 
+def test_change_capture_order_col_multi_snapshot_trigger(spark, tmp_path):
+    """Several snapshot files landing in ONE trigger (no
+    maxFilesPerTrigger): order_col restores snapshot order per key, so
+    mutated keys classify create-then-update even when both versions
+    arrive in the same micro-batch."""
+    import glob
+    import shutil
+
+    d = tmp_path / "in"
+    d.mkdir()
+    _snap1(spark).withColumn("seq", F.lit(1)).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    _snap2(spark).withColumn("seq", F.lit(2)).coalesce(1).write.parquet(str(tmp_path / "s2"))
+    # adversarial file naming: the NEWER snapshot sorts first
+    shutil.copy(glob.glob(str(tmp_path / "s2" / "part-*.parquet"))[0], d / "0-newer.parquet")
+    shutil.copy(glob.glob(str(tmp_path / "s1" / "part-*.parquet"))[0], d / "1-older.parquet")
+    stream = spark.readStream.schema(COLS + ", seq long").parquet(str(d))
+    ops = run_available_now(
+        change_capture(stream, "k", ["k", "name", "rank"], order_col="seq"),
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    rows = ops.collect()
+    got = {(r["key"], r["op"]) for r in rows}
+    assert sum(1 for _, op in got if op == "create") == 220
+    assert sum(1 for _, op in got if op == "update") == 40
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r["op"])
+    # every mutated key (k%5==0 of the original 200) is create→update
+    assert by_key["5"] == ["create", "update"]
+    assert by_key["0"] == ["create", "update"]
+
+
 def test_change_capture_suppresses_noops(spark, tmp_path):
     """Re-delivering an identical snapshot emits nothing."""
     import shutil

@@ -79,7 +79,6 @@ def test_real_mode_dispatch_with_fake_libs(monkeypatch):
     monkeypatch.setitem(sys.modules, "wordninja", fake_wn)
     monkeypatch.setenv("NGCS_REAL_LIBS", "1")
     mod = importlib.reload(real_adapter)
-    dictionary_split.cache_clear()
     try:
         assert mod.use_real_normalize() and mod.use_real_wordsplit()
         assert mod.missing() == []
@@ -93,7 +92,6 @@ def test_real_mode_dispatch_with_fake_libs(monkeypatch):
     finally:
         monkeypatch.delenv("NGCS_REAL_LIBS")
         importlib.reload(real_adapter)
-        dictionary_split.cache_clear()
 
 
 @pytest.mark.skipif(
@@ -104,16 +102,12 @@ def test_real_libraries_goldens(monkeypatch):
     """When the genuine libraries exist, the reference goldens hold in
     real mode too (test_wiki_api.py:143-148)."""
     monkeypatch.setenv("NGCS_REAL_LIBS", "1")
-    dictionary_split.cache_clear()
-    try:
-        for raw, want in GOLDENS:
-            assert force_normalize(raw) == want
-        with pytest.raises(DisallowedLabel):
-            force_normalize("ιοσρβυνγ")
-        assert curate_member("Betty Williams (peace activist)") == (
-            "bettywilliams",
-            ["betty", "williams"],
-        )
-        assert tokenize_name("captainamerica") == ["captain", "america"]
-    finally:
-        dictionary_split.cache_clear()
+    for raw, want in GOLDENS:
+        assert force_normalize(raw) == want
+    with pytest.raises(DisallowedLabel):
+        force_normalize("ιοσρβυνγ")
+    assert curate_member("Betty Williams (peace activist)") == (
+        "bettywilliams",
+        ["betty", "williams"],
+    )
+    assert tokenize_name("captainamerica") == ["captain", "america"]

@@ -48,6 +48,38 @@ def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def test_stream_reads_nanos_generation(spark, tmp_path):
+    """A TIMESTAMP(NANOS) events file (written via pyarrow ns
+    timestamps) streams correctly: read_event_stream probes the
+    encoding, picks the LongType schema + nanosAsLong conf, and
+    with_event_time lands on the same event_time as the NTZ path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = 1_700_000_000_000_000_000  # epoch ns
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([t0, t0 + 3_600_000_000_000, t0 + 2 * 3_600_000_000_000], pa.timestamp("ns")),
+            "user_id": pa.array([10, 11, 10], pa.int64()),
+            "event_type": pa.array(["a", "b", "a"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"], pa.string()),
+        }
+    )
+    d = tmp_path / "nanos_in"
+    d.mkdir()
+    pq.write_table(tbl, d / "part-0.parquet", use_deprecated_int96_timestamps=False, coerce_timestamps=None)
+    stream = read_event_stream(spark, str(d))
+    assert dict(stream.dtypes)["ts"] == "bigint"
+    rolled = windowed_rollup(stream)
+    got = run_available_now(rolled, str(tmp_path / "ckpt_nanos"), output_mode="complete")
+    rows = _rows(got, ["hour_us", "event_type", "n", "total_value"])
+    assert len(rows) == 3
+    # ns → us, floored to the containing hour window
+    assert rows[0][0] == (t0 // 1_000_000_000 // 3600) * 3600 * 1_000_000
+
+
 def test_windowed_rollup_stream_matches_batch(spark, events_dir, tmp_path):
     stream = windowed_rollup(read_event_stream(spark, events_dir))
     got = run_available_now(stream, str(tmp_path / "ckpt"), output_mode="complete")
