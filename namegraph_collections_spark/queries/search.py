@@ -118,29 +118,24 @@ LTR_FEATURE_NAMES = [
     "f_size_names",
 ]
 
-#: Deterministic tree-ensemble model standing in for the trained
-#: RankLib LambdaMART the reference rescores with (an sltr stored
-#: model, research/learning-to-rank/search.py:78-94; RankLib's
-#: LambdaMART output is an additive ensemble of small regression
-#: trees). Each entry is one depth-2 tree:
+#: Tree-ensemble rescore model in the trained RankLib LambdaMART's
+#: output form (an sltr stored model,
+#: research/learning-to-rank/search.py:78-94; LambdaMART emits an
+#: additive ensemble of small regression trees). The constants are
+#: FIT, not hand-set: tools/fit_ltr.py derives them by deterministic
+#: L2 gradient boosting over this query's own 22-feature extraction
+#: against graded term-coverage qrels (the configure-ltr.py:92-121
+#: role), and writes queries/ltr_model.py, which pytest pins to the
+#: refit output. Each entry is one depth-2 tree:
 #:   (root_feat, root_thr,
 #:    (left_feat, left_thr, leafLL, leafLR),
 #:    (right_feat, right_thr, leafRL, leafRR))
 #: meaning: if root_feat <= root_thr descend left, else right; each
 #: child splits once more and emits a leaf value. The ensemble score
-#: is the plain sum of leaf outputs — weights are fixed constants, so
-#: both engines compile the SAME nested conditionals from this one
-#: spec and the float sum is evaluated in the same order.
-LTR_TREES = [
-    ("f_match_distinct", 1.0, ("f_sat_chars", 0.45, 0.031, 0.118), ("f_log_tokens", 4.1, 0.205, 0.344)),
-    ("f_match_text", 2.0, ("f_sat_tokens", 0.42, 0.027, 0.094), ("f_match_title", 0.0, 0.156, 0.262)),
-    ("f_sat_chars", 0.5, ("f_log_chars", 5.6, 0.018, 0.071), ("f_sat_uniq", 0.48, 0.125, 0.199)),
-    ("f_log_distinct", 3.9, ("f_match_body", 1.0, 0.022, 0.087), ("f_sat_distinct", 0.44, 0.141, 0.228)),
-    ("f_sat_avglen", 0.41, ("f_sat_digits", 0.35, 0.012, 0.058), ("f_sat_maxlen", 0.46, 0.096, 0.167)),
-    ("f_match_lang", 0.0, ("f_sat_vowels", 0.43, 0.019, 0.066), ("f_log_vowels", 4.7, 0.103, 0.178)),
-    ("f_sat_body_chars", 0.47, ("f_match_source", 0.0, 0.015, 0.061), ("f_log_digits", 2.3, 0.089, 0.152)),
-    ("f_size_names", 60.0, ("f_sat_title_chars", 0.44, 0.024, 0.079), ("f_match_text", 1.0, 0.112, 0.186)),
-]
+#: is the plain sum of leaf outputs — both engines compile the SAME
+#: nested conditionals from this one spec and the float sum is
+#: evaluated in the same order.
+from namegraph_collections_spark.queries.ltr_model import LTR_TREES  # noqa: E402
 
 
 def _tree_sql(tree) -> str:
@@ -160,7 +155,11 @@ def _tree_col(tree):
     ).otherwise(F.when(F.col(gf) <= gt, F.lit(gl)).otherwise(F.lit(gr)))
 
 
-def _ltr_oracle_sql() -> str:
+def _ltr_feats_cte() -> str:
+    """The shared WITH-body producing `feats` (doc_id, base_score, 22
+    feature columns) for the rescore window — used by the LTR oracle
+    AND by tools/fit_ltr.py, so the model is fit on EXACTLY the
+    features the query computes."""
     terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
     t = _LTR_TITLE_TOKENS
     stats = f"""
@@ -195,14 +194,8 @@ def _ltr_oracle_sql() -> str:
         + [f"ROUND(ln(1 + {s}), 6) AS f_log_{n}" for n, s in _LOG_FEATURES]
         + ["CAST(s_tokens AS DOUBLE) AS f_size_names"]
     )
-    # Leaf values are ≤3-decimal constants, so the ensemble sum is
-    # exact in DECIMAL(18,6) — the usual cross-engine determinism
-    # treatment (DuckDB parses numeric literals as DECIMAL, Spark as
-    # DOUBLE; summing decimals on both sides removes the mismatch).
-    model = " + ".join(f"CAST({_tree_sql(t)} AS DECIMAL(18,6))" for t in LTR_TREES)
-    feat_cols = ", ".join(LTR_FEATURE_NAMES)
     return f"""
-    WITH toks AS (
+    toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
       FROM documents WHERE {PUBLIC_SQL}
     ),
@@ -221,7 +214,18 @@ def _ltr_oracle_sql() -> str:
     feats AS (
       SELECT doc_id, base_score, {", ".join(feats)}
       FROM stats
-    ),
+    )"""
+
+
+def _ltr_oracle_sql() -> str:
+    # Leaf values are ≤3-decimal constants, so the ensemble sum is
+    # exact in DECIMAL(18,6) — the usual cross-engine determinism
+    # treatment (DuckDB parses numeric literals as DECIMAL, Spark as
+    # DOUBLE; summing decimals on both sides removes the mismatch).
+    model = " + ".join(f"CAST({_tree_sql(t)} AS DECIMAL(18,6))" for t in LTR_TREES)
+    feat_cols = ", ".join(LTR_FEATURE_NAMES)
+    return f"""
+    WITH {_ltr_feats_cte()},
     rescored AS (
       SELECT doc_id, base_score, {feat_cols},
              CAST({model} AS DOUBLE) AS ltr_score
