@@ -319,15 +319,63 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def segment_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean + exact median + ratio metrics (SURVEY §2.4 A7 ★).
+    """Mean + exact median + ratio metrics (SURVEY §2.4 A7 ★) — with
+    the inputs round-tripped through the LAKE SINKS, so the driver's
+    value hash also certifies the storage layout (S7 writer family).
 
     Reference analogue: members_rank_mean/median floored at 1e-8 and
     valid/nonavailable ratios (create_merged.py:966-977, MIN_VALUE
     :41). Exact MEDIAN (not percentile_approx) for oracle parity.
+
+    Lake round-trip: orders is written as Hive-partitioned parquet
+    (partitioned by o_orderpriority, sorted by o_custkey within
+    files) and read back; both join sides are then written as
+    8-bucket tables on the customer key and joined from storage with
+    a merge hint — bucketing makes the sort-merge join plan with NO
+    Exchange on either side (pre-shuffled co-location, the layout a
+    100 TB deployment pays for once at write). The oracle is the
+    same aggregate over the ORIGINAL tables: round-trip changes
+    nothing or the row goes red.
     """
-    orders = tbl(spark, sf_dir, "orders")
-    customer = tbl(spark, sf_dir, "customer")
-    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    import os
+
+    from namegraph_collections_spark.sinks import (
+        write_bucketed_table,
+        write_partitioned_parquet,
+    )
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = f"/tmp/ngcs_lake/{sf_tag}"
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    write_partitioned_parquet(
+        orders, f"{base}/orders_part", ["o_orderpriority"], sort_by=["o_custkey"]
+    )
+    orders_rt = spark.read.parquet(f"{base}/orders_part")
+    write_bucketed_table(
+        orders_rt,
+        f"ngcs_orders_bkt_{sf_tag.replace('.', '_')}",
+        f"{base}/orders_bkt",
+        ["o_custkey"],
+        8,
+        sort_by=["o_custkey"],
+    )
+    customer = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed_table(
+        customer,
+        f"ngcs_customer_bkt_{sf_tag.replace('.', '_')}",
+        f"{base}/customer_bkt",
+        ["c_custkey"],
+        8,
+        sort_by=["c_custkey"],
+    )
+    o_b = spark.table(f"ngcs_orders_bkt_{sf_tag.replace('.', '_')}")
+    c_b = spark.table(f"ngcs_customer_bkt_{sf_tag.replace('.', '_')}")
+    # merge hint: pin the sort-merge strategy so the bucketed layout
+    # (not a size-based broadcast) carries the join — the no-Exchange
+    # plan is asserted in tests/test_plans.py and visible in PLANS.md.
+    j = o_b.join(c_b.hint("merge"), o_b.o_custkey == c_b.c_custkey)
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(

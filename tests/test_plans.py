@@ -88,6 +88,20 @@ def test_whole_stage_codegen(spark):
     assert "*(1)" in plan
 
 
+def test_segment_metrics_lake_roundtrip_join_is_shuffle_free(spark):
+    """The driver-checked segment_order_metrics query routes through
+    the lake sinks; its bucketed o_custkey join must plan as a
+    SortMergeJoin with NO Exchange on either input (the agg above it
+    still shuffles on c_mktsegment, so assert on the join subtree)."""
+    df = REGISTRY["segment_order_metrics"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    # no exchange may feed the join: bucket scans are pre-partitioned
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+    assert df.count() > 0
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Bucketing both sides on the join key pre-partitions the data so
     the sort-merge join needs NO Exchange — the co-located-join shape
