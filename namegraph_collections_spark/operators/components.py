@@ -67,6 +67,7 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iterations: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """DataFrame[node, component] where component = min node id in the
     connected component.
@@ -94,16 +95,23 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     n = e.count()
+    rounds = 0
     for _ in range(max_iterations):
         # large-star reads both orientations; build them explicitly.
         both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         e2 = _small_star(_large_star(both)).localCheckpoint(eager=True)
+        rounds += 1
         n2 = e2.count()
         # Exact fixpoint: equal counts (cheap) gate the one join probe.
         changed = n2 != n or not e2.join(e, ["u", "v"], "left_anti").isEmpty()
         e, n = e2, n2
         if not changed:
             break
+    if stats is not None:
+        # observability for the O(log² n) bound the algorithm buys —
+        # scale fixtures assert round counts stay logarithmic on
+        # adversarial (long-chain) graphs (tests/test_dedup_scale.py).
+        stats["rounds"] = rounds
     # Fixpoint is a star forest: (u, root) with root < u, plus roots
     # themselves appearing only on the right. Components:
     members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))

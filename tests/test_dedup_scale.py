@@ -124,3 +124,43 @@ def test_simhash_bucket_cap_bounds_degenerate_bands(spark, monkeypatch):
         # below the uncapped C(80,2)=3160
         assert pairs.count() <= 45
     assert fp_bits.count() == n
+
+
+def test_long_chain_component_rounds_stay_logarithmic(spark):
+    """A path graph of diameter 400 (mirror-of-a-mirror chains) must
+    close in O(log² n) star rounds, not O(diameter): this is the
+    property that justifies large-star/small-star over plain min-label
+    propagation at 100 TB. Bound used: ceil(log2(n))² / 2 + 4 — loose
+    enough to be stable, far below the 400 rounds propagation needs."""
+    import math
+
+    from namegraph_collections_spark.operators.components import connected_components
+
+    n = 400
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    stats: dict = {}
+    comp = connected_components(edges, max_iterations=50, stats=stats)
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r["component"] for r in rows} == {0}
+    bound = math.ceil(math.log2(n + 1)) ** 2 // 2 + 4
+    assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > bound {bound}"
+
+
+def test_transitive_closure_depth_cap_is_graceful(spark):
+    """On a chain deeper than max_iterations the closure returns the
+    partial result (all pairs within reach) without error — the
+    behavior a 100 TB run needs when a pathological hierarchy exceeds
+    the provisioned depth."""
+    from namegraph_collections_spark.operators.closure import transitive_closure
+
+    n = 12
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    capped = transitive_closure(edges, max_iterations=3)
+    got = {(r["src"], r["dst"]) for r in capped.collect()}
+    # semi-naive: after k iterations all pairs of distance <= k+1 exist
+    want = {(i, j) for i in range(n + 1) for j in range(i + 1, min(i + 5, n + 1))}
+    assert got == want
+    # uncapped closes the chain fully
+    full = transitive_closure(edges, max_iterations=n)
+    assert full.count() == (n + 1) * n // 2
