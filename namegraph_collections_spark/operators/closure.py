@@ -75,12 +75,18 @@ def transitive_closure(
             .distinct()
         )
         # Semi-naive: drop pairs we already know (also terminates cycles).
+        # Lazy checkpoint: isEmpty() is the materializing action, so
+        # each round runs ONE job for compute+truncate+probe instead of
+        # an eager checkpoint job followed by a probe job.
         new_pairs = stepped.join(closure, ["src", "dst"], "left_anti")
         if checkpoint_every and (i % checkpoint_every == 0):
-            new_pairs = new_pairs.localCheckpoint(eager=True)
+            new_pairs = new_pairs.localCheckpoint(eager=False)
         if new_pairs.isEmpty():
             break
-        closure = closure.unionByName(new_pairs).localCheckpoint(eager=True)
+        # The closure is re-checkpointed lazily as well; the NEXT
+        # round's left_anti materializes it. Keeping the accumulated
+        # relation checkpointed bounds plan depth across rounds.
+        closure = closure.unionByName(new_pairs).localCheckpoint(eager=False)
         frontier = new_pairs
     edges.unpersist()
     return closure

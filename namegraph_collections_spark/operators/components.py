@@ -98,8 +98,12 @@ def connected_components(
     rounds = 0
     for _ in range(max_iterations):
         # large-star reads both orientations; build them explicitly.
+        # The checkpoint is LAZY: the count() right after is the one
+        # action that materializes (and lineage-truncates) the round's
+        # edge set — one job per round, not a checkpoint job plus a
+        # count job.
         both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        e2 = _small_star(_large_star(both)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(both)).localCheckpoint(eager=False)
         rounds += 1
         n2 = e2.count()
         # Exact fixpoint: equal counts (cheap) gate the one join probe.
