@@ -90,10 +90,14 @@ def _jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     (exposed separately so tests can drive a skewed fixture)."""
     # No persist(): this function returns a LAZY plan, so there is no
     # safe point to unpersist — a persist here pins executor storage
-    # for the rest of the session. The shingle subplan is recomputed
-    # per use (cheap projection + explode); identical shuffle subtrees
-    # are deduplicated by ReusedExchange where they appear.
-    sh_all = _shingles(docs)
+    # for the rest of the session. Instead the shingle stream is
+    # lineage-cut with a LAZY localCheckpoint: the first consuming
+    # stage materializes it once and the other consumers (the hot-df
+    # agg, the sizes agg, the posting-list agg) read the materialized
+    # partitions instead of re-running the explode+trigram transform
+    # 3×; the checkpoint's storage lives and dies with the plan's RDD,
+    # so nothing stays pinned after the job.
+    sh_all = _shingles(docs).localCheckpoint(eager=False)
     # Hot-shingle cap: the blocklist side is tiny by construction (only
     # shingles with df > cap), so the anti-join broadcasts.
     hot = (

@@ -80,7 +80,10 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle shuffle.
     """
     docs = tbl(spark, sf_dir, "documents")
-    sh_all = _shingles(docs)
+    # Lazy lineage-cut: the shingle stream feeds the hot-df agg AND
+    # both join sides; checkpointing it computes the explode+trigram
+    # transform once per job (same treatment as _jaccard_pairs).
+    sh_all = _shingles(docs).localCheckpoint(eager=False)
     hot = (
         sh_all.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
