@@ -336,8 +336,8 @@ def _fixture(spark: SparkSession, sf_dir: str):
     # the checkpointed base and stay lazy (each checkpoint is a
     # sequential job barrier; fewer barriers, faster wall-clock).
     return (
-        all_triples.localCheckpoint(eager=True),
-        wikimapper.localCheckpoint(eager=True),
+        all_triples.localCheckpoint(eager=False),
+        wikimapper.localCheckpoint(eager=False),
         categorylinks,
         pagelinks,
         qrank,
@@ -372,7 +372,7 @@ def _validated_uncached(spark: SparkSession, sf_dir: str):
     triples, wikimapper, categorylinks, pagelinks, qrank, domains, scores = _fixture(
         spark, sf_dir
     )
-    entities = assemble_entities(triples).localCheckpoint(eager=True)
+    entities = assemble_entities(triples).localCheckpoint(eager=False)
     cats = extract_collections(entities, wikimapper, "category")
     lsts = extract_collections(entities, wikimapper, "list")
     mem_c = link_members(
@@ -386,7 +386,7 @@ def _validated_uncached(spark: SparkSession, sf_dir: str):
     )
     reachable = subclass_reachability(entities)
     validated = validate_members(grouped, entities, wikimapper, reachable).localCheckpoint(
-        eager=True
+        eager=False
     )
     return validated, entities, wikimapper, qrank, domains, scores
 
