@@ -59,7 +59,17 @@ def main() -> None:
     # Dev-loop helper: SPARK_GRAFT_ONLY=q1,q2 restricts the run; the
     # driver never sets it, so the contract output is unchanged.
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    headline = [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    if only:
+        wanted = {t.strip() for t in only.split(",") if t.strip()}
+        unknown = wanted - set(HEADLINE)
+        if unknown:
+            print(f"bench: SPARK_GRAFT_ONLY names not in HEADLINE: {sorted(unknown)}", file=sys.stderr)
+        headline = [q for q in HEADLINE if q in wanted]
+        if not headline:
+            print("bench: SPARK_GRAFT_ONLY filtered out every query", file=sys.stderr)
+            sys.exit(2)
+    else:
+        headline = HEADLINE
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("ngcs-bench")

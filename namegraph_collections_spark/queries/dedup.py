@@ -88,15 +88,18 @@ _SHINGLES_SQL = """
 def _jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     """Capped-inverted-index Jaccard pairs over any documents frame
     (exposed separately so tests can drive a skewed fixture)."""
-    # No persist(): this function returns a LAZY plan, so there is no
-    # safe point to unpersist — a persist here pins executor storage
-    # for the rest of the session. Instead the shingle stream is
-    # lineage-cut with a LAZY localCheckpoint: the first consuming
-    # stage materializes it once and the other consumers (the hot-df
-    # agg, the sizes agg, the posting-list agg) read the materialized
-    # partitions instead of re-running the explode+trigram transform
-    # 3×; the checkpoint's storage lives and dies with the plan's RDD,
-    # so nothing stays pinned after the job.
+    # No persist(): a persist here has no safe unpersist point and
+    # pins executor storage for the rest of the session. Instead the
+    # shingle stream is lineage-cut with a localCheckpoint so its
+    # THREE consumers (the hot-df agg, the sizes agg, the posting-list
+    # agg) read the materialized partitions instead of re-running the
+    # explode+trigram transform 3×; the checkpoint's storage lives and
+    # dies with the plan's RDD. Note: under AQE, constructing this
+    # DataFrame materializes the upstream stages (AdaptiveSparkPlan
+    # finalizes its shuffles when the checkpoint RDD is built), so
+    # calling this function does real work even before an action —
+    # acceptable here because every caller executes the plan
+    # immediately, and that work is exactly the 3× saving.
     sh_all = _shingles(docs).localCheckpoint(eager=False)
     # Hot-shingle cap: the blocklist side is tiny by construction (only
     # shingles with df > cap), so the anti-join broadcasts.
@@ -456,8 +459,10 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, or the distinct; they are joined back by id only for the
     surviving pairs. At 100 TB that is the difference between
     shuffling 2×256 B per duplicate candidate and shuffling two longs.
-    Dot products are ordered left-to-right double sums (unrolled
-    codegen chain, see similarity._dot) for oracle-exact arithmetic.
+    Dot products are ordered left-to-right double sums via the
+    zip_with/aggregate fold (similarity._dot — the codegen-friendly
+    form; see README's codegen-cliff note) for oracle-exact
+    arithmetic, with per-VECTOR norms precomputed once.
     """
     from namegraph_collections_spark.queries.similarity import _dot as dot
 

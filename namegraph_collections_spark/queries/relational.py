@@ -344,8 +344,14 @@ def segment_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned_parquet,
     )
 
+    # per-session-unique path + table names: concurrent sessions
+    # (bench alongside pytest, CI shards) must never overwrite each
+    # other's lake mid-read
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    base = f"/tmp/ngcs_lake/{sf_tag}"
+    app_tag = spark.sparkContext.applicationId.replace("-", "_")
+    base = f"/tmp/ngcs_lake/{app_tag}/{sf_tag}"
+    orders_tbl_name = f"ngcs_orders_bkt_{sf_tag.replace('.', '_')}_{app_tag}"
+    customer_tbl_name = f"ngcs_customer_bkt_{sf_tag.replace('.', '_')}_{app_tag}"
     orders = tbl(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
     )
@@ -355,7 +361,7 @@ def segment_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_rt = spark.read.parquet(f"{base}/orders_part")
     write_bucketed_table(
         orders_rt,
-        f"ngcs_orders_bkt_{sf_tag.replace('.', '_')}",
+        orders_tbl_name,
         f"{base}/orders_bkt",
         ["o_custkey"],
         8,
@@ -364,14 +370,14 @@ def segment_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     write_bucketed_table(
         customer,
-        f"ngcs_customer_bkt_{sf_tag.replace('.', '_')}",
+        customer_tbl_name,
         f"{base}/customer_bkt",
         ["c_custkey"],
         8,
         sort_by=["c_custkey"],
     )
-    o_b = spark.table(f"ngcs_orders_bkt_{sf_tag.replace('.', '_')}")
-    c_b = spark.table(f"ngcs_customer_bkt_{sf_tag.replace('.', '_')}")
+    o_b = spark.table(orders_tbl_name)
+    c_b = spark.table(customer_tbl_name)
     # merge hint: pin the sort-merge strategy so the bucketed layout
     # (not a size-based broadcast) carries the join — the no-Exchange
     # plan is asserted in tests/test_plans.py and visible in PLANS.md.

@@ -39,8 +39,14 @@ def _dot(a, b, dim: int = DIM):
         a = F.col(a)
     if isinstance(b, str):
         b = F.col(b)
+    # slice to dim so the fold sums EXACTLY the oracle's range(1, dim+1)
+    # terms even if an input array is longer than dim
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(
+            F.slice(a, 1, dim),
+            F.slice(b, 1, dim),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

@@ -80,9 +80,11 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle shuffle.
     """
     docs = tbl(spark, sf_dir, "documents")
-    # Lazy lineage-cut: the shingle stream feeds the hot-df agg AND
-    # both join sides; checkpointing it computes the explode+trigram
-    # transform once per job (same treatment as _jaccard_pairs).
+    # Lineage-cut: the shingle stream feeds the hot-df agg AND both
+    # join sides; checkpointing it computes the explode+trigram
+    # transform once instead of 3× (same treatment — and the same
+    # AQE construction-time-materialization caveat — as
+    # dedup._jaccard_pairs).
     sh_all = _shingles(docs).localCheckpoint(eager=False)
     hot = (
         sh_all.groupBy("shingle")

@@ -67,11 +67,19 @@ def change_capture(
     def update(k, pdf_iter, state: GroupState):
         last = state.get[0] if state.exists else None
         rows = []
-        pdfs = [pdf for pdf in pdf_iter]
-        if order_col is not None and pdfs:
-            hs = pd.concat(pdfs, ignore_index=True).sort_values("_seq", kind="stable")["h"]
+        if order_col is not None:
+            # sorting needs the whole group in hand; only this branch
+            # may buffer all Arrow chunks
+            pdfs = list(pdf_iter)
+            hs = (
+                pd.concat(pdfs, ignore_index=True).sort_values("_seq", kind="stable")["h"]
+                if pdfs
+                else ()
+            )
         else:
-            hs = (h for pdf in pdfs for h in pdf["h"])
+            # stream chunk-by-chunk: a hot key's group must not be
+            # materialized at once
+            hs = (h for pdf in pdf_iter for h in pdf["h"])
         for h in hs:
             if last is None:
                 rows.append((k[0], "create", h))

@@ -6,6 +6,7 @@ hand-set constants on NDCG@10 over the same fixture + qrels."""
 from __future__ import annotations
 
 from tools.fit_ltr import (
+    MODEL_PATH,
     ensemble_scores,
     fit_trees,
     load_features,
@@ -32,7 +33,7 @@ def test_committed_model_matches_deterministic_refit():
 
     doc_ids, X, rels = load_features()
     trees = fit_trees(X, rels, LTR_FEATURE_NAMES)
-    with open("namegraph_collections_spark/queries/ltr_model.py") as f:
+    with open(MODEL_PATH) as f:
         committed = f.read()
     assert render_model(trees) == committed
 
