@@ -21,7 +21,7 @@ TOP_K = 5
 DIM = 64
 
 
-def _dot(a, b, dim: int = DIM):
+def _dot(a, b):
     """Σ aᵢ·bᵢ as an ordered left-to-right double sum (JVM-side, no UDF).
 
     Expressed as a ``zip_with`` product + ``aggregate`` fold, NOT an
@@ -34,19 +34,21 @@ def _dot(a, b, dim: int = DIM):
     each term ascending) matches the oracle's ``list_sum`` of an
     index-ordered ``list_transform``, so float results — and the
     driver's value hash — are unchanged.
+
+    INVARIANT: both arrays must be exactly ``DIM`` elements wide — the
+    fold sums the whole array while the SQL oracles sum exactly
+    ``range(1, DIM+1)`` terms, so a longer array would silently
+    diverge. A per-row ``slice`` guard measured ~30% overhead on the
+    pair stage, so the invariant is pinned by a fixture test
+    (tests/test_properties.py::test_embedding_arrays_are_dim_wide)
+    instead of paid for on every row.
     """
     if isinstance(a, str):
         a = F.col(a)
     if isinstance(b, str):
         b = F.col(b)
-    # slice to dim so the fold sums EXACTLY the oracle's range(1, dim+1)
-    # terms even if an input array is longer than dim
     return F.aggregate(
-        F.zip_with(
-            F.slice(a, 1, dim),
-            F.slice(b, 1, dim),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

@@ -194,3 +194,18 @@ def test_sqldump_dfa_roundtrip(tuples):
     parsed = list(split_insert_tuples(line))
     want = [[str(v) for v in tup] for tup in tuples]
     assert parsed == want
+
+
+def test_embedding_arrays_are_dim_wide(spark):
+    """similarity._dot folds the WHOLE array while the SQL oracles sum
+    exactly DIM terms; the two agree only because every embedding is
+    exactly DIM elements wide. Pin that invariant at every committed
+    scale factor so a changed fixture cannot silently diverge."""
+    from pyspark.sql import functions as F
+
+    from namegraph_collections_spark.queries.similarity import DIM
+
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        off = emb.filter(F.size("embedding") != DIM).count()
+        assert off == 0, f"{sf}: {off} embeddings not {DIM}-wide"
