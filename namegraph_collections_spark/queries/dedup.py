@@ -89,18 +89,17 @@ def _jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     """Capped-inverted-index Jaccard pairs over any documents frame
     (exposed separately so tests can drive a skewed fixture)."""
     # No persist(): a persist here has no safe unpersist point and
-    # pins executor storage for the rest of the session. Instead the
-    # shingle stream is lineage-cut with a localCheckpoint so its
-    # THREE consumers (the hot-df agg, the sizes agg, the posting-list
-    # agg) read the materialized partitions instead of re-running the
-    # explode+trigram transform 3×; the checkpoint's storage lives and
-    # dies with the plan's RDD. Note: under AQE, constructing this
-    # DataFrame materializes the upstream stages (AdaptiveSparkPlan
-    # finalizes its shuffles when the checkpoint RDD is built), so
-    # calling this function does real work even before an action —
-    # acceptable here because every caller executes the plan
-    # immediately, and that work is exactly the 3× saving.
-    sh_all = _shingles(docs).localCheckpoint(eager=False)
+    # pins executor storage for the rest of the session. And no
+    # localCheckpoint either: interleaved same-session A/B at sf0.1
+    # measured none/eager/lazy checkpoints EQUAL within noise
+    # (2.6–3.1s medians), so the tie-break is the 100 TB argument —
+    # the exploded (doc_id, shingle) stream is ~3× the text bytes, so
+    # checkpointing it trades three cheap column-pruned parquet scans
+    # for hundreds of TB of non-replicated executor-local storage that
+    # a lost executor cannot recompute past. Recompute wins; identical
+    # shuffle subtrees still dedup via ReusedExchange where they
+    # appear.
+    sh_all = _shingles(docs)
     # Hot-shingle cap: the blocklist side is tiny by construction (only
     # shingles with df > cap), so the anti-join broadcasts.
     hot = (

@@ -80,12 +80,12 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle shuffle.
     """
     docs = tbl(spark, sf_dir, "documents")
-    # Lineage-cut: the shingle stream feeds the hot-df agg AND both
-    # join sides; checkpointing it computes the explode+trigram
-    # transform once instead of 3× (same treatment — and the same
-    # AQE construction-time-materialization caveat — as
-    # dedup._jaccard_pairs).
-    sh_all = _shingles(docs).localCheckpoint(eager=False)
+    # No checkpoint on the shingle stream: measured equal to eager/
+    # lazy localCheckpoint at sf0.1, and at 100 TB recomputing three
+    # cheap column-pruned scans beats pinning the ~3×-text-bytes
+    # exploded stream in non-replicated executor storage (full
+    # rationale at dedup._jaccard_pairs).
+    sh_all = _shingles(docs)
     hot = (
         sh_all.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
