@@ -1,0 +1,128 @@
+"""Edge-semantics tests for the temporal join operators.
+
+The registry queries (asof_join_events, interval_range_join) get full
+value-hash parity against DuckDB in test_oracle_parity.py; these tests
+pin the operator-level corner cases a bulk comparison can sail past:
+tie-breaking at equal timestamps, probes with no preceding quote, and
+half-open containment exactly at bin and interval boundaries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.operators.temporal import asof_join, binned_range_join
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def asof_result(spark):
+    probe = _df(
+        spark,
+        [
+            (1, 100, 10),   # after two quotes at ts=10 → tie broken by max id
+            (1, 101, 5),    # between quotes → earlier quote only
+            (1, 102, 1),    # before every quote → no match
+            (1, 103, 20),   # exactly AT a quote ts → that quote is visible
+            (2, 200, 50),   # other key: must not see key 1's quotes
+        ],
+        "user_id long, event_id long, ts long",
+    )
+    quote = _df(
+        spark,
+        [
+            (1, 900, 10, 1.0),
+            (1, 901, 10, 2.0),  # same instant, higher id → wins ties
+            (1, 902, 3, 3.0),
+            (1, 903, 20, 4.0),
+            (2, 904, 49, 5.0),
+        ],
+        "user_id long, event_id long, ts long, value double",
+    )
+    out = asof_join(
+        probe, quote, on="user_id", ts="ts",
+        payload=["event_id", "value"], tiebreak="event_id",
+    )
+    return {r["event_id"]: (r["q_event_id"], r["q_value"]) for r in out.collect()}
+
+
+def test_asof_tie_at_equal_quote_ts_takes_max_tiebreak(asof_result):
+    assert asof_result[100] == (901, 2.0)
+
+
+def test_asof_between_quotes_takes_earlier(asof_result):
+    assert asof_result[101] == (902, 3.0)
+
+
+def test_asof_no_preceding_quote_yields_nulls(asof_result):
+    assert asof_result[102] == (None, None)
+
+
+def test_asof_same_instant_quote_is_visible(asof_result):
+    assert asof_result[103] == (903, 4.0)
+
+
+def test_asof_keys_do_not_leak(asof_result):
+    assert asof_result[200] == (904, 5.0)
+
+
+def test_asof_probe_columns_pass_through(spark):
+    probe = _df(spark, [(1, 7, 10, "keep")], "user_id long, event_id long, ts long, extra string")
+    quote = _df(spark, [(1, 8, 9, 1.5)], "user_id long, event_id long, ts long, value double")
+    row = asof_join(
+        probe, quote, on="user_id", ts="ts", payload=["value"], tiebreak="event_id"
+    ).collect()[0]
+    assert (row["extra"], row["q_value"]) == ("keep", 1.5)
+
+
+@pytest.fixture(scope="module")
+def range_result(spark):
+    # bin_width 100; interval [95, 195) straddles bins 0 and 1.
+    intervals = _df(spark, [(1, 11, 95, 195), (1, 12, 300, 400), (2, 13, 95, 195)],
+                    "k long, iv_id long, s long, e long")
+    probes = _df(
+        spark,
+        [
+            (1, 95),    # at start → contained
+            (1, 194),   # last in-window point, other bin than start
+            (1, 195),   # exactly at end → excluded (half-open)
+            (1, 94),    # just before start, same bin → excluded
+            (1, 300),   # second interval's start
+            (2, 400),   # other key, matches nothing
+        ],
+        "k long, p long",
+    )
+    out = binned_range_join(
+        intervals, probes, on="k", start="s", end="e", probe_ts="p", bin_width=100
+    )
+    return sorted((r["iv_id"], r["p"]) for r in out.collect())
+
+
+def test_range_join_half_open_containment(range_result):
+    assert range_result == [(11, 95), (11, 194), (12, 300)]
+
+
+def test_range_join_no_duplicate_matches_across_bins(spark):
+    # An interval exploded into 2 bins must match an in-window probe once.
+    intervals = _df(spark, [(1, 21, 50, 150)], "k long, iv_id long, s long, e long")
+    probes = _df(spark, [(1, 99), (1, 100)], "k long, p long")  # one per bin
+    out = binned_range_join(
+        intervals, probes, on="k", start="s", end="e", probe_ts="p", bin_width=100
+    ).collect()
+    assert sorted(r["p"] for r in out) == [99, 100]
+    assert len(out) == 2
+
+
+def test_asof_plan_has_no_join(spark):
+    """The as-of sweep must compile to window-over-union — any Join node
+    means the inequality-join formulation snuck back in."""
+    probe = _df(spark, [(1, 7, 10)], "user_id long, event_id long, ts long")
+    quote = _df(spark, [(1, 8, 9, 1.0)], "user_id long, event_id long, ts long, value double")
+    df = asof_join(probe, quote, on="user_id", ts="ts", payload=["value"], tiebreak="event_id")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
