@@ -25,6 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from namegraph_collections_spark.operators.iterative import (
+    persistent_rdd_ids,
+    unpersist_rdd_ids,
+)
+
 
 def rewrite_edges_with_redirects(edges: DataFrame, same_as: DataFrame) -> DataFrame:
     """Fold redirects into the edge set: if s→s' is a redirect, then
@@ -61,11 +66,13 @@ def transitive_closure(
 
     Returns DataFrame[src, dst] including the 1-step edges.
     """
+    spark = edges.sparkSession
     edges = edges.select("src", "dst").distinct()
     # Hot relation reused every iteration — cache it once.
     edges.persist()
     closure = edges
     frontier = edges
+    round_ids: set[int] = set()  # checkpoint storage of per-round frontiers
     for i in range(max_iterations):
         # frontier ∘ edges: new candidate pairs one step deeper.
         stepped = (
@@ -75,18 +82,31 @@ def transitive_closure(
             .distinct()
         )
         # Semi-naive: drop pairs we already know (also terminates cycles).
-        # Lazy checkpoint: isEmpty() is the materializing action, so
-        # each round runs ONE job for compute+truncate+probe instead of
-        # an eager checkpoint job followed by a probe job.
+        # ONLY the frontier is checkpointed — never the accumulated
+        # closure. The closure stays a lazy union over the materialized
+        # frontier RDDs, so each pair is stored exactly ONCE across the
+        # loop; re-checkpointing the union each round would write an
+        # O(rounds × closure) cascade of copies. Plan depth grows one
+        # union leaf per round — shallow, and every leaf is already
+        # materialized. The checkpoint is lazy and the count() probe is
+        # the materializing action (count is a FULL action, so the
+        # checkpoint is complete when it returns — unlike isEmpty,
+        # whose early-exit leaves materialization to a backfill job).
         new_pairs = stepped.join(closure, ["src", "dst"], "left_anti")
+        before = persistent_rdd_ids(spark)
         if checkpoint_every and (i % checkpoint_every == 0):
             new_pairs = new_pairs.localCheckpoint(eager=False)
-        if new_pairs.isEmpty():
+        n_new = new_pairs.count()
+        round_ids |= persistent_rdd_ids(spark) - before
+        if n_new == 0:
             break
-        # The closure is re-checkpointed lazily as well; the NEXT
-        # round's left_anti materializes it. Keeping the accumulated
-        # relation checkpointed bounds plan depth across rounds.
-        closure = closure.unionByName(new_pairs).localCheckpoint(eager=False)
+        closure = closure.unionByName(new_pairs)
         frontier = new_pairs
+    # Compact the result to ONE checkpointed relation and free every
+    # per-round frontier block: the loop's storage would otherwise stay
+    # pinned for the session (PySpark has no unpersist for checkpoints;
+    # see operators/iterative.py). One extra pass over the closure.
+    result = closure.localCheckpoint(eager=True)
     edges.unpersist()
-    return closure
+    unpersist_rdd_ids(spark, round_ids)
+    return result

@@ -32,6 +32,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from namegraph_collections_spark.operators.iterative import (
+    persistent_rdd_ids,
+    unpersist_rdd_ids,
+)
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """(u,v) both orientations -> for each u: emit (v, min_nbr) for
@@ -88,12 +93,15 @@ def connected_components(
     exactly once, at the fixpoint — versus the two full ``exceptAll``
     set-difference jobs per round this replaced.
     """
+    spark = edges.sparkSession
+    before = persistent_rdd_ids(spark)
     e = (
         edges.select(F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e_ids = persistent_rdd_ids(spark) - before
     n = e.count()
     rounds = 0
     for _ in range(max_iterations):
@@ -101,14 +109,24 @@ def connected_components(
         # The checkpoint is LAZY: the count() right after is the one
         # action that materializes (and lineage-truncates) the round's
         # edge set — one job per round, not a checkpoint job plus a
-        # count job.
+        # count job (count is a FULL action, so materialization is
+        # complete when it returns).
         both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        before = persistent_rdd_ids(spark)
         e2 = _small_star(_large_star(both)).localCheckpoint(eager=False)
         rounds += 1
         n2 = e2.count()
+        e2_ids = persistent_rdd_ids(spark) - before
         # Exact fixpoint: equal counts (cheap) gate the one join probe.
         changed = n2 != n or not e2.join(e, ["u", "v"], "left_anti").isEmpty()
-        e, n = e2, n2
+        # The old round's edge set is fully superseded once the probe
+        # has read it — free its checkpoint blocks NOW instead of
+        # letting O(rounds) edge-sets pin executor storage for the
+        # session (operators/iterative.py has the leak writeup). The
+        # final round's e stays persisted: the returned component
+        # projection reads it.
+        unpersist_rdd_ids(spark, e_ids)
+        e, n, e_ids = e2, n2, e2_ids
         if not changed:
             break
     if stats is not None:
