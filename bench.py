@@ -49,6 +49,10 @@ HEADLINE = [
     "decontamination_overlap",
     "neardup_clusters",
     "sequence_packing",
+    # Round 4 additions (appended so prior rounds' per-query numbers
+    # stay comparable on the shared prefix).
+    "asof_join_events",
+    "interval_range_join",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -67,6 +67,27 @@ def transitive_closure(
     Returns DataFrame[src, dst] including the 1-step edges.
     """
     spark = edges.sparkSession
+    # Constraint propagation must be off while the frontier-union plans
+    # are optimized: a checkpointed LogicalRDD re-exposes fresh output
+    # attributes but carries constraints referencing its ORIGIN plan's
+    # attribute ids, and a Union over such children throws
+    # NoSuchElementException in UnionBase.rewriteConstraints once the
+    # union is deep (reproduced at ~40 rounds; tests/test_iterative.py
+    # drives it). Constraint propagation only adds derived filters the
+    # semi-naive loop doesn't benefit from, so the toggle costs nothing
+    # here. Saved/restored so the session's other queries keep it.
+    _CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
+    prev_constraint = spark.conf.get(_CONSTRAINT_CONF, "true")
+    spark.conf.set(_CONSTRAINT_CONF, "false")
+    try:
+        return _transitive_closure_loop(spark, edges, max_iterations, checkpoint_every)
+    finally:
+        spark.conf.set(_CONSTRAINT_CONF, prev_constraint)
+
+
+def _transitive_closure_loop(
+    spark, edges: DataFrame, max_iterations: int, checkpoint_every: int
+) -> DataFrame:
     edges = edges.select("src", "dst").distinct()
     # Hot relation reused every iteration — cache it once.
     edges.persist()
