@@ -38,6 +38,59 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _sweep(
+    probe: DataFrame,
+    quote: DataFrame,
+    part_cols: list[str],
+    ts: str,
+    payload: list[str],
+    tiebreak: str,
+    suffix: str,
+    keep_cols: list[str],
+) -> DataFrame:
+    """Union-tag + window sweep core shared by the plain and chunked
+    as-of forms. Partitions on ``part_cols``; returns one row per probe
+    row carrying ``keep_cols`` (probe columns plus any bookkeeping
+    columns like the chunk id) and the filled ``{suffix}{payload}``
+    columns."""
+    qtypes = dict(quote.dtypes)
+    out_cols = [f"{suffix}{c}" for c in payload]
+    probe_keep = [(c, t) for c, t in probe.dtypes if c in keep_cols]
+    # Quote rows: side 0 (visible to probes at the same instant).
+    q_tagged = quote.select(
+        *[F.col(c) for c in part_cols],
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        F.col(tiebreak).alias("_tb"),
+        *[F.col(c).alias(o) for c, o in zip(payload, out_cols)],
+        *[F.lit(None).cast(t).alias(f"_p_{c}") for c, t in probe_keep],
+    )
+    p_tagged = probe.select(
+        *[F.col(c) for c in part_cols],
+        F.col(ts),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(qtypes[tiebreak]).alias("_tb"),
+        *[F.lit(None).cast(qtypes[c]).alias(o) for c, o in zip(payload, out_cols)],
+        *[F.col(c).alias(f"_p_{c}") for c, _ in probe_keep],
+    )
+    # One shuffle on the partition key(s); the frame must be ROWS (a
+    # RANGE frame is illegal with a multi-column sort, and ROWS is what
+    # the sweep means anyway). NULL _tb on probe rows sorts first under
+    # ASC, so a probe row can never outsort a same-instant quote.
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = q_tagged.unionByName(p_tagged).select(
+        "*", *[F.last(o, ignorenulls=True).over(w).alias(f"_f_{o}") for o in out_cols]
+    )
+    return swept.filter(F.col("_side") == 1).select(
+        *[F.col(f"_p_{c}").alias(c) for c, _ in probe_keep],
+        *[F.col(f"_f_{o}").alias(o) for o in out_cols],
+    )
+
+
 def asof_join(
     probe: DataFrame,
     quote: DataFrame,
@@ -61,42 +114,103 @@ def asof_join(
     Equal timestamps count as "at-or-before": the quote side sorts
     before the probe side at the same instant, mirroring
     ``ASOF JOIN ... ON q.ts <= p.ts`` semantics.
+
+    The per-key window implies a per-key sort: fine up to millions of
+    rows per key, but a single pathological key (one instrument with
+    billions of ticks) serializes its sort in one task. For that shape
+    use :func:`asof_join_chunked`, which bounds every sort by the
+    chunk width.
     """
-    qtypes = dict(quote.dtypes)
+    return _sweep(
+        probe, quote, [on], ts, payload, tiebreak, suffix, keep_cols=probe.columns
+    )
+
+
+def asof_join_chunked(
+    probe: DataFrame,
+    quote: DataFrame,
+    on: str,
+    ts: str,
+    payload: list[str],
+    tiebreak: str,
+    chunk_width: int,
+    suffix: str = "q_",
+) -> DataFrame:
+    """Skew-proof as-of join: identical output to :func:`asof_join`
+    for ANY ``chunk_width`` > 0, but no task ever sorts more than one
+    (key, time-chunk) slice.
+
+    Three bounded stages instead of one unbounded per-key sort:
+
+    1. **In-chunk sweep** — the plain sweep partitioned by
+       (key, ``ts div chunk_width``): finds each probe's latest
+       at-or-before quote *within its own chunk*. Sort size is bounded
+       by rows-per-chunk regardless of per-key cardinality.
+    2. **Chunk summaries** — ONE aggregate row per (key, chunk) on the
+       quote side: the chunk's winning (ts, tiebreak, payload) struct
+       via ``max(struct)`` (struct comparison is lexicographic on
+       (ts, tiebreak) — exactly the pick rule; tiebreak is unique so
+       later fields never decide). A second window cumulates these
+       per key ACROSS chunks — but over the summary relation, whose
+       per-key row count is #chunks, not #events, so the skew cannot
+       reappear there.
+    3. **Carry-in join + coalesce** — each probe chunk's carry-in (the
+       winner of all STRICTLY EARLIER chunks) joins back on
+       (key, chunk) and fills only probes their own chunk left NULL —
+       an in-chunk hit is always newer than any earlier chunk's.
+    """
+    ck = "_chunk"
+    bw = int(chunk_width)
     out_cols = [f"{suffix}{c}" for c in payload]
-    # Quote rows: side 0 (visible to probes at the same instant).
-    q_tagged = quote.select(
-        F.col(on),
-        F.col(ts),
-        F.lit(0).alias("_side"),
-        F.col(tiebreak).alias("_tb"),
-        *[F.col(c).alias(o) for c, o in zip(payload, out_cols)],
-        *[F.lit(None).cast(t).alias(f"_p_{c}") for c, t in probe.dtypes],
+    p2 = probe.withColumn(ck, F.expr(f"CAST({ts} AS BIGINT) div {bw}"))
+    q2 = quote.withColumn(ck, F.expr(f"CAST({ts} AS BIGINT) div {bw}"))
+
+    in_chunk = _sweep(
+        p2, q2, [on, ck], ts, payload, tiebreak, suffix,
+        keep_cols=[*probe.columns, ck],
     )
-    p_tagged = probe.select(
-        F.col(on),
-        F.col(ts),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(qtypes[tiebreak]).alias("_tb"),
-        *[F.lit(None).cast(qtypes[c]).alias(o) for c, o in zip(payload, out_cols)],
-        *[F.col(c).alias(f"_p_{c}") for c in probe.columns],
+
+    # Stage 2: per-(key, chunk) winner struct; positional field names
+    # (_s0=ts, _s1=tiebreak, _s2..=payload) because payload may repeat
+    # the ts column and duplicate struct field names are ambiguous.
+    best = F.struct(
+        F.col(ts).alias("_s0"),
+        F.col(tiebreak).alias("_s1"),
+        *[F.col(c).alias(f"_s{i + 2}") for i, c in enumerate(payload)],
     )
-    # One shuffle on the key; the frame must be ROWS (a RANGE frame is
-    # illegal with a multi-column sort, and ROWS is what the sweep
-    # means anyway). NULL _tb on probe rows sorts first under ASC, so a
-    # probe row can never outsort a same-instant quote.
-    w = (
+    summaries = q2.groupBy(on, ck).agg(F.max(best).alias("_best"))
+    markers = p2.select(on, ck).distinct()
+    # Markers sort BEFORE the same chunk's summary (side 0 < 1), so the
+    # preceding-rows frame sees exactly the strictly-earlier chunks.
+    lagged = (
+        summaries.select(on, ck, F.lit(1).alias("_side"), "_best")
+        .unionByName(
+            markers.select(
+                on, ck, F.lit(0).alias("_side"),
+                F.lit(None).cast(dict(summaries.dtypes)["_best"]).alias("_best"),
+            )
+        )
+    )
+    wc = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_tb").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col(ck).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    swept = q_tagged.unionByName(p_tagged).select(
-        "*", *[F.last(o, ignorenulls=True).over(w).alias(f"_f_{o}") for o in out_cols]
+    carry = (
+        lagged.select(on, ck, "_side", F.last("_best", ignorenulls=True).over(wc).alias("_carry"))
+        .filter(F.col("_side") == 0)
+        .select(on, ck, "_carry")
     )
-    return swept.filter(F.col("_side") == 1).select(
-        *[F.col(f"_p_{c}").alias(c) for c in probe.columns],
-        *[F.col(f"_f_{o}").alias(o) for o in out_cols],
+
+    # Stage 3: fill the gaps. Carry payload field i lives at _s{i+2}.
+    filled = in_chunk.join(carry, [on, ck], "left").select(
+        *[F.col(c) for c in probe.columns],
+        *[
+            F.coalesce(F.col(o), F.col("_carry").getField(f"_s{i + 2}")).alias(o)
+            for i, o in enumerate(out_cols)
+        ],
     )
+    return filled
 
 
 def binned_range_join(

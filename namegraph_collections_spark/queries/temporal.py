@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from namegraph_collections_spark.operators.temporal import asof_join, binned_range_join
+from namegraph_collections_spark.operators.temporal import (
+    asof_join,
+    asof_join_chunked,
+    binned_range_join,
+)
 from namegraph_collections_spark.queries.registry import events_tbl, register
 
 #: Interval length and bin width for the range join: one hour, in the
@@ -30,10 +34,9 @@ from namegraph_collections_spark.queries.registry import events_tbl, register
 #: equals the max interval length, so each interval covers <= 2 bins.
 HOUR_US = 3_600_000_000
 
-
-@register(
-    "asof_join_events",
-    oracle="""
+#: Shared by the plain and chunked as-of registrations — the operator
+#: contract is output-identical plans, so they answer to ONE oracle.
+_ASOF_ORACLE = """
     WITH probe AS (
       SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
       FROM events WHERE event_type = 'click'
@@ -55,8 +58,35 @@ HOUR_US = 3_600_000_000
       PARTITION BY p.event_id
       ORDER BY q.ts_us DESC NULLS LAST, q.event_id DESC
     ) = 1
-    """,
-)
+    """
+
+
+def _asof_sides(spark: SparkSession, sf_dir: str):
+    ev = events_tbl(spark, sf_dir)
+    probe = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    quote = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_us").alias("click_ts_us"), "value"
+    )
+    return probe, quote
+
+
+def _asof_project(out: DataFrame) -> DataFrame:
+    return out.select(
+        "click_event_id",
+        "user_id",
+        "click_ts_us",
+        F.col("q_event_id").alias("purchase_event_id"),
+        F.col("q_click_ts_us").alias("purchase_ts_us"),
+        (F.col("click_ts_us") - F.col("q_click_ts_us")).alias("staleness_us"),
+        F.col("q_value").alias("purchase_value"),
+    )
+
+
+@register("asof_join_events", oracle=_ASOF_ORACLE)
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every click matched to the same user's latest
     purchase at-or-before it (NULLs when none precedes it).
@@ -72,17 +102,9 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     that survives 100 TB and the one the O(n*m)-per-key oracle cannot
     match at scale.
     """
-    ev = events_tbl(spark, sf_dir)
-    probe = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_event_id"),
-        "user_id",
-        F.col("ts_us").alias("click_ts_us"),
-    )
-    quote = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts_us").alias("click_ts_us"), "value"
-    )
     # asof_join keys both sides on the same ts column name; probe's is
     # click_ts_us, so the quote side aliases its ts to match.
+    probe, quote = _asof_sides(spark, sf_dir)
     out = asof_join(
         probe,
         quote,
@@ -92,15 +114,32 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
         suffix="q_",
     )
-    return out.select(
-        "click_event_id",
-        "user_id",
-        "click_ts_us",
-        F.col("q_event_id").alias("purchase_event_id"),
-        F.col("q_click_ts_us").alias("purchase_ts_us"),
-        (F.col("click_ts_us") - F.col("q_click_ts_us")).alias("staleness_us"),
-        F.col("q_value").alias("purchase_value"),
+    return _asof_project(out)
+
+
+@register("asof_join_chunked_events", oracle=_ASOF_ORACLE)
+def asof_join_chunked_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof chunked as-of against the SAME oracle as
+    asof_join_events — the point being checked is precisely that the
+    three-stage bounded-sort formulation (in-chunk sweep → per-chunk
+    summary cumulation → carry-in fill; operators/temporal.py:
+    asof_join_chunked) is output-identical to the one-window form while
+    never sorting more than one (user, day) slice per task. Chunk width
+    = 1 day of epoch-micros; the testdata spans a month, so the
+    carry-in path genuinely exercises multi-chunk gaps.
+    """
+    probe, quote = _asof_sides(spark, sf_dir)
+    out = asof_join_chunked(
+        probe,
+        quote,
+        on="user_id",
+        ts="click_ts_us",
+        payload=["event_id", "click_ts_us", "value"],
+        tiebreak="event_id",
+        chunk_width=24 * HOUR_US,
+        suffix="q_",
     )
+    return _asof_project(out)
 
 
 @register(

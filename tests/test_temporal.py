@@ -12,7 +12,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from namegraph_collections_spark.operators.temporal import asof_join, binned_range_join
+from namegraph_collections_spark.operators.temporal import (
+    asof_join,
+    asof_join_chunked,
+    binned_range_join,
+)
 
 
 def _df(spark, rows, schema):
@@ -115,6 +119,43 @@ def test_range_join_no_duplicate_matches_across_bins(spark):
     ).collect()
     assert sorted(r["p"] for r in out) == [99, 100]
     assert len(out) == 2
+
+
+def test_asof_chunked_equals_plain_at_any_width(spark):
+    """The chunked form must be output-identical to the plain sweep for
+    any chunk width — including width 1 (every row its own chunk, all
+    matches via carry-in) and a width swallowing the whole range (all
+    matches in-chunk, carry-in never fires)."""
+    probe = spark.range(600).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 2654435761) % 997).alias("ts"),
+    )
+    quote = spark.range(300).select(
+        (F.col("id") % 4).alias("user_id"),
+        (F.col("id") + 100000).alias("event_id"),
+        ((F.col("id") * 40503) % 997).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    args = dict(on="user_id", ts="ts", payload=["event_id", "ts", "value"], tiebreak="event_id")
+    plain = asof_join(probe, quote, **args)
+    for width in (1, 13, 997, 10**9):
+        chunked = asof_join_chunked(probe, quote, chunk_width=width, **args)
+        assert plain.exceptAll(chunked).count() == 0
+        assert chunked.exceptAll(plain).count() == 0
+
+
+def test_asof_chunked_carry_in_crosses_empty_chunks(spark):
+    # Quote in chunk 0, probes in chunks 3 and 5 (chunks 1-4 empty on
+    # the quote side): carry-in must propagate across the gap.
+    probe = _df(spark, [(1, 7, 350), (1, 8, 550)], "user_id long, event_id long, ts long")
+    quote = _df(spark, [(1, 9, 10, 2.5)], "user_id long, event_id long, ts long, value double")
+    out = asof_join_chunked(
+        probe, quote, on="user_id", ts="ts", payload=["event_id", "value"],
+        tiebreak="event_id", chunk_width=100,
+    )
+    got = {r["event_id"]: (r["q_event_id"], r["q_value"]) for r in out.collect()}
+    assert got == {7: (9, 2.5), 8: (9, 2.5)}
 
 
 def test_asof_plan_has_no_join(spark):
