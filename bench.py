@@ -53,6 +53,9 @@ HEADLINE = [
     # stay comparable on the shared prefix).
     "asof_join_events",
     "interval_range_join",
+    "asof_join_chunked_events",
+    "cascading_time_rollup",
+    "kmv_distinct_sketch",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas
@@ -98,19 +101,30 @@ def main() -> None:
     # whole round's bench evidence — it records null and the JSON line
     # still prints (with any failure reported on stderr, never stdout,
     # which must stay a single parseable line).
-    timings: dict[str, float | None] = {}
-    for name in headline:
-        fn = REGISTRY[name].fn
-        samples = []
-        try:
-            for _ in range(RUNS_PER_QUERY):
+    #
+    # Repetitions are INTERLEAVED (3 passes over the whole set, median
+    # per query) rather than consecutive: this host shows heavy
+    # hypervisor CPU steal in bursts, and three back-to-back runs of
+    # one query land entirely inside a burst — interleaving spreads
+    # each query's samples across the run so the median sees at least
+    # one quiet window.
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    failed: dict[str, str] = {}
+    for _ in range(RUNS_PER_QUERY):
+        for name in headline:
+            if name in failed:
+                continue
+            try:
                 t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
-            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
-        except Exception as e:  # noqa: BLE001 — isolation is the point
-            timings[name] = None
-            print(f"bench: {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples[name].append(time.time() - t0)
+            except Exception as e:  # noqa: BLE001 — isolation is the point
+                failed[name] = f"{type(e).__name__}: {e}"
+                print(f"bench: {name} FAILED: {failed[name]}", file=sys.stderr)
+    timings: dict[str, float | None] = {
+        name: (round(sorted(ts)[len(ts) // 2], 3) if ts and name not in failed else None)
+        for name, ts in samples.items()
+    }
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
