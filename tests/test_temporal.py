@@ -158,6 +158,90 @@ def test_asof_chunked_carry_in_crosses_empty_chunks(spark):
     assert got == {7: (9, 2.5), 8: (9, 2.5)}
 
 
+# ---------------------------------------------------------------------------
+# Property tests: random event sets vs a per-row Python brute force.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=30),   # ts (collisions likely)
+        st.booleans(),                            # is_quote
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _brute_asof(probes, quotes):
+    # probes/quotes: (key, event_id, ts)[, value]; pick per spec.
+    out = {}
+    for k, pid, pts in probes:
+        best = None
+        for qk, qid, qts, qv in quotes:
+            if qk == k and qts <= pts and (best is None or (qts, qid) > (best[0], best[1])):
+                best = (qts, qid, qv)
+        out[pid] = (best[1], best[2]) if best else (None, None)
+    return out
+
+
+@given(_events)
+@settings(**_SETTINGS)
+def test_asof_matches_bruteforce(spark, events):
+    probes = [(k, i, ts) for i, (k, ts, q) in enumerate(events) if not q]
+    quotes = [(k, i + 1000, ts, float(i)) for i, (k, ts, q) in enumerate(events) if q]
+    if not probes:
+        return
+    probe = _df(spark, probes, "user_id long, event_id long, ts long")
+    quote = (
+        _df(spark, quotes, "user_id long, event_id long, ts long, value double")
+        if quotes
+        else spark.createDataFrame([], "user_id long, event_id long, ts long, value double")
+    )
+    want = _brute_asof(probes, quotes)
+    for impl in (
+        lambda: asof_join(probe, quote, on="user_id", ts="ts",
+                          payload=["event_id", "value"], tiebreak="event_id"),
+        lambda: asof_join_chunked(probe, quote, on="user_id", ts="ts",
+                                  payload=["event_id", "value"], tiebreak="event_id",
+                                  chunk_width=7),
+    ):
+        got = {r["event_id"]: (r["q_event_id"], r["q_value"]) for r in impl().collect()}
+        assert got == want
+
+
+@given(_events, st.integers(min_value=1, max_value=40))
+@settings(**_SETTINGS)
+def test_range_join_matches_bruteforce(spark, events, width):
+    intervals = [(k, i, ts, ts + width) for i, (k, ts, q) in enumerate(events) if q]
+    probes = [(k, i + 1000, ts) for i, (k, ts, q) in enumerate(events) if not q]
+    if not intervals or not probes:
+        return
+    iv = _df(spark, intervals, "k long, iv_id long, s long, e long")
+    pr = _df(spark, probes, "k long, p_id long, p long")
+    got = sorted(
+        (r["iv_id"], r["p_id"])
+        for r in binned_range_join(
+            iv, pr, on="k", start="s", end="e", probe_ts="p", bin_width=width
+        ).collect()
+    )
+    want = sorted(
+        (ivid, pid)
+        for (ik, ivid, s, e) in intervals
+        for (pk, pid, p) in probes
+        if pk == ik and s <= p < e
+    )
+    assert got == want
+
+
 def test_asof_plan_has_no_join(spark):
     """The as-of sweep must compile to window-over-union — any Join node
     means the inequality-join formulation snuck back in."""
