@@ -39,3 +39,4 @@ from namegraph_collections_spark.queries import collections_ops  # noqa: E402,F4
 # tests/test_oracle_parity.py (which sweeps the whole registry).
 from namegraph_collections_spark.queries import temporal  # noqa: E402,F401
 from namegraph_collections_spark.queries import rollups  # noqa: E402,F401
+from namegraph_collections_spark.queries import similarity_pq  # noqa: E402,F401

@@ -343,3 +343,4 @@ def lsh_bucket_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.array_join(F.array_sort(F.collect_set("label")), ",").alias("labels"),
     )
+
