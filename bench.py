@@ -56,6 +56,7 @@ HEADLINE = [
     "asof_join_chunked_events",
     "cascading_time_rollup",
     "kmv_distinct_sketch",
+    "pq_rerank_topk",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

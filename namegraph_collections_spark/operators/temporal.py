@@ -158,6 +158,9 @@ def asof_join_chunked(
        winner of all STRICTLY EARLIER chunks) joins back on
        (key, chunk) and fills only probes their own chunk left NULL —
        an in-chunk hit is always newer than any earlier chunk's.
+
+    Timestamps must be non-negative (same integer-``div`` chunk
+    arithmetic caveat as :func:`binned_range_join`).
     """
     ck = "_chunk"
     bw = int(chunk_width)
@@ -231,6 +234,11 @@ def binned_range_join(
     aggregate back to the interval table if match-less intervals must
     survive — keeping that join outside this operator keeps its
     semantics one thing).
+
+    Timestamps must be non-negative: the bin arithmetic uses integer
+    ``div``, which truncates toward zero in Spark but floors in
+    DuckDB-style SQL — the two agree only for values >= 0 (epoch
+    micros always are).
     """
     bw = int(bin_width)
     iv = intervals.withColumn(
