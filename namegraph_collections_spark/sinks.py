@@ -21,22 +21,27 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 
 
-def write_partitioned_parquet(
+def write_partitioned(
     df: DataFrame,
     path: str,
     partition_by: Sequence[str],
     sort_by: Sequence[str] = (),
     max_records_per_file: int = 1_000_000,
     mode: str = "overwrite",
+    file_format: str = "parquet",
 ) -> None:
-    """Hive-partitioned parquet with deterministic in-file order.
+    """Hive-partitioned columnar output with deterministic in-file
+    order. ``file_format`` is any Spark batch format — parquet
+    (default) and ORC both keep the column statistics that make the
+    sorted layout prunable; JSON/CSV work for interchange but lose
+    the stats.
 
     ``repartition(partition_by)`` routes each output partition's rows
     to one task (otherwise every task writes a file into every
     partition directory — the small-files explosion);
-    ``sortWithinPartitions`` orders rows inside each file so parquet
-    row-group statistics prune on the sorted columns;
-    ``maxRecordsPerFile`` bounds file size without a global count.
+    ``sortWithinPartitions`` orders rows inside each file so row-group
+    statistics prune on the sorted columns; ``maxRecordsPerFile``
+    bounds file size without a global count.
     """
     out = df.repartition(*partition_by)
     if sort_by:
@@ -45,7 +50,25 @@ def write_partitioned_parquet(
         out.write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_by)
-        .parquet(path)
+        .format(file_format)
+        .save(path)
+    )
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    sort_by: Sequence[str] = (),
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet (the original sink surface; see
+    :func:`write_partitioned` for the format-generic form)."""
+    write_partitioned(
+        df, path, partition_by, sort_by=sort_by,
+        max_records_per_file=max_records_per_file, mode=mode,
+        file_format="parquet",
     )
 
 
