@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from namegraph_collections_spark.operators.iterative import (
-    persistent_rdd_ids,
+    checkpoint_rdd_id,
     unpersist_rdd_ids,
 )
 
@@ -114,11 +114,13 @@ def _transitive_closure_loop(
         # checkpoint is complete when it returns — unlike isEmpty,
         # whose early-exit leaves materialization to a backfill job).
         new_pairs = stepped.join(closure, ["src", "dst"], "left_anti")
-        before = persistent_rdd_ids(spark)
         if checkpoint_every and (i % checkpoint_every == 0):
             new_pairs = new_pairs.localCheckpoint(eager=False)
+            # exact id off the plan node — never a persistent-map diff,
+            # which could swallow caller-owned cache blocks that
+            # materialize inside this round's job
+            round_ids.add(checkpoint_rdd_id(new_pairs))
         n_new = new_pairs.count()
-        round_ids |= persistent_rdd_ids(spark) - before
         if n_new == 0:
             break
         closure = closure.unionByName(new_pairs)

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from namegraph_collections_spark.operators.iterative import (
-    persistent_rdd_ids,
+    checkpoint_rdd_id,
     unpersist_rdd_ids,
 )
 
@@ -94,14 +94,13 @@ def connected_components(
     set-difference jobs per round this replaced.
     """
     spark = edges.sparkSession
-    before = persistent_rdd_ids(spark)
     e = (
         edges.select(F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e_ids = persistent_rdd_ids(spark) - before
+    e_ids = {checkpoint_rdd_id(e)}
     n = e.count()
     rounds = 0
     for _ in range(max_iterations):
@@ -112,11 +111,12 @@ def connected_components(
         # count job (count is a FULL action, so materialization is
         # complete when it returns).
         both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        before = persistent_rdd_ids(spark)
         e2 = _small_star(_large_star(both)).localCheckpoint(eager=False)
+        # exact id off the plan node (see operators/iterative.py — a
+        # persistent-map diff here could capture caller-owned blocks)
+        e2_ids = {checkpoint_rdd_id(e2)}
         rounds += 1
         n2 = e2.count()
-        e2_ids = persistent_rdd_ids(spark) - before
         # Exact fixpoint: equal counts (cheap) gate the one join probe.
         changed = n2 != n or not e2.join(e, ["u", "v"], "left_anti").isEmpty()
         # The old round's edge set is fully superseded once the probe

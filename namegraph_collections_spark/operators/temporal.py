@@ -47,22 +47,38 @@ def _sweep(
     tiebreak: str,
     suffix: str,
     keep_cols: list[str],
+    matched_col: str | None = None,
 ) -> DataFrame:
     """Union-tag + window sweep core shared by the plain and chunked
     as-of forms. Partitions on ``part_cols``; returns one row per probe
     row carrying ``keep_cols`` (probe columns plus any bookkeeping
     columns like the chunk id) and the filled ``{suffix}{payload}``
-    columns."""
+    columns. ``matched_col`` (if given) adds a boolean: did ANY quote
+    precede this probe — distinguishable from "matched a quote whose
+    payload fields are all NULL", which per-column null checks cannot
+    tell apart."""
     qtypes = dict(quote.dtypes)
     out_cols = [f"{suffix}{c}" for c in payload]
     probe_keep = [(c, t) for c, t in probe.dtypes if c in keep_cols]
+    # The whole winner row travels as ONE struct — filling each payload
+    # column with its own last(ignorenulls) would backfill a NULL field
+    # of the winning quote from an OLDER quote, emitting a row that
+    # mixes two quotes. The struct is non-null for every quote row
+    # (even when all its fields are null), so last(ignorenulls) picks
+    # whole rows atomically. Positional field names: payload may repeat
+    # the ts column, and duplicate struct field names are ambiguous.
+    pay_struct_type = (
+        "struct<" + ",".join(f"_f{i}:{qtypes[c]}" for i, c in enumerate(payload)) + ">"
+    )
     # Quote rows: side 0 (visible to probes at the same instant).
     q_tagged = quote.select(
         *[F.col(c) for c in part_cols],
         F.col(ts),
         F.lit(0).alias("_side"),
         F.col(tiebreak).alias("_tb"),
-        *[F.col(c).alias(o) for c, o in zip(payload, out_cols)],
+        F.struct(
+            *[F.col(c).alias(f"_f{i}") for i, c in enumerate(payload)]
+        ).alias("_pay"),
         *[F.lit(None).cast(t).alias(f"_p_{c}") for c, t in probe_keep],
     )
     p_tagged = probe.select(
@@ -70,7 +86,7 @@ def _sweep(
         F.col(ts),
         F.lit(1).alias("_side"),
         F.lit(None).cast(qtypes[tiebreak]).alias("_tb"),
-        *[F.lit(None).cast(qtypes[c]).alias(o) for c, o in zip(payload, out_cols)],
+        F.lit(None).cast(pay_struct_type).alias("_pay"),
         *[F.col(c).alias(f"_p_{c}") for c, _ in probe_keep],
     )
     # One shuffle on the partition key(s); the frame must be ROWS (a
@@ -83,11 +99,13 @@ def _sweep(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     swept = q_tagged.unionByName(p_tagged).select(
-        "*", *[F.last(o, ignorenulls=True).over(w).alias(f"_f_{o}") for o in out_cols]
+        "*", F.last("_pay", ignorenulls=True).over(w).alias("_win")
     )
+    extra = [F.col("_win").isNotNull().alias(matched_col)] if matched_col else []
     return swept.filter(F.col("_side") == 1).select(
         *[F.col(f"_p_{c}").alias(c) for c, _ in probe_keep],
-        *[F.col(f"_f_{o}").alias(o) for o in out_cols],
+        *[F.col("_win").getField(f"_f{i}").alias(o) for i, o in enumerate(out_cols)],
+        *extra,
     )
 
 
@@ -171,6 +189,7 @@ def asof_join_chunked(
     in_chunk = _sweep(
         p2, q2, [on, ck], ts, payload, tiebreak, suffix,
         keep_cols=[*probe.columns, ck],
+        matched_col="_hit",
     )
 
     # Stage 2: per-(key, chunk) winner struct; positional field names
@@ -205,11 +224,17 @@ def asof_join_chunked(
         .select(on, ck, "_carry")
     )
 
-    # Stage 3: fill the gaps. Carry payload field i lives at _s{i+2}.
+    # Stage 3: fill the gaps, WHOLE ROWS at a time — gate on the
+    # sweep's match witness, not per-column nulls: an in-chunk winner
+    # with a NULL payload field must keep that NULL, never splice the
+    # carry-in's value for just that field (mixing two quotes). Carry
+    # payload field i lives at _s{i+2}.
     filled = in_chunk.join(carry, [on, ck], "left").select(
         *[F.col(c) for c in probe.columns],
         *[
-            F.coalesce(F.col(o), F.col("_carry").getField(f"_s{i + 2}")).alias(o)
+            F.when(F.col("_hit"), F.col(o))
+            .otherwise(F.col("_carry").getField(f"_s{i + 2}"))
+            .alias(o)
             for i, o in enumerate(out_cols)
         ],
     )

@@ -268,9 +268,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = centroids_of(assigned)
         assigned = assign_to(cents)
     # probes search the LAST ROUND's centroids — the ones the final
-    # assignment was built against (tiny table, checkpointed so the
-    # iterative lineage isn't replayed per use, broadcast below)
-    final_cents = cents.localCheckpoint(eager=True)
+    # assignment was built against (tiny table, broadcast below).
+    # persist(), NOT localCheckpoint: the returned plan reads this, so
+    # a checkpoint could never be freed and would pin executor storage
+    # per call (operators/iterative.py); persisted blocks are
+    # evictable, recomputable, and ContextCleaner-collected on GC.
+    final_cents = cents.persist()
     lists = assigned
 
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(

@@ -243,7 +243,13 @@ def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PQ_ROUNDS):
         cents = centroids_of(assigned)
         assigned = assign_to(cents)
-    final_cents = cents.localCheckpoint(eager=True)
+    # persist(), NOT localCheckpoint: the codebook must outlive this
+    # function (the returned plan reads it), so there is no safe point
+    # to free a checkpoint — and un-freed checkpoints pin executor
+    # storage forever (operators/iterative.py). Persisted blocks are
+    # evictable under memory pressure, recomputable from lineage, and
+    # auto-unpersisted by the ContextCleaner once the plan is GC'd.
+    final_cents = cents.persist()
     codes = assigned.select("vec_id", "m", "code")
 
     qsub = sub.filter(F.col("vec_id") < N_QUERY_VECS).select(

@@ -121,6 +121,27 @@ def test_range_join_no_duplicate_matches_across_bins(spark):
     assert len(out) == 2
 
 
+def test_asof_null_payload_field_is_not_backfilled(spark):
+    """A NULL payload field on the WINNING quote must stay NULL — the
+    sweep must never splice that one field in from an older quote
+    (whole-row semantics, matching the oracle's LEFT JOIN + QUALIFY).
+    Covers plain, chunked (whose carry-in crosses a chunk boundary
+    here), and the per-column-coalesce regression in both."""
+    probe = _df(spark, [(1, 7, 250)], "user_id long, event_id long, ts long")
+    quote = spark.createDataFrame(
+        [(1, 9, 10, 4.0), (1, 11, 150, None)],
+        "user_id long, event_id long, ts long, value double",
+    )
+    args = dict(on="user_id", ts="ts", payload=["event_id", "value"], tiebreak="event_id")
+    for impl in (
+        asof_join(probe, quote, **args),
+        asof_join_chunked(probe, quote, chunk_width=100, **args),
+        asof_join_chunked(probe, quote, chunk_width=10**9, **args),
+    ):
+        row = impl.collect()[0]
+        assert (row["q_event_id"], row["q_value"]) == (11, None)
+
+
 def test_asof_chunked_equals_plain_at_any_width(spark):
     """The chunked form must be output-identical to the plain sweep for
     any chunk width — including width 1 (every row its own chunk, all
@@ -197,7 +218,13 @@ def _brute_asof(probes, quotes):
 @settings(**_SETTINGS)
 def test_asof_matches_bruteforce(spark, events):
     probes = [(k, i, ts) for i, (k, ts, q) in enumerate(events) if not q]
-    quotes = [(k, i + 1000, ts, float(i)) for i, (k, ts, q) in enumerate(events) if q]
+    # every 3rd quote carries a NULL payload value — whole-row pick
+    # semantics must preserve it (no per-column backfill)
+    quotes = [
+        (k, i + 1000, ts, None if i % 3 == 0 else float(i))
+        for i, (k, ts, q) in enumerate(events)
+        if q
+    ]
     if not probes:
         return
     probe = _df(spark, probes, "user_id long, event_id long, ts long")

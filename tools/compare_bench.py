@@ -33,6 +33,8 @@ def main() -> None:
     flag = 1.5
     if "--flag" in argv:
         i = argv.index("--flag")
+        if i + 1 >= len(argv):
+            raise SystemExit(__doc__)
         flag = float(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     if len(argv) != 2:
@@ -51,8 +53,18 @@ def main() -> None:
             r = v / o if o else float("inf")
             mark = "  <<<" if r > flag or r < 1 / flag else ""
             print(f"{n:36s} {o:8.3f} {v:8.3f} {r:7.2f}{mark}")
-        else:
-            print(f"{n:36s} {o if o is not None else '-':>8} {v if v is not None else '-':>8}    new" if o is None else f"{n:36s} {o:8.3f} {'-':>8}   gone")
+            continue
+        # A null timing means the query RAN AND FAILED in that round
+        # (bench.py's fault-isolation path); absence from the dict
+        # means it wasn't in that round's headline. Say which.
+        def _cell(side, present):
+            if not present:
+                return "absent"
+            return "FAILED" if side is None else f"{side:.3f}"
+        print(
+            f"{n:36s} {_cell(o, n in oq):>8} {_cell(v, n in nq):>8}"
+            + ("   regressed to failing" if n in oq and o is not None and v is None and n in nq else "")
+        )
     if shared_old:
         print(
             f"\nshared-query totals: old={shared_old:.2f}s new={shared_new:.2f}s "
