@@ -77,6 +77,8 @@ def test_stream_state_is_one_tuple_per_key(spark, tmp_path):
         (1, 1, 10, True, 1.5),   # quote
         (1, 2, 10, True, 2.5),   # same-ts quote, higher tiebreak wins
         (1, 3, 11, False, 0.0),  # probe → event 2
+        (1, 4, 12, True, None),  # newer quote with NULL payload
+        (1, 5, 13, False, 0.0),  # probe → event 4, value stays NULL
     ]
     df = spark.createDataFrame(rows, COLS)
     d = tmp_path / "in"
@@ -98,4 +100,6 @@ def test_stream_state_is_one_tuple_per_key(spark, tmp_path):
         output_mode="append",
     )
     got = {r["event_id"]: (r["q_event_id"], r["q_value"]) for r in out.collect()}
-    assert got == {0: (None, None), 3: (2, 2.5)}
+    # event 5: the winner is quote 4 whose value is NULL — whole-row
+    # state must keep it NULL, never splice quote 2's 2.5 in.
+    assert got == {0: (None, None), 3: (2, 2.5), 5: (4, None)}
