@@ -39,3 +39,37 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> dict[str, 
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def read_evolving_parquet(
+    spark: SparkSession, path: str, expect: dict[str, str] | None = None
+) -> DataFrame:
+    """Read a parquet directory whose files were written under
+    DIFFERENT schema generations — the landing-zone reality at 100 TB,
+    where upstream producers add columns over months and nobody
+    rewrites old files.
+
+    ``mergeSchema`` makes the footer union the schema (files missing a
+    column yield NULLs for it), which costs one footer read per file
+    at planning time — acceptable for landing zones, which is why it
+    is opt-in here and NOT the default for the hot star-schema loaders
+    above. ``expect`` (name -> Spark dtype string) then pins the
+    columns downstream code depends on, failing fast with every
+    mismatch listed instead of an opaque AnalysisException later in
+    some join.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expect:
+        have = dict(df.dtypes)
+        problems = []
+        for col, dtype in expect.items():
+            if col not in have:
+                problems.append(f"missing column {col!r} (want {dtype})")
+            elif have[col] != dtype:
+                problems.append(f"column {col!r} is {have[col]}, want {dtype}")
+        if problems:
+            raise TypeError(
+                f"evolving parquet at {path} failed schema expectations: "
+                + "; ".join(problems)
+            )
+    return df
