@@ -228,16 +228,38 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", _h60(F.col("token")).alias("h"))
         .distinct()
     )
+    # Two-level exact bottom-k so no sort is ever unbounded: a naive
+    # row_number per source sorts EVERY distinct hash of that source —
+    # fine at sf0.1, a 10⁹-row sort per source at 100 TB. Level 1
+    # takes the k smallest per (source, h mod P) — each sub-sort sees
+    # ~1/P of the source's hashes — and level 2 re-ranks the surviving
+    # ≤ P·k candidates per source. Output is byte-identical to the
+    # single-window form (exact bottom-k is exact), so the oracle and
+    # every parity row are untouched; only the plan's sort bound
+    # changes. Exact counts come from a groupBy (full map-side partial
+    # combine), not an unordered window over the whole hash stream.
+    P = 64
+    w1 = Window.partitionBy("source", "b").orderBy("h")
+    stage1 = (
+        hashes.withColumn("b", F.pmod(F.col("h"), F.lit(P)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= KMV_K)
+        .select("source", "h")
+    )
     w = Window.partitionBy("source").orderBy("h")
-    ranked = hashes.select(
-        "source",
-        "h",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_exact"),
+    ranked = stage1.select(
+        "source", "h", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= KMV_K)
-    per_source = ranked.groupBy(F.col("source").alias("scope")).agg(
-        F.max("n_exact").cast("long").alias("n_exact"),
-        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).cast("long").alias("h_k"),
+    n_exact_df = hashes.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    per_source = (
+        ranked.groupBy("source")
+        .agg(F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).cast("long").alias("h_k"))
+        .join(n_exact_df, "source")
+        .select(
+            F.col("source").alias("scope"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            "h_k",
+        )
     )
     # Merge: k smallest across the union of per-source minima — the
     # candidate set provably contains the global k smallest.
