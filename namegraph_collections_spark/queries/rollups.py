@@ -228,26 +228,19 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", _h60(F.col("token")).alias("h"))
         .distinct()
     )
-    # Two-level exact bottom-k so no sort is ever unbounded: a naive
-    # row_number per source sorts EVERY distinct hash of that source —
-    # fine at sf0.1, a 10⁹-row sort per source at 100 TB. Level 1
-    # takes the k smallest per (source, h mod P) — each sub-sort sees
-    # ~1/P of the source's hashes — and level 2 re-ranks the surviving
-    # ≤ P·k candidates per source. Output is byte-identical to the
-    # single-window form (exact bottom-k is exact), so the oracle and
-    # every parity row are untouched; only the plan's sort bound
-    # changes. Exact counts come from a groupBy (full map-side partial
-    # combine), not an unordered window over the whole hash stream.
-    P = 64
-    w1 = Window.partitionBy("source", "b").orderBy("h")
-    stage1 = (
-        hashes.withColumn("b", F.pmod(F.col("h"), F.lit(P)))
-        .withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= KMV_K)
-        .select("source", "h")
-    )
+    # The bottom-k rank MUST be the only window function in this
+    # projection: with a bare row_number + rn <= k filter, Spark
+    # rewrites the window to WindowGroupLimit(Partial) BELOW the
+    # exchange — every mapper keeps only its local k smallest per
+    # source, so the shuffle carries <= k rows per source per task and
+    # no sort is ever unbounded (verified live and pinned by
+    # tests/test_plans.py). Adding any non-rank window to the same
+    # projection (n_exact as count().over(...) previously lived here)
+    # BLOCKS that rewrite and degrades to a full per-source sort —
+    # which is why exact counts are a separate groupBy (full map-side
+    # combine) joined in after.
     w = Window.partitionBy("source").orderBy("h")
-    ranked = stage1.select(
+    ranked = hashes.select(
         "source", "h", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= KMV_K)
     n_exact_df = hashes.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))

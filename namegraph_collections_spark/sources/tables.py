@@ -60,13 +60,22 @@ def read_evolving_parquet(
     """
     df = spark.read.option("mergeSchema", "true").parquet(path)
     if expect:
-        have = dict(df.dtypes)
+        from pyspark.sql.types import _parse_datatype_string
+
+        have = {f.name: f.dataType for f in df.schema.fields}
         problems = []
         for col, dtype in expect.items():
+            # Parse the expectation so every Spark alias spelling
+            # (long/bigint, int/integer, string/varchar) compares by
+            # TYPE, not by string — raw df.dtypes equality would
+            # reject 'long' against a bigint column.
+            want = _parse_datatype_string(dtype)
             if col not in have:
                 problems.append(f"missing column {col!r} (want {dtype})")
-            elif have[col] != dtype:
-                problems.append(f"column {col!r} is {have[col]}, want {dtype}")
+            elif have[col] != want:
+                problems.append(
+                    f"column {col!r} is {have[col].simpleString()}, want {dtype}"
+                )
         if problems:
             raise TypeError(
                 f"evolving parquet at {path} failed schema expectations: "

@@ -21,3 +21,17 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def write_single_parquet(df, dest):
+    """Write ``df`` as exactly one parquet FILE at ``dest`` (not a
+    directory) — the landing-zone fixture shape the streaming and
+    schema-evolution tests feed one file at a time."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="one_parquet_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], dest)
+    shutil.rmtree(tmp)

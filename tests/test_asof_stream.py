@@ -12,6 +12,8 @@ from namegraph_collections_spark.operators.temporal import asof_join
 from namegraph_collections_spark.streaming.asof_stream import asof_enrich_stream
 from namegraph_collections_spark.streaming.events import run_available_now
 
+from conftest import write_single_parquet
+
 COLS = "user_id long, event_id long, ts long, is_quote boolean, value double"
 
 
@@ -27,14 +29,8 @@ def _mkrows(n=300):
 def stream_dir(spark, tmp_path_factory):
     rows = _mkrows()
     d = tmp_path_factory.mktemp("asof_stream_in")
-    import glob
-    import shutil
-
     for fi, chunk in enumerate([rows[:100], rows[100:200], rows[200:]]):
-        tmp = tmp_path_factory.mktemp(f"asof_chunk{fi}")
-        spark.createDataFrame(chunk, COLS).coalesce(1).write.parquet(str(tmp / "p"))
-        f = glob.glob(str(tmp / "p" / "part-*.parquet"))[0]
-        shutil.copy(f, d / f"{fi}-events.parquet")
+        write_single_parquet(spark.createDataFrame(chunk, COLS), d / f"{fi}-events.parquet")
     return str(d)
 
 
@@ -83,12 +79,7 @@ def test_stream_state_is_one_tuple_per_key(spark, tmp_path):
     df = spark.createDataFrame(rows, COLS)
     d = tmp_path / "in"
     d.mkdir()
-    import glob
-    import shutil
-
-    tmp = tmp_path / "w"
-    df.coalesce(1).write.parquet(str(tmp))
-    shutil.copy(glob.glob(str(tmp / "part-*.parquet"))[0], d / "0-events.parquet")
+    write_single_parquet(df, d / "0-events.parquet")
     stream = spark.readStream.schema(COLS).option("maxFilesPerTrigger", 1).parquet(str(d))
     out = run_available_now(
         asof_enrich_stream(

@@ -12,19 +12,17 @@ from namegraph_collections_spark.sources.tables import read_evolving_parquet
 
 @pytest.fixture(scope="module")
 def evolved_dir(spark, tmp_path_factory):
-    d = tmp_path_factory.mktemp("evolving")
-    # generation 1: (id, name); generation 2 adds score; gen 3 adds tag
-    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string") \
-        .coalesce(1).write.parquet(str(d / "g1"))
-    spark.createDataFrame([(3, "c", 0.5)], "id long, name string, score double") \
-        .coalesce(1).write.parquet(str(d / "g2"))
-    spark.createDataFrame([(4, "d", 1.5, "x")], "id long, name string, score double, tag string") \
-        .coalesce(1).write.parquet(str(d / "g3"))
-    import glob
-    import shutil
+    from conftest import write_single_parquet
+
     out = tmp_path_factory.mktemp("evolving_flat")
-    for i, f in enumerate(sorted(glob.glob(str(d / "g*" / "part-*.parquet")))):
-        shutil.copy(f, out / f"{i}.parquet")
+    # generation 1: (id, name); generation 2 adds score; gen 3 adds tag
+    gens = [
+        ([(1, "a"), (2, "b")], "id long, name string"),
+        ([(3, "c", 0.5)], "id long, name string, score double"),
+        ([(4, "d", 1.5, "x")], "id long, name string, score double, tag string"),
+    ]
+    for i, (rows, schema) in enumerate(gens):
+        write_single_parquet(spark.createDataFrame(rows, schema), out / f"{i}.parquet")
     return str(out)
 
 
@@ -40,6 +38,8 @@ def test_merge_schema_unions_generations(spark, evolved_dir):
 
 def test_expectations_pass_and_fail_fast(spark, evolved_dir):
     read_evolving_parquet(spark, evolved_dir, expect={"id": "bigint", "score": "double"})
+    # alias spellings compare by TYPE, not string: 'long' == bigint
+    read_evolving_parquet(spark, evolved_dir, expect={"id": "long", "name": "string"})
     with pytest.raises(TypeError) as e:
         read_evolving_parquet(
             spark, evolved_dir,

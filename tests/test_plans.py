@@ -127,3 +127,14 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_kmv_bottom_k_gets_window_group_limit(spark):
+    """The KMV bottom-k rank must compile to WindowGroupLimit
+    (Partial below the exchange): mappers then ship <= k rows per
+    source instead of the whole distinct-hash stream. Any non-rank
+    window added to the same projection silently blocks this rewrite
+    (that is how the regression happened the first time)."""
+    df = REGISTRY["kmv_distinct_sketch"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
