@@ -57,6 +57,12 @@ HEADLINE = [
     "cascading_time_rollup",
     "kmv_distinct_sketch",
     "pq_rerank_topk",
+    "bloom_pruned_semi_join",
+    "grouped_deterministic_sample",
+    "fuzzy_blocked_pairs",
+    "bipartite_pagerank",
+    "rollup_regional_revenue",
+    "status_priority_pivot",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -42,3 +42,5 @@ from namegraph_collections_spark.queries import rollups  # noqa: E402,F401
 from namegraph_collections_spark.queries import similarity_pq  # noqa: E402,F401
 from namegraph_collections_spark.queries import graph_metrics  # noqa: E402,F401
 from namegraph_collections_spark.queries import scale_ops  # noqa: E402,F401
+from namegraph_collections_spark.queries import centrality  # noqa: E402,F401
+from namegraph_collections_spark.queries import olap  # noqa: E402,F401
