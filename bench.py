@@ -63,6 +63,7 @@ HEADLINE = [
     "bipartite_pagerank",
     "rollup_regional_revenue",
     "status_priority_pivot",
+    "length_percentile_trim",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas
