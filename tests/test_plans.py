@@ -58,6 +58,13 @@ def test_semi_and_anti_join_physical(spark):
         "multifield_bm25_variants",
         "search_ltr_rescore",
         "related_collections_precompute",
+        "bloom_pruned_semi_join",
+        "grouped_deterministic_sample",
+        "fuzzy_blocked_pairs",
+        "bipartite_pagerank",
+        "rollup_regional_revenue",
+        "status_priority_pivot",
+        "length_percentile_trim",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
