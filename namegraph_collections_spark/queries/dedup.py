@@ -490,6 +490,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w_cap = Window.partitionBy("band", "band_val").orderBy("vec_id")
+    # NOTE: do NOT localCheckpoint `capped` to dedupe the a/b self-join
+    # sides. Measured at sf0.1: the checkpoint makes this query 6.4×
+    # SLOWER (6.6s → 42s) — hiding the subplan behind an RDD scan
+    # strips the stats Catalyst uses to broadcast the build side and
+    # disables the WindowGroupLimit rank-limit pushdown on re-read,
+    # and the duplicated subplan was the cheaper price. (Same
+    # conclusion as the shingle-stream checkpoints, dropped after
+    # measuring them a wash.)
     capped = (
         sig.withColumn("_rn", F.row_number().over(w_cap))
         .filter(F.col("_rn") <= EMB_BUCKET_CAP)
