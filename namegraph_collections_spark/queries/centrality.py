@@ -81,14 +81,13 @@ def bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier trade graph, exact to the last bit (see module
     docstring for the integer-arithmetic contract).
 
-    Per iteration: one hash join of ranks onto edges (both hashed on
-    the node key, so consecutive iterations REUSE the same
-    partitioning — no re-shuffle of the edge side once AQE sees the
-    exchange reuse) and one aggregation on dst. The degree table
-    rides the same key. Edge set and degrees are computed once and
-    lineage-truncated with a lazy ``localCheckpoint`` so iteration k's
-    plan doesn't replay the orders⋈lineitem distinct k times (the
-    closure/components operators document the same pitfall).
+    Per iteration: one join of ranks onto edges on the node key and
+    one aggregation on dst. Edge set and degree table are computed
+    once and lineage-truncated with lazy ``localCheckpoint``s so
+    iteration k's plan replays neither the orders⋈lineitem distinct
+    nor the degree shuffle k times (the closure/components operators
+    document the same pitfall; the in-code comment has the measured
+    variants).
     """
     orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -105,7 +104,18 @@ def bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         .localCheckpoint(eager=False)
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    # deg is read FOUR times (r0 + one contrib join per iteration); the
+    # lazy checkpoint computes the edges→groupBy shuffle once instead
+    # of inlining it into every iteration's plan. Measured at sf0.1:
+    # checkpointing edges+deg 5.6s → 4.0s; the alternative
+    # (repartition("src") + AQE ReusedExchange, no checkpoints) was
+    # 5.4s — the reused exchange still re-sorts per iteration and the
+    # orders⋈lineitem distinct stays inline in every iteration's DAG.
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     r = deg.select("node", F.lit(PR_SCALE).cast("long").alias("pr"))
     for _ in range(PR_ITERS):
         contrib = r.join(deg, "node").select(
