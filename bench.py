@@ -64,6 +64,7 @@ HEADLINE = [
     "rollup_regional_revenue",
     "status_priority_pivot",
     "length_percentile_trim",
+    "incremental_hourly_rollup",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

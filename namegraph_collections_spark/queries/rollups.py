@@ -277,3 +277,70 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_source.unionByName(merged)
         .select("scope", "n_exact", est.alias("kmv_estimate"))
     )
+
+
+#: Incremental-maintenance split instant: 2024-01-24T12:30:00Z in epoch
+#: micros — deliberately NOT on an hour boundary, so the 12:00 bucket
+#: has partial state on BOTH sides and the merge path actually merges.
+INC_SPLIT_US = 1_706_099_400_000_000
+
+
+@register(
+    "incremental_hourly_rollup",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS bucket_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the hourly rollup is produced by
+    MERGING two independently-computed partial aggregates — "history"
+    (events before the split instant) and "delta" (events at/after it)
+    — and the oracle is the full recompute over all events, proving
+    the merge is lossless.
+
+    This is the only-reprocess-the-delta pattern a 100 TB event store
+    lives by: yesterday's aggregate is never recomputed from raw
+    history; the day's delta is aggregated alone and its partial state
+    (decomposable measures: counts + exact DECIMAL sums) is merged
+    into the stored aggregate by a second, much smaller aggregation.
+    Derived measures (the mean) are computed only AFTER the merge —
+    deriving them per-partial and averaging would be wrong, which is
+    why the partial schema carries (n, sum), never (mean). The split
+    instant is intentionally mid-hour so the straddled bucket proves
+    the combine step (same key present in both partials).
+    """
+    ev = events_tbl(spark, sf_dir).select("ts_us", "event_type", "value")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "bucket_us", (F.expr(f"ts_us div {HOUR_US}") * HOUR_US).cast("long")
+            )
+            .groupBy("bucket_us", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("tv"),
+            )
+        )
+
+    base = partial(ev.filter(F.col("ts_us") < INC_SPLIT_US))
+    delta = partial(ev.filter(F.col("ts_us") >= INC_SPLIT_US))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("bucket_us", "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("tv").alias("tv"))
+    )
+    return merged.select(
+        "bucket_us",
+        "event_type",
+        "n_events",
+        F.col("tv").cast("double").alias("total_value"),
+        F.round(F.col("tv").cast("double") / F.col("n_events"), 6).alias("mean_value"),
+    )

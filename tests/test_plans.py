@@ -65,6 +65,7 @@ def test_semi_and_anti_join_physical(spark):
         "rollup_regional_revenue",
         "status_priority_pivot",
         "length_percentile_trim",
+        "incremental_hourly_rollup",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
