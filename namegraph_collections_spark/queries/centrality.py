@@ -60,10 +60,14 @@ def _iter_sql(prev: str, out: str) -> str:
 @register(
     "bipartite_pagerank",
     oracle=f"""
-    WITH cs AS (
-      SELECT DISTINCT 'c#' || CAST(o_custkey AS VARCHAR) AS c,
-                      's#' || CAST(l_suppkey AS VARCHAR) AS s
+    WITH cs_keys AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    cs AS (
+      SELECT 'c#' || CAST(ck AS VARCHAR) AS c,
+             's#' || CAST(sk AS VARCHAR) AS s
+      FROM cs_keys
     ),
     edges AS (
       SELECT c AS src, s AS dst FROM cs
@@ -91,13 +95,17 @@ def bipartite_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # distinct on the INTEGER key pair first (16 bytes/row through the
+    # dedup shuffle), string node ids minted after — the prefixes make
+    # the concat injective, so the result set is identical.
     cs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c#"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s#"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
+        .select(
+            F.concat(F.lit("c#"), F.col("ck").cast("string")).alias("c"),
+            F.concat(F.lit("s#"), F.col("sk").cast("string")).alias("s"),
+        )
     )
     edges = (
         cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
