@@ -65,6 +65,8 @@ HEADLINE = [
     "status_priority_pivot",
     "length_percentile_trim",
     "incremental_hourly_rollup",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

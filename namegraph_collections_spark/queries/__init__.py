@@ -45,3 +45,4 @@ from namegraph_collections_spark.queries import scale_ops  # noqa: E402,F401
 from namegraph_collections_spark.queries import centrality  # noqa: E402,F401
 from namegraph_collections_spark.queries import olap  # noqa: E402,F401
 from namegraph_collections_spark.queries import percentiles  # noqa: E402,F401
+from namegraph_collections_spark.queries import event_analytics  # noqa: E402,F401

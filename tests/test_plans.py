@@ -66,6 +66,8 @@ def test_semi_and_anti_join_physical(spark):
         "status_priority_pivot",
         "length_percentile_trim",
         "incremental_hourly_rollup",
+        "funnel_conversion",
+        "cohort_retention",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
