@@ -67,6 +67,7 @@ HEADLINE = [
     "incremental_hourly_rollup",
     "funnel_conversion",
     "cohort_retention",
+    "event_transition_matrix",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -156,3 +156,43 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov bigram table
+    behind next-event features): each consecutive pair in a user's
+    (ts, event_id)-ordered stream contributes one (prev, next) count.
+
+    event_id is the tiebreak, making the order TOTAL — a lag over a
+    non-total order is nondeterministic under re-partitioning, which
+    the cross-engine value hash would catch immediately. One shuffle
+    on user_id for the lag window (tiny per-user sorts), one rollup
+    to the 5×5 matrix — the classic sessionization shape, no
+    self-join of the stream against itself.
+    """
+    ev = events_tbl(spark, sf_dir).select("user_id", "event_id", "event_type", "ts_us")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

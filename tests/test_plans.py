@@ -68,6 +68,7 @@ def test_semi_and_anti_join_physical(spark):
         "incremental_hourly_rollup",
         "funnel_conversion",
         "cohort_retention",
+        "event_transition_matrix",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
