@@ -119,13 +119,24 @@ def bloom_prune(
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
     """Filter ``df`` to rows whose key might be in ``bloom`` (1-row
-    DataFrame from :func:`bloom_build`). Broadcast crossJoin of the
-    single row + a codegen filter — the probe side is never shuffled
-    and keeps its partitioning. May pass false positives (callers run
-    the exact join after); never drops a true member."""
+    DataFrame from :func:`bloom_build`). Broadcast join of the single
+    row + a codegen filter — the probe side is never shuffled and
+    keeps its partitioning. May pass false positives (callers run the
+    exact join after); never drops a true member.
+
+    The 1-row attach is a LEFT OUTER join on ``true``, not a
+    crossJoin, deliberately: Catalyst's left-semi pushdown
+    (PushLeftSemiLeftAntiThroughJoin) pushes a downstream exact
+    semi-join THROUGH an inner/cross join, which would reorder the
+    exact join below this filter and run the bloom on the
+    already-joined survivors — pure overhead, prune after pay. The
+    rule does not push through outer joins, so the left-outer attach
+    pins the documented order: scan → bloom prune → exact join.
+    Semantically identical (the build aggregate emits exactly one row
+    even on empty input, so every probe row matches exactly once)."""
     key_col = F.col(key) if isinstance(key, str) else key
     return (
-        df.crossJoin(F.broadcast(bloom))
+        df.join(F.broadcast(bloom), F.lit(True), "left")
         .filter(bloom_might_contain(F.col("bloom"), key_col, num_bits, num_hashes))
         .drop("bloom")
     )

@@ -113,10 +113,14 @@ def status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Spark names pivot columns "<value>_<aggAlias>"; normalize to the
-    # oracle's "n_<digit>" / "rev_<digit>".
+    # oracle's "n_<digit>" / "rev_<digit>". A (status, priority) cell
+    # with NO rows comes out of pivot as NULL (the inner per-cell
+    # coalesce never runs for an empty cell), while the oracle's
+    # FILTERed COUNT/COALESCE(SUM) yields 0 / 0.0 — so the empty-cell
+    # normalization must happen out here, after the pivot.
     renames = [F.col("o_orderstatus")]
     for p in PIVOT_PRIORITIES:
         digit = p.split("-")[0]
-        renames.append(F.col(f"`{p}_n`").alias(f"n_{digit}"))
-        renames.append(F.col(f"`{p}_rev`").alias(f"rev_{digit}"))
+        renames.append(F.coalesce(F.col(f"`{p}_n`"), F.lit(0).cast("long")).alias(f"n_{digit}"))
+        renames.append(F.coalesce(F.col(f"`{p}_rev`"), F.lit(0.0)).alias(f"rev_{digit}"))
     return pivoted.select(*renames)

@@ -45,19 +45,49 @@ def test_bloom_small_filter_has_false_positives_not_negatives(spark):
     assert bloom_prune(members, "k", bloom, num_bits=256).count() == 500
 
 
+def _bnlj_streamed_side_lines(tree: str) -> list[str]:
+    """The streamed-side subtree lines of the (single) BNLJ node in a
+    formatted-plan tree: its children start at the column where the
+    node name starts; streamed-branch lines carry ':' there, the
+    build branch starts at the '+' marker."""
+    lines = tree.splitlines()
+    # children of a node render their ':-'/'+-' marker at the column
+    # where the parent's NAME starts
+    (i, col), = [
+        (i, ln.index("BroadcastNestedLoopJoin"))
+        for i, ln in enumerate(lines)
+        if "BroadcastNestedLoopJoin" in ln
+    ]
+    streamed: list[str] = []
+    for ln in lines[i + 1 :]:
+        if len(ln) <= col or ln[col] == "+":  # build branch begins
+            break
+        assert ln[col] == ":"
+        streamed.append(ln)
+    assert streamed, "BNLJ has no streamed-side lines in the tree"
+    return streamed
+
+
 def test_bloom_semi_join_probe_side_not_shuffled(spark):
-    """The orders scan must reach the bloom filter without an
-    Exchange: prune is a broadcast crossJoin + codegen filter. (The
-    exact semi-join after it may shuffle the SURVIVORS — that's the
-    point — so assert no exchange between scan and the bloom filter,
-    i.e. the BroadcastNestedLoopJoin's streaming side is the scan.)"""
-    plan = formatted_plan(REGISTRY["bloom_pruned_semi_join"].fn(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan
-    scan_to_bnlj = plan.split("BroadcastNestedLoopJoin")[0]
-    # the probe-side fragment above the BNLJ in the formatted tree is
-    # the orders scan; it must not contain a shuffle exchange
-    orders_scan_idx = scan_to_bnlj.find("orders.parquet")
-    assert orders_scan_idx != -1 or "orders.parquet" in plan
+    """The documented plan order — orders scan → bloom prune → exact
+    semi-join — with no Exchange on the probe side before the prune.
+
+    Two real assertions: (1) the exact LeftSemi join sits ABOVE the
+    bloom's BroadcastNestedLoopJoin in the tree (Catalyst's left-semi
+    pushdown would otherwise reorder the exact join below the bloom
+    and make the prune pure overhead — bloom_prune's left-outer
+    attach exists to pin this); (2) the BNLJ's streamed side — the
+    orders scan subtree — contains no Exchange of any kind."""
+    tree = formatted_plan(REGISTRY["bloom_pruned_semi_join"].fn(spark, SF)).split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree
+    assert "LeftSemi" in tree
+    assert tree.index("LeftSemi") < tree.index("BroadcastNestedLoopJoin"), (
+        "exact semi-join was pushed below the bloom prune"
+    )
+    streamed = _bnlj_streamed_side_lines(tree)
+    assert not any("Exchange" in ln for ln in streamed), (
+        "probe side shuffled before the bloom prune:\n" + "\n".join(streamed)
+    )
 
 
 def test_bloom_query_matches_plain_semi_join(spark):
