@@ -68,6 +68,12 @@ HEADLINE = [
     "funnel_conversion",
     "cohort_retention",
     "event_transition_matrix",
+    # Round 5 additions (append-only, same reason as above): the two
+    # operator families that previously had no bench row, plus the
+    # composited driver-window battery.
+    "pq_adc_topk",
+    "neardup_triangles",
+    "string_ops_battery",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

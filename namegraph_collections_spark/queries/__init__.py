@@ -4,20 +4,34 @@ Importing this package populates ``REGISTRY`` (name → QuerySpec) by
 importing each query module. ``__spark_entry__.py`` exposes the
 registry to the driver's correctness harness.
 
-Import order sets registry insertion order, which is the order the
-driver checks queries in (it evaluates a bounded window from the
-front) — so the flagship parity evidence registers FIRST: the wiki
-pipeline slices, the training-data corpus ops, and multimodal, then
-the operator families. The first 50 entries exactly fill the driver's
-correctness window (redundant single-operator proxies were merged
-into tagged multi-part queries rather than dropped, so no operator
-lost its value-hash check); entries past 50 are checked by the local
-parity sweep instead.
+The driver value-checks a bounded window from the FRONT of the
+registry (the first ``len(DRIVER_WINDOW)`` rows, in order), so which
+queries get hard driver-green evidence is a deliberate decision, not
+an import-order accident: after all modules register, the registry is
+reordered so the explicit ``DRIVER_WINDOW`` list comes first. Rules
+for editing the window:
+
+- it holds exactly 50 names (the driver's check budget);
+- redundant single-operator rows composite into ONE tagged multi-part
+  query (precedent: ``customer_key_set_algebra``, ``string_ops_battery``)
+  rather than dropping any operator's value-hash — the single-operator
+  forms stay registered after the window for the local sweep;
+- freed slots go to the operator families with the hardest / most
+  novel semantics (round 5: the skew-proof chunked as-of join, the
+  iterative-numeric PageRank, and the KMV distinct sketch — round 4's
+  flagship additions, previously local-sweep-only);
+- every change updates tests/test_registry_window.py's pin in the
+  same commit.
+
+Entries after the window are checked by the local full-registry
+parity sweep (tests/test_oracle_parity.py) with the same DuckDB
+value-hash comparison.
 """
 
 from namegraph_collections_spark.queries.registry import REGISTRY, QuerySpec, register  # noqa: F401
 
-# Import for registration side effects. Flagship evidence first.
+# Import for registration side effects (order within a module is kept;
+# cross-module order no longer matters — DRIVER_WINDOW decides).
 from namegraph_collections_spark.queries import wiki_slice  # noqa: E402,F401
 from namegraph_collections_spark.queries import training_data  # noqa: E402,F401
 from namegraph_collections_spark.queries import multimodal  # noqa: E402,F401
@@ -31,12 +45,6 @@ from namegraph_collections_spark.queries import search  # noqa: E402,F401
 from namegraph_collections_spark.queries import cdc  # noqa: E402,F401
 from namegraph_collections_spark.queries import pipeline_demo  # noqa: E402,F401
 from namegraph_collections_spark.queries import collections_ops  # noqa: E402,F401
-
-# Entries 51+: registered LAST on purpose — the driver's correctness
-# window checks the first 50 rows, so additions beyond it must come
-# after every driver-visible row to leave that evidence untouched.
-# They still get full value-hash parity locally via
-# tests/test_oracle_parity.py (which sweeps the whole registry).
 from namegraph_collections_spark.queries import temporal  # noqa: E402,F401
 from namegraph_collections_spark.queries import rollups  # noqa: E402,F401
 from namegraph_collections_spark.queries import similarity_pq  # noqa: E402,F401
@@ -46,3 +54,82 @@ from namegraph_collections_spark.queries import centrality  # noqa: E402,F401
 from namegraph_collections_spark.queries import olap  # noqa: E402,F401
 from namegraph_collections_spark.queries import percentiles  # noqa: E402,F401
 from namegraph_collections_spark.queries import event_analytics  # noqa: E402,F401
+from namegraph_collections_spark.queries import ann_eval  # noqa: E402,F401
+
+#: The 50 rows the external driver value-hashes, in check order.
+#: Rounds 1–4 carried this set implicitly via import order; round 5
+#: composited curate_names + name_regex_filters + strip_suffix_and_extract
+#: into string_ops_battery (position 26) and moved status_histogram
+#: after the window (its A6 operator already executes inside the
+#: wiki_documents composite at position 2), freeing three slots for
+#: asof_join_chunked_events, bipartite_pagerank, kmv_distinct_sketch.
+DRIVER_WINDOW: list[str] = [
+    "wiki_all_info",
+    "wiki_documents",
+    "wiki_validate_members",
+    "exact_dedup_groups",
+    "ngram_jaccard_pairs",
+    "simhash_neardup_candidates",
+    "embedding_neardup_pairs",
+    "minhash_lsh_candidates",
+    "neardup_clusters",
+    "decontamination_overlap",
+    "sequence_packing",
+    "domain_mix_plan",
+    "deterministic_mix_sample",
+    "multimodal_byte_histogram",
+    "pricing_summary",
+    "regional_revenue",
+    "customer_key_set_algebra",
+    "fallback_coalesce_join",
+    "ordered_dedup_lineitems",
+    "topk_orders_per_customer",
+    "segment_order_metrics",
+    "entity_assembly_users",
+    "hourly_event_rollup",
+    "session_window_rollup",
+    "transitive_closure_reachability",
+    "string_ops_battery",
+    "text_features",
+    "token_frequencies",
+    "unigram_logprob",
+    "cosine_topk_bruteforce",
+    "ivf_topk",
+    "lsh_bucket_neighbors",
+    "search_ltr_rescore",
+    "bm25_search",
+    "search_eval_metrics",
+    "multifield_bm25_variants",
+    "stemmed_bm25",
+    "cdc_snapshot_ops",
+    "cdc_minimal_field_diff",
+    "cdc_three_way_ops",
+    "merge_collections_two_level",
+    "letter_range_normalize",
+    "suffix_mining",
+    "command_driven_sorts",
+    "related_collections_precompute",
+    "sqldump_extract",
+    "custom_collections_docs",
+    "asof_join_chunked_events",
+    "bipartite_pagerank",
+    "kmv_distinct_sketch",
+]
+
+
+def _apply_window_order() -> None:
+    """Reorder REGISTRY in place: DRIVER_WINDOW first (in order), then
+    every other registered query in module-import order. In-place so
+    every ``from ... import REGISTRY`` alias sees the final order."""
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names never registered: {missing}")
+    window = set(DRIVER_WINDOW)
+    tail = [n for n in REGISTRY if n not in window]
+    snapshot = dict(REGISTRY)
+    REGISTRY.clear()
+    for n in [*DRIVER_WINDOW, *tail]:
+        REGISTRY[n] = snapshot[n]
+
+
+_apply_window_order()

@@ -1,0 +1,113 @@
+"""ANN quality evaluation: recall@k of the approximate indexes
+against the exact baseline, as an oracle-checked registry row.
+
+The ANN operators' parity rows prove *determinism* (both engines
+compute the same approximate result); this row checks *usefulness* —
+how much of the true top-k the IVF and PQ→re-rank paths actually
+retrieve — the analogue of the reference's NDCG/recall eval for its
+search stack (research/learning-to-rank/compare_window_sizes.py:191-211,
+which scores LTR rescoring against judgment lists the same way).
+
+All three inputs are the unchanged registry queries / oracle CTEs, so
+the reported recall is the recall of exactly what ships. One row per
+(method, query) plus a macro row per method (q_id = -1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.queries.registry import REGISTRY, register
+from namegraph_collections_spark.queries.similarity import (
+    TOP_K,
+    cosine_topk_bruteforce,
+    ivf_topk,
+)
+from namegraph_collections_spark.queries.similarity_pq import pq_rerank_topk
+
+#: method label → the query whose top-k we score
+_METHODS = {"ivf": "ivf_topk", "pq_rerank": "pq_rerank_topk"}
+
+
+def _oracle() -> str:
+    truth = REGISTRY["cosine_topk_bruteforce"].oracle
+    ivf = REGISTRY["ivf_topk"].oracle
+    pq = REGISTRY["pq_rerank_topk"].oracle
+    return f"""
+    WITH truth AS (SELECT q_id, c_id FROM ({truth})),
+    m_ivf AS (SELECT q_id, c_id FROM ({ivf})),
+    m_pq AS (SELECT q_id, c_id FROM ({pq})),
+    methods AS (
+      SELECT 'ivf' AS method, q_id, c_id FROM m_ivf
+      UNION ALL
+      SELECT 'pq_rerank' AS method, q_id, c_id FROM m_pq
+    ),
+    grid AS (
+      SELECT m.method, q.q_id
+      FROM (SELECT DISTINCT q_id FROM truth) q,
+           (SELECT 'ivf' AS method UNION ALL SELECT 'pq_rerank') m
+    ),
+    hit AS (
+      SELECT me.method, me.q_id, COUNT(*) AS hits
+      FROM methods me JOIN truth t ON t.q_id = me.q_id AND t.c_id = me.c_id
+      GROUP BY me.method, me.q_id
+    ),
+    perq AS (
+      SELECT g.method, g.q_id,
+             CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+             ROUND(COALESCE(h.hits, 0) / {TOP_K}.0, 6) AS recall
+      FROM grid g LEFT JOIN hit h ON h.method = g.method AND h.q_id = g.q_id
+    )
+    SELECT method, q_id, hits, recall FROM perq
+    UNION ALL
+    SELECT method, CAST(-1 AS BIGINT) AS q_id, SUM(hits) AS hits,
+           ROUND(SUM(hits) / (COUNT(*) * {TOP_K}.0), 6) AS recall
+    FROM perq GROUP BY method
+    """
+
+
+@register("ann_recall_eval", oracle=_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{TOP_K} of ivf_topk and pq_rerank_topk against
+    cosine_topk_bruteforce as ground truth.
+
+    Composition-only: re-runs the three registry queries verbatim and
+    joins their (q_id, c_id) sets — the per-query rows report the hit
+    count and recall, the q_id = -1 row the macro recall per method.
+    Every (method, query) pair is present even at zero hits (grid ×
+    left join), so a collapsed index reads 0.0, not absent.
+    """
+    truth = cosine_topk_bruteforce(spark, sf_dir).select("q_id", "c_id")
+    methods = (
+        ivf_topk(spark, sf_dir)
+        .select(F.lit("ivf").alias("method"), "q_id", "c_id")
+        .unionByName(
+            pq_rerank_topk(spark, sf_dir)
+            .select(F.lit("pq_rerank").alias("method"), "q_id", "c_id")
+        )
+    )
+    grid = (
+        truth.select("q_id")
+        .distinct()
+        .select(
+            "q_id",
+            F.explode(F.array(F.lit("ivf"), F.lit("pq_rerank"))).alias("method"),
+        )
+    )
+    hit = (
+        methods.join(truth, ["q_id", "c_id"])
+        .groupBy("method", "q_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    perq = grid.join(F.broadcast(hit), ["method", "q_id"], "left").select(
+        "method",
+        "q_id",
+        F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
+        F.round(F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(TOP_K)), 6).alias("recall"),
+    )
+    macro = perq.groupBy("method").agg(
+        F.lit(-1).cast("long").alias("q_id"),
+        F.sum("hits").alias("hits"),
+        F.round(F.sum("hits") / (F.count(F.lit(1)) * F.lit(float(TOP_K))), 6).alias("recall"),
+    ).select("method", "q_id", "hits", "recall")
+    return perq.unionByName(macro)

@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 
 from namegraph_collections_spark.operators.cdc import (
     MAX_MEMBERS_COUNT,
+    cdc_maintain_aggregate,
     minimal_field_diff,
+    partial_state,
     snapshot_diff,
     snapshot_diff_three_way,
 )
@@ -243,4 +245,48 @@ def cdc_three_way_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("op") == "archive", F.lit(None).cast("bigint"))
         .otherwise(F.col("members_count") + 1)
         .alias("members_out"),
+    )
+
+
+@register(
+    "cdc_driven_rollup",
+    oracle=_ORACLE_SNAPSHOTS
+    + """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(price_cents) AS BIGINT) AS total_cents
+    FROM curr
+    GROUP BY o_orderstatus
+    """,
+)
+def cdc_driven_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with a COMPUTED delta (VERDICT r4
+    ask #7): the per-status rollup of the current snapshot is produced
+    by advancing the PREVIOUS snapshot's stored aggregate through the
+    CDC diff — retract changed/deleted keys' old contributions, insert
+    created/updated keys' new ones, merge decomposable (n, sum) state —
+    never re-aggregating unchanged history. The oracle is the full
+    recompute over the current snapshot, proving the loop lossless
+    end-to-end (creates, re-priced updates, and deletes all present in
+    the synthetic snapshot pair).
+
+    ``operators/cdc.py::cdc_maintain_aggregate`` has the scale notes;
+    tests/test_cdc_ops.py runs the same loop through rotate_snapshot /
+    latest_snapshot across two rotations (the D4 storage path).
+    """
+    prev, curr = _snapshots(spark, sf_dir)
+    stored = partial_state(prev, ["o_orderstatus"], ["price_cents"])
+    maintained = cdc_maintain_aggregate(
+        stored,
+        prev,
+        curr,
+        key="o_orderkey",
+        compare_cols=["o_orderstatus", "price_cents"],
+        group_cols=["o_orderstatus"],
+        sum_cols=["price_cents"],
+    )
+    return maintained.select(
+        "o_orderstatus",
+        F.col("n").alias("n_orders"),
+        F.col("sum_price_cents").cast("bigint").alias("total_cents"),
     )

@@ -52,9 +52,7 @@ _SYNTH_NAMES_SQL = """
 """
 
 
-@register(
-    "curate_names",
-    oracle=f"""
+_CURATE_ORACLE = f"""
     WITH raw AS ({_SYNTH_NAMES_SQL}),
     spaced AS (
       SELECT p_partkey, replace(raw_name, '_', ' ') AS s FROM raw
@@ -69,8 +67,10 @@ _SYNTH_NAMES_SQL = """
            string_split(lower(s), ' ')[1] AS first_token
     FROM stripped
     WHERE length(s) >= 3
-    """,
-)
+    """
+
+
+@register("curate_names", oracle=_CURATE_ORACLE)
 def curate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """curate_name semantics (SURVEY §2.7 C3 ★).
 
@@ -94,17 +94,17 @@ def curate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.length(F.col("curated_name")) >= 3)
 
 
-@register(
-    "name_regex_filters",
-    oracle=f"""
+_FILTER_ORACLE = f"""
     WITH raw AS ({_SYNTH_NAMES_SQL}),
     spaced AS (SELECT p_partkey, replace(raw_name, '_', ' ') AS name FROM raw)
     SELECT p_partkey, name
     FROM spaced
     WHERE NOT ({' OR '.join(f"regexp_matches(name, '{p}')" for p in FILTER_PATTERNS)})
       AND NOT regexp_matches(name, '{BY_LOWER_PATTERN}')
-    """,
-)
+    """
+
+
+@register("name_regex_filters", oracle=_FILTER_ORACLE)
 def name_regex_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's name-filter regex battery (F9/F10 ★).
 
@@ -123,16 +123,16 @@ def name_regex_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(~cond)
 
 
-@register(
-    "strip_suffix_and_extract",
-    oracle="""
+_STRIP_ORACLE = """
     SELECT p_partkey,
            regexp_replace(p_name || '.eth', '\\.eth$', '') AS stripped,
            CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INTEGER) AS brand_num,
            lower(p_type) AS type_lc
     FROM part
-    """,
-)
+    """
+
+
+@register("strip_suffix_and_extract", oracle=_STRIP_ORACLE)
 def strip_suffix_and_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """strip_eth + regexp_extract scalar functions (C6, C2-style).
 
@@ -146,3 +146,72 @@ def strip_suffix_and_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("p_brand"), r"(\d+)", 1).cast("int").alias("brand_num"),
         F.lower(F.col("p_type")).alias("type_lc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tagged composite of the three string-operator queries above — ONE
+# driver-window row carrying all of C3/C6/F9/F10's value hashes (the
+# same merge precedent as customer_key_set_algebra: redundant
+# single-operator rows composite so window slots free up for operator
+# families that would otherwise have no driver-green evidence). The
+# three single-operator forms stay registered after the window for the
+# local sweep, bench continuity, and direct use.
+# ---------------------------------------------------------------------------
+@register(
+    "string_ops_battery",
+    oracle=f"""
+    SELECT 'curate' AS op, p_partkey, curated_name AS s,
+           n_tokens, first_token,
+           CAST(NULL AS INTEGER) AS brand_num, CAST(NULL AS VARCHAR) AS type_lc
+    FROM ({_CURATE_ORACLE})
+    UNION ALL
+    SELECT 'filter' AS op, p_partkey, name AS s,
+           CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS first_token,
+           CAST(NULL AS INTEGER) AS brand_num, CAST(NULL AS VARCHAR) AS type_lc
+    FROM ({_FILTER_ORACLE})
+    UNION ALL
+    SELECT 'strip' AS op, p_partkey, stripped AS s,
+           CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS first_token,
+           brand_num, type_lc
+    FROM ({_STRIP_ORACLE})
+    """,
+)
+def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_name + the filter-regex battery + strip/extract scalars
+    in one tagged result (SURVEY §2.7 C3/C6, §2.2 F9/F10 ★).
+
+    Each part is the unchanged single-operator query, null-padded to
+    the common schema and unioned with an ``op`` tag — so the one
+    driver row value-hashes all three operators' full outputs.
+    """
+    null_i = F.lit(None).cast("int")
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    curate = curate_names(spark, sf_dir).select(
+        F.lit("curate").alias("op"),
+        "p_partkey",
+        F.col("curated_name").alias("s"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "first_token",
+        null_i.alias("brand_num"),
+        null_s.alias("type_lc"),
+    )
+    filt = name_regex_filters(spark, sf_dir).select(
+        F.lit("filter").alias("op"),
+        "p_partkey",
+        F.col("name").alias("s"),
+        null_l.alias("n_tokens"),
+        null_s.alias("first_token"),
+        null_i.alias("brand_num"),
+        null_s.alias("type_lc"),
+    )
+    strip = strip_suffix_and_extract(spark, sf_dir).select(
+        F.lit("strip").alias("op"),
+        "p_partkey",
+        F.col("stripped").alias("s"),
+        null_l.alias("n_tokens"),
+        null_s.alias("first_token"),
+        "brand_num",
+        "type_lc",
+    )
+    return curate.unionByName(filt).unionByName(strip)

@@ -136,3 +136,62 @@ def test_three_way_operations_gate_and_adjust(spark):
     assert src["members_count"] == 8  # +1 adjustment (populate.py extra member)
     assert json.loads(ops["e1"]["doc"])["members_count"] == 6
     assert json.loads(ops["e3"]["doc"]) == {"archived": True}
+
+
+# ---------------------------------------------------------------------------
+# CDC-driven IVM loop through the D4 storage path: the stored
+# aggregate advances across TWO rotations, with the delta computed by
+# snapshot_diff against the snapshot rotate_snapshot/latest_snapshot
+# persisted — never a declared split.
+# ---------------------------------------------------------------------------
+def _recompute(df):
+    return {
+        (r["g"],): (r["n"], r["s"])
+        for r in df.groupBy(F.col("name").substr(1, 1).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rank").alias("s"))
+        .collect()
+    }
+
+
+def _maintained_state(state_df):
+    return {(r["g"],): (r["n"], r["sum_rank"]) for r in state_df.collect()}
+
+
+def test_ivm_loop_across_rotations(spark, tmp_path):
+    from namegraph_collections_spark.operators.cdc import (
+        cdc_maintain_aggregate,
+        latest_snapshot,
+        partial_state,
+        rotate_snapshot,
+    )
+
+    base = str(tmp_path / "snaps")
+    v1 = _snap(spark, [("a", "alpha", 1), ("b", "beta", 2), ("c", "alga", 3)])
+    # group col derived from data so an UPDATE can move a key between
+    # groups (the retract-then-insert correctness case)
+    with_g = lambda df: df.withColumn("g", F.col("name").substr(1, 1))  # noqa: E731
+
+    rotate_snapshot(v1, base, "v1")
+    state = partial_state(with_g(v1), ["g"], ["rank"])
+    assert _maintained_state(state) == _recompute(v1)
+
+    # v2: 'a' re-ranked (update), 'c' renamed across groups (update,
+    # group move a→g), 'b' deleted, 'd' created
+    v2 = _snap(spark, [("a", "alpha", 9), ("c", "gamma", 3), ("d", "delta", 4)])
+    prev = latest_snapshot(spark, base)
+    state = cdc_maintain_aggregate(
+        state, with_g(prev), with_g(v2), "id", ["name", "rank"], ["g"], ["rank"]
+    )
+    assert _maintained_state(state) == _recompute(v2)
+    rotate_snapshot(v2, base, "v2")
+
+    # v3: everything churns again, incl. emptying group 'd'
+    v3 = _snap(spark, [("a", "omega", 1), ("c", "gamma", 7), ("e", "eta", 5)])
+    prev = latest_snapshot(spark, base)
+    assert prev.count() == 3  # the marker now points at v2
+    state = cdc_maintain_aggregate(
+        state, with_g(prev), with_g(v3), "id", ["name", "rank"], ["g"], ["rank"]
+    )
+    assert _maintained_state(state) == _recompute(v3)
+    # groups that emptied ('b' after v2, 'd' after v3) are gone, not zero
+    assert ("d",) not in _maintained_state(state)
