@@ -107,6 +107,31 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(n, F.col(key))
 
 
+def keyed_spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-distribute on ``key`` IFF the input arrives with fewer
+    partitions than the session parallelism — the degenerate layout a
+    small single-file parquet scan produces locally.
+
+    Why it matters for keyed windows (measured on
+    ordered_dedup_lineitems, sf0.1, single-row-group lineitem file):
+    Spark's WindowGroupLimit rewrite inserts a PARTIAL sort+limit
+    below the window's exchange. With one input split that partial
+    sorts the ENTIRE table in one task (1.15s); hash-partitioning on
+    the window key first satisfies the window's required distribution
+    (the exchange collapses into this one) and the sort runs parallel
+    (0.47s). With a normally-parallel scan this helper is a no-op, so
+    at cluster scale the map-side partial keeps cutting shuffle volume
+    exactly as before — the condition distinguishes the two regimes
+    instead of picking one.
+    """
+    from pyspark.sql import functions as F
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= n:
+        return df.repartition(n, F.col(key))
+    return df
+
+
 def ts_us_expr(dtype: str, col: str = "ts"):
     """Normalize an event-time column of ANY physical encoding to BIGINT
     epoch microseconds, timezone-independently.

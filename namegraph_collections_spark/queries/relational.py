@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from namegraph_collections_spark.queries.registry import events_tbl, register, tbl
+from namegraph_collections_spark.queries.registry import events_tbl, keyed_spread, register, tbl
 
 
 def _dec(c, scale: int = 2):
@@ -261,8 +261,14 @@ def ordered_dedup_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark idiom is ROW_NUMBER over an explicit total order (price
     desc, linenumber asc tiebreak) = 1 — order-dependence made
     deterministic.
+
+    keyed_spread: round 4's bench regression (0.99s→1.56s, plan
+    unchanged) attributed to the regenerated testdata arriving as ONE
+    parquet row group — the WindowGroupLimit partial then sorts the
+    whole table in a single task. See registry.keyed_spread for the
+    measurements; with a parallel scan it is a no-op.
     """
-    li = tbl(spark, sf_dir, "lineitem")
+    li = keyed_spread(tbl(spark, sf_dir, "lineitem"), "l_orderkey")
     w = Window.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").desc(), F.col("l_linenumber").asc())
     return (
         li.withColumn("rn", F.row_number().over(w))
