@@ -74,6 +74,10 @@ HEADLINE = [
     "pq_adc_topk",
     "neardup_triangles",
     "string_ops_battery",
+    "cms_heavy_hitters",
+    "bigram_pmi",
+    "ann_recall_eval",
+    "cdc_driven_rollup",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -344,3 +344,132 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tv").cast("double").alias("total_value"),
         F.round(F.col("tv").cast("double") / F.col("n_events"), 6).alias("mean_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters: the frequency sketch counterpart of the
+# KMV distinct sketch above (Cormode & Muthukrishnan, "An improved
+# data stream summary: the count-min sketch and its applications",
+# J. Algorithms 2005). Deterministic cross-engine for the same reason
+# KMV is: the hash rows are md5-derived (_h60), not JVM-private.
+# ---------------------------------------------------------------------------
+CMS_D = 4      # hash rows
+CMS_W = 64     # buckets per row — deliberately small so the
+               # synthetic corpus (~1k distinct bigrams) actually
+               # collides and the min-over-rows estimator is
+               # exercised, not vacuous
+CMS_TOP = 25   # exact heavy hitters reported with their estimates
+
+
+def _cms_bucket(col, d: int):
+    """Row-d bucket of a token: shared 60-bit md5 hash of the token
+    salted with the row index, mod W."""
+    return F.pmod(_h60(F.concat_ws("#", col, F.lit(str(d)))), F.lit(CMS_W))
+
+
+_CMS_BUCKET_SQL = "(" + _H60_SQL.format(c="{c} || '#' || '{d}'") + ") % " + str(CMS_W)
+
+_BIGRAMS_SQL = """
+    SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS token
+    FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents)
+"""
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH occ AS ({_BIGRAMS_SQL}),
+    sketch AS (
+      {" UNION ALL ".join(
+        f'''SELECT {d} AS d, {_CMS_BUCKET_SQL.format(c="token", d=d)} AS bucket,
+                   COUNT(*) AS c FROM occ GROUP BY 2'''
+        for d in range(CMS_D)
+      )}
+    ),
+    exact AS (
+      SELECT token, COUNT(*) AS n_exact,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rnk
+      FROM occ GROUP BY token
+    ),
+    cand AS (SELECT token, n_exact, rnk FROM exact WHERE rnk <= {CMS_TOP}),
+    probes AS (
+      {" UNION ALL ".join(
+        f'''SELECT token, n_exact, rnk, {d} AS d,
+                   {_CMS_BUCKET_SQL.format(c="token", d=d)} AS bucket FROM cand'''
+        for d in range(CMS_D)
+      )}
+    )
+    SELECT p.token, MAX(p.n_exact) AS n_exact,
+           CAST(MIN(s.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(s.c) - MAX(p.n_exact) AS BIGINT) AS overcount,
+           MAX(p.rnk) AS rnk
+    FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+    GROUP BY p.token
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus bigram stream, evaluated on
+    the exact top-{CMS_TOP} heavy hitters: (token, exact count, CMS
+    estimate, overcount). CMS never undercounts, so ``overcount`` >= 0
+    by construction — the oracle checks the estimates value-for-value,
+    and tests/test_properties.py pins the one-sided-error invariant.
+
+    Scale shape: the sketch build is ONE groupBy over (d, bucket) —
+    {CMS_D}x fan-out map-side, but partial aggregation collapses it to
+    at most {CMS_D}x{CMS_W} rows per task before the shuffle, and the
+    finished sketch is {CMS_D}x{CMS_W} rows total, broadcast to score
+    any candidate set without touching the stream again (the point: a
+    100 TB stream summarizes into 2k rows that answer any later
+    frequency probe). The exact counts exist here because the oracle
+    measures sketch error; a production pipeline ships only the
+    sketch.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toked = spread(docs, "doc_id").select(
+        F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    occ = toked.select(F.explode(bigrams).alias("token"))
+    sketch = (
+        occ.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(d).alias("d"), _cms_bucket(F.col("token"), d).alias("bucket"))
+                    for d in range(CMS_D)
+                ])
+            ).alias("db")
+        )
+        .select(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.orderBy(F.col("n_exact").desc(), F.col("token").asc())
+    cand = (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CMS_TOP)
+    )
+    probes = cand.select(
+        "token", "n_exact", "rnk",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("d"), _cms_bucket(F.col("token"), d).alias("bucket"))
+                for d in range(CMS_D)
+            ])
+        ).alias("db"),
+    ).select("token", "n_exact", "rnk", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("n_exact").alias("n_exact"),
+            F.min("c").cast("long").alias("cms_estimate"),
+            (F.min("c") - F.max("n_exact")).cast("long").alias("overcount"),
+            F.max("rnk").alias("rnk"),
+        )
+    )

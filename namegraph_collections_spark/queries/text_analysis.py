@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from namegraph_collections_spark.queries.registry import register, spread, tbl
 
@@ -275,4 +276,104 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(F.broadcast(lp), "token")
         .groupBy("doc_id")
         .agg(F.sum("logp").cast("double").alias("name_log_probability"))
+    )
+
+
+PMI_TOP = 50
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+                                   i -> {{'a': ts[i], 'b': ts[i+1]}})) AS p
+      FROM (SELECT string_split(lower(text), ' ') AS ts FROM documents)
+    ),
+    pc AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS n_pair FROM pairs GROUP BY 1, 2),
+    uc AS (SELECT token, COUNT(*) AS n_tok FROM toks GROUP BY token),
+    tots AS (
+      SELECT (SELECT SUM(n_pair) FROM pc) AS t_pairs,
+             (SELECT SUM(n_tok) FROM uc) AS n_toks
+    ),
+    scored AS (
+      SELECT pc.a, pc.b, pc.n_pair,
+             ROUND(ln((CAST(pc.n_pair AS DOUBLE) * n_toks * n_toks)
+                      / (CAST(t_pairs AS DOUBLE) * ua.n_tok * ub.n_tok)), 6) AS pmi
+      FROM pc
+      JOIN uc ua ON ua.token = pc.a
+      JOIN uc ub ON ub.token = pc.b
+      CROSS JOIN tots
+    )
+    SELECT a, b, n_pair, pmi, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_pair DESC, a ASC, b ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {PMI_TOP}
+    """,
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation detector every corpus pipeline runs before vocabulary
+    or phrase-merge decisions (Church & Hanks, "Word association
+    norms, mutual information, and lexicography", CL 1990; the same
+    shape as BPE's pair-count step).
+
+    PMI = ln(p(ab) / (p(a)·p(b))) computed as ONE double division of
+    exact integer products (n_pair·N², T·n_a·n_b — both fit BIGINT),
+    then round-6: the unigram_logprob determinism convention. Plan:
+    bigram counts and unigram counts are two explode→groupBy passes;
+    the unigram table and the 1-row totals broadcast into the scoring
+    join, so the only wide shuffle is the pair count itself. The
+    top-{PMI_TOP} slice is a rank-limit window (WindowGroupLimit keeps
+    per-partition partial top-k below the exchange).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toked = spread(docs, "doc_id").select(
+        F.split(F.lower(F.col("text")), " ").alias("ts")
+    )
+    ts = F.col("ts")
+    pairs = toked.select(
+        F.explode(
+            F.transform(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                lambda t, i: F.struct(
+                    t.alias("a"), F.element_at(ts, i + 2).alias("b")
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_pair"))
+    uc = (
+        toked.select(F.explode(ts).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    tots = pc.agg(F.sum("n_pair").alias("t_pairs")).crossJoin(
+        F.broadcast(uc.agg(F.sum("n_tok").alias("n_toks")))
+    )
+    ua = uc.select(F.col("token").alias("a"), F.col("n_tok").alias("n_a"))
+    ub = uc.select(F.col("token").alias("b"), F.col("n_tok").alias("n_b"))
+    scored = (
+        pc.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "a", "b", "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") * F.col("n_toks") * F.col("n_toks"))
+                    / (F.col("t_pairs").cast("double") * F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("n_pair").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PMI_TOP)
+        .select("a", "b", "n_pair", "pmi", "rnk")
     )

@@ -69,6 +69,11 @@ def test_semi_and_anti_join_physical(spark):
         "funnel_conversion",
         "cohort_retention",
         "event_transition_matrix",
+        "string_ops_battery",
+        "ann_recall_eval",
+        "cdc_driven_rollup",
+        "cms_heavy_hitters",
+        "bigram_pmi",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):

@@ -209,3 +209,16 @@ def test_embedding_arrays_are_dim_wide(spark):
         emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
         off = emb.filter(F.size("embedding") != DIM).count()
         assert off == 0, f"{sf}: {off} embeddings not {DIM}-wide"
+
+
+def test_cms_never_undercounts(spark):
+    """The count-min one-sided-error invariant: every reported
+    estimate >= the exact count (min over D rows of sums that each
+    include the token's own occurrences)."""
+    from namegraph_collections_spark.queries import REGISTRY
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["cms_heavy_hitters"].fn(spark, "/root/testdata/sf0.001")
+    assert df.filter(F.col("overcount") < 0).count() == 0
+    # and the fixture exercises real collisions, not a vacuous sketch
+    assert df.filter(F.col("overcount") > 0).count() > 0
