@@ -78,6 +78,7 @@ HEADLINE = [
     "bigram_pmi",
     "ann_recall_eval",
     "cdc_driven_rollup",
+    "weighted_sample_topk",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -258,3 +258,66 @@ def deterministic_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_bucket16(F.col("doc_id")) * F.col("n_docs") < F.col("expected_docs") * 65536)
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis & Spirakis,
+# "Weighted random sampling with a reservoir", IPL 2006 — the A-Res
+# key u^(1/w), here in its ln(u)/w monotone form): the standard way a
+# corpus pipeline draws a quality- or length-weighted subsample. The
+# uniform u is md5-derived (content-addressed like _bucket16), so the
+# "random" draw is reproducible on any engine and any cluster layout.
+# ---------------------------------------------------------------------------
+WSAMPLE_K = 100
+
+#: 2^60 as a double — maps the 60-bit hash into (0, 1].
+_WS_RANGE = float(1 << 60)
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(greatest(length(text), 1) AS BIGINT) AS w,
+             ROUND(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+                      / {_WS_RANGE!r})
+                   / greatest(length(text), 1), 9) AS skey
+      FROM documents
+    )
+    SELECT doc_id, w, skey, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id ASC) AS rnk
+      FROM keyed
+    ) WHERE rnk <= {WSAMPLE_K}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Draw {WSAMPLE_K} documents weighted by text length, without
+    replacement, deterministically: per-doc key = ln(u)/w with
+    u = (h60(doc_id)+1)/2^60 ∈ (0,1], take the k largest keys
+    (equivalent to A-Res's u^(1/w) ranking; ln keeps the arithmetic in
+    one double division, rounded to 9 for cross-engine rank parity
+    with doc_id tiebreak).
+
+    Scale shape: the key is a pure column expression on the scan, and
+    the global top-k is a rank-limit window — WindowGroupLimit keeps a
+    partial top-{WSAMPLE_K} per partition below the single-partition
+    exchange, so the full corpus never concentrates anywhere; this is
+    the distributed reservoir. Changing the weight column (quality
+    score, dedup cluster size, inverse source frequency) changes the
+    policy without touching the mechanism.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    w_col = F.greatest(F.length("text"), F.lit(1)).cast("long")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") + 1) / F.lit(_WS_RANGE)
+    keyed = docs.select(
+        "doc_id",
+        w_col.alias("w"),
+        F.round(F.log(u) / w_col, 9).alias("skey"),
+    )
+    w = Window.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= WSAMPLE_K)
+        .select("doc_id", "w", "skey", "rnk")
+    )

@@ -74,6 +74,7 @@ def test_semi_and_anti_join_physical(spark):
         "cdc_driven_rollup",
         "cms_heavy_hitters",
         "bigram_pmi",
+        "weighted_sample_topk",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
