@@ -24,7 +24,8 @@ import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -101,10 +102,30 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     exchange (it sees only the compact rows, not the fan-out after
     them) back to one partition.
     """
-    from pyspark.sql import functions as F
-
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, F.col(key))
+
+
+def ranked_topk(df: DataFrame, k: int, *order, rnk: str = "rnk") -> DataFrame:
+    """Global top-k with rank numbers, without a global window.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
+    partition keeps its own top-k and only k rows per partition reach
+    the driver-side merge, so the plan scales with k, not with the
+    input. Only the k survivors then get ``row_number`` (a window over
+    k rows, not over the corpus). A bare global ``Window.orderBy``
+    would instead shuffle EVERY row to one partition and sort it
+    there — Spark's InferWindowGroupLimit does NOT rescue it (the
+    rewrite fires only for windows WITH a partition spec), so the
+    empty-spec window really is a single-task sort of the full input.
+    tests/test_plans.py pins this registry-wide: any empty-spec
+    WindowExec must sit above a k-bounded child.
+    """
+    return (
+        df.orderBy(*order)
+        .limit(k)
+        .withColumn(rnk, F.row_number().over(Window.orderBy(*order)))
+    )
 
 
 def keyed_spread(df: DataFrame, key: str) -> DataFrame:
@@ -123,9 +144,14 @@ def keyed_spread(df: DataFrame, key: str) -> DataFrame:
     at cluster scale the map-side partial keeps cutting shuffle volume
     exactly as before — the condition distinguishes the two regimes
     instead of picking one.
-    """
-    from pyspark.sql import functions as F
 
+    Cost note: ``df.rdd.getNumPartitions()`` forces physical planning
+    of ``df`` on the driver even in the no-op regime. That is a
+    once-per-query-build driver cost (~tens of ms for the scans this
+    wraps), paid deliberately: the alternative — guessing the split
+    count from file sizes — would re-derive FileSourceScan's own
+    packing logic and drift from it.
+    """
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= n:
         return df.repartition(n, F.col(key))

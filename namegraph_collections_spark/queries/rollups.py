@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from namegraph_collections_spark.queries.registry import (
     events_tbl,
+    ranked_topk,
     register,
     spread,
     tbl,
@@ -423,7 +424,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB stream summarizes into 2k rows that answer any later
     frequency probe). The exact counts exist here because the oracle
     measures sketch error; a production pipeline ships only the
-    sketch.
+    sketch. The exact top-{CMS_TOP} candidate list is ranked_topk —
+    ``orderBy().limit`` compiles to TakeOrderedAndProject (per-partition
+    partial top-k, k-row merge), NOT a bare global window, so the
+    distinct-bigram table never concentrates on one task.
     """
     docs = tbl(spark, sf_dir, "documents")
     toked = spread(docs, "doc_id").select(
@@ -449,10 +453,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     exact = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
-    w = Window.orderBy(F.col("n_exact").desc(), F.col("token").asc())
-    cand = (
-        exact.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= CMS_TOP)
+    cand = ranked_topk(
+        exact, CMS_TOP, F.col("n_exact").desc(), F.col("token").asc()
     )
     probes = cand.select(
         "token", "n_exact", "rnk",

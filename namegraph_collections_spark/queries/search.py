@@ -46,22 +46,12 @@ def _public(docs: DataFrame) -> DataFrame:
 
 
 def _ranked_topk(df: DataFrame, k: int, *order, rnk: str = "rnk") -> DataFrame:
-    """Global top-k with rank numbers, without a global window.
+    """Alias of registry.ranked_topk (the shared TakeOrderedAndProject
+    top-k; see its docstring) — kept so the search queries' call sites
+    read locally."""
+    from namegraph_collections_spark.queries.registry import ranked_topk
 
-    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
-    partition keeps its own top-k and only k rows per partition reach
-    the driver-side merge, so the plan scales with k, not with the
-    corpus. Only the k survivors then get ``row_number`` (a window over
-    k rows, not over every matched doc). A bare global
-    ``Window.orderBy`` would instead shuffle every row to ONE
-    partition — the classic 100TB-cliff — which is why none of the
-    search queries use one.
-    """
-    return (
-        df.orderBy(*order)
-        .limit(k)
-        .withColumn(rnk, F.row_number().over(Window.orderBy(*order)))
-    )
+    return ranked_topk(df, k, *order, rnk=rnk)
 
 
 # --- LTR feature set (configure-ltr.py:92-121) ------------------------------

@@ -10,9 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from namegraph_collections_spark.queries.registry import register, spread, tbl
+from namegraph_collections_spark.queries.registry import (
+    ranked_topk,
+    register,
+    spread,
+    tbl,
+)
 
 # Tiny stopword profile used by the quality heuristic (kept identical
 # in the oracle SQL).
@@ -327,8 +331,14 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram counts and unigram counts are two explode→groupBy passes;
     the unigram table and the 1-row totals broadcast into the scoring
     join, so the only wide shuffle is the pair count itself. The
-    top-{PMI_TOP} slice is a rank-limit window (WindowGroupLimit keeps
-    per-partition partial top-k below the exchange).
+    broadcast hint is right for a vocabulary that fits an executor
+    (typical: unigram vocab ≪ pair count); a corpus whose DISTINCT
+    unigram table exceeds broadcast limits should drop the hint and
+    let the scoring join shuffle on the token key — the hint is the
+    only line that changes. The top-{PMI_TOP} slice is ranked_topk
+    (TakeOrderedAndProject — per-partition partial top-k, k-row
+    merge), NOT a bare global window, so the scored-pair table never
+    concentrates on one task.
     """
     docs = tbl(spark, sf_dir, "documents")
     toked = spread(docs, "doc_id").select(
@@ -371,9 +381,7 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("n_pair").desc(), F.col("a").asc(), F.col("b").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= PMI_TOP)
-        .select("a", "b", "n_pair", "pmi", "rnk")
-    )
+    return ranked_topk(
+        scored, PMI_TOP,
+        F.col("n_pair").desc(), F.col("a").asc(), F.col("b").asc(),
+    ).select("a", "b", "n_pair", "pmi", "rnk")

@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from namegraph_collections_spark.queries.dedup import HOT_SHINGLE_DF_CAP, _shingles, _SHINGLES_SQL
-from namegraph_collections_spark.queries.registry import register, spread, tbl
+from namegraph_collections_spark.queries.registry import (
+    ranked_topk,
+    register,
+    spread,
+    tbl,
+)
 
 #: bucket16 values below this are the held-out "eval" split (~10%).
 TEST_BUCKET_CUTOFF = 6554
@@ -300,10 +305,13 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with doc_id tiebreak).
 
     Scale shape: the key is a pure column expression on the scan, and
-    the global top-k is a rank-limit window — WindowGroupLimit keeps a
-    partial top-{WSAMPLE_K} per partition below the single-partition
-    exchange, so the full corpus never concentrates anywhere; this is
-    the distributed reservoir. Changing the weight column (quality
+    the global top-k is ranked_topk — ``orderBy().limit`` compiles to
+    TakeOrderedAndProject, so each partition keeps a partial
+    top-{WSAMPLE_K} reservoir and only k rows per partition reach the
+    merge; the full corpus never concentrates anywhere. This is the
+    distributed reservoir. (A bare global window here would NOT get
+    the WindowGroupLimit rewrite — no partition spec — and would sort
+    every document on one task.) Changing the weight column (quality
     score, dedup cluster size, inverse source frequency) changes the
     policy without touching the mechanism.
     """
@@ -315,9 +323,6 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_col.alias("w"),
         F.round(F.log(u) / w_col, 9).alias("skey"),
     )
-    w = Window.orderBy(F.col("skey").desc(), F.col("doc_id").asc())
-    return (
-        keyed.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= WSAMPLE_K)
-        .select("doc_id", "w", "skey", "rnk")
-    )
+    return ranked_topk(
+        keyed, WSAMPLE_K, F.col("skey").desc(), F.col("doc_id").asc()
+    ).select("doc_id", "w", "skey", "rnk")

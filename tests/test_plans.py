@@ -155,3 +155,105 @@ def test_kmv_bottom_k_gets_window_group_limit(spark):
     df = REGISTRY["kmv_distinct_sketch"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide unbounded-global-window guard (round-6 verdict ask #2).
+# ---------------------------------------------------------------------------
+
+_BOUNDED_NODES = (
+    "TakeOrderedAndProjectExec",
+    "WindowGroupLimitExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+)
+
+
+def _walk_physical(node):
+    """Yield every node of a physical plan, descending through AQE
+    wrappers (AdaptiveSparkPlanExec / QueryStageExec are leaf nodes
+    whose real subtree hangs off inputPlan()/plan())."""
+    yield node
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _walk_physical(node.inputPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _walk_physical(node.plan())
+        return
+    kids = node.children()
+    for i in range(kids.length()):
+        yield from _walk_physical(kids.apply(i))
+
+
+def unbounded_global_windows(df) -> list:
+    """Empty-partition-spec WindowExec nodes whose input subtree has NO
+    k-bounding node (TakeOrderedAndProject / WindowGroupLimit / Limit).
+    Such a window shuffles its ENTIRE input to one partition and sorts
+    it on one task — the canonical 100TB cliff. InferWindowGroupLimit
+    never rescues it: that rewrite fires only for windows WITH a
+    partition spec."""
+    root = df._jdf.queryExecution().executedPlan()
+    bad = []
+    for node in _walk_physical(root):
+        if node.getClass().getSimpleName() != "WindowExec":
+            continue
+        if not node.partitionSpec().isEmpty():
+            continue
+        kids = node.children()
+        child = kids.apply(0)
+        names = {n.getClass().getSimpleName() for n in _walk_physical(child)}
+        if not names & set(_BOUNDED_NODES):
+            bad.append(node.nodeName())
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unbounded_global_window(spark, name):
+    """No registry query may ship an empty-partition-spec window over
+    unbounded input. The sanctioned global-top-k shape is
+    registry.ranked_topk (orderBy().limit(k) -> TakeOrderedAndProject,
+    then row_number over the k survivors); bounded-by-construction
+    inputs must make that boundedness visible in the plan (a Limit /
+    WindowGroupLimit below). This guard exists because round 5 shipped
+    three queries whose docstrings claimed WindowGroupLimit pushdown
+    that the executed plans did not contain."""
+    df = REGISTRY[name].fn(spark, SF)
+    bad = unbounded_global_windows(df)
+    assert not bad, f"{name}: unbounded global window(s): {bad}"
+
+
+def test_unbounded_global_window_guard_detects_bad_shape(spark):
+    """Negative control for the guard. Caveat discovered while writing
+    it: Spark 4.1's optimizer ALREADY rewrites ``filter(rnk <= k)``
+    over an empty-spec row_number window into TakeOrderedAndProject
+    below the window (so the round-5 top-k queries were bounded in the
+    executed plan after all — just by the optimizer, not by the
+    WindowGroupLimit rewrite their docstrings named). The guard's
+    remaining job is the shapes the optimizer does NOT rescue: a
+    global sequence-number assignment with no rank filter (below), a
+    rank filter the rewrite can't see through, or a future regression
+    that blocks the rewrite. ranked_topk makes the bound explicit in
+    the query text instead of depending on the rewrite firing."""
+    from pyspark.sql import Window
+
+    from namegraph_collections_spark.queries.registry import ranked_topk
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    w = Window.orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"))
+    # no rank filter -> nothing bounds the window input: every row
+    # shuffles to ONE partition for the global sequence numbering
+    bad = li.withColumn("seq", F.row_number().over(w))
+    assert unbounded_global_windows(bad), "guard missed the defect shape"
+    good = ranked_topk(
+        li, 25, F.col("l_extendedprice").desc(), F.col("l_orderkey")
+    )
+    assert not unbounded_global_windows(good)
+    # the optimizer-rescued round-5 shape: bounded in the plan, so the
+    # guard must accept it too (TakeOrderedAndProject appears below)
+    rescued = (
+        li.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 25)
+    )
+    assert not unbounded_global_windows(rescued)
