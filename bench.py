@@ -79,6 +79,13 @@ HEADLINE = [
     "ann_recall_eval",
     "cdc_driven_rollup",
     "weighted_sample_topk",
+    # Round 6 additions (append-only): the driver-window composites —
+    # each unions already-benched singles, so its row prices the whole
+    # driver-checked unit rather than new operator work.
+    "temporal_join_battery",
+    "event_analytics_battery",
+    "similarity_battery",
+    "unigram_text_battery",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas
@@ -150,6 +157,11 @@ def main() -> None:
     }
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
+    # Raw samples ship next to the medians so a steal-storm run is
+    # self-evident in the artifact (a 3x spread across a query's three
+    # interleaved passes = host contention, not a plan regression) —
+    # round 5's bench recorded medians that later failed to reproduce
+    # and cost a round of misattribution.
     print(
         json.dumps(
             {
@@ -157,6 +169,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": {
+                    name: [round(t, 3) for t in ts] for name, ts in samples.items()
+                },
                 "sf": sf,
             }
         )

@@ -55,6 +55,7 @@ from namegraph_collections_spark.queries import olap  # noqa: E402,F401
 from namegraph_collections_spark.queries import percentiles  # noqa: E402,F401
 from namegraph_collections_spark.queries import event_analytics  # noqa: E402,F401
 from namegraph_collections_spark.queries import ann_eval  # noqa: E402,F401
+from namegraph_collections_spark.queries import batteries  # noqa: E402,F401  (must import last: wraps other modules' oracles)
 
 #: The 50 rows the external driver value-hashes, in check order.
 #: Rounds 1–4 carried this set implicitly via import order; round 5
@@ -63,6 +64,15 @@ from namegraph_collections_spark.queries import ann_eval  # noqa: E402,F401
 #: after the window (its A6 operator already executes inside the
 #: wiki_documents composite at position 2), freeing three slots for
 #: asof_join_chunked_events, bipartite_pagerank, kmv_distinct_sketch.
+#: Round 6 composited harder (queries/batteries.py): the three ANN
+#: singles ride similarity_battery, token_frequencies+unigram_logprob
+#: ride unigram_text_battery, the three temporal queries ride
+#: temporal_join_battery (replacing the lone chunked-as-of row), and
+#: funnel/cohort/transition — driver-unchecked until now — ride
+#: event_analytics_battery. Net coverage: +6 operators checked, and
+#: the two freed slots promote pq_rerank_topk (the ANN rerank
+#: representative) and cms_heavy_hitters (the sketch-probe
+#: representative, post top-k fix).
 DRIVER_WINDOW: list[str] = [
     "wiki_all_info",
     "wiki_documents",
@@ -91,11 +101,8 @@ DRIVER_WINDOW: list[str] = [
     "transitive_closure_reachability",
     "string_ops_battery",
     "text_features",
-    "token_frequencies",
-    "unigram_logprob",
-    "cosine_topk_bruteforce",
-    "ivf_topk",
-    "lsh_bucket_neighbors",
+    "unigram_text_battery",
+    "similarity_battery",
     "search_ltr_rescore",
     "bm25_search",
     "search_eval_metrics",
@@ -111,9 +118,12 @@ DRIVER_WINDOW: list[str] = [
     "related_collections_precompute",
     "sqldump_extract",
     "custom_collections_docs",
-    "asof_join_chunked_events",
+    "temporal_join_battery",
+    "event_analytics_battery",
     "bipartite_pagerank",
     "kmv_distinct_sketch",
+    "pq_rerank_topk",
+    "cms_heavy_hitters",
 ]
 
 

