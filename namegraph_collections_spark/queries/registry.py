@@ -151,6 +151,20 @@ def keyed_spread(df: DataFrame, key: str) -> DataFrame:
     wraps), paid deliberately: the alternative — guessing the split
     count from file sizes — would re-derive FileSourceScan's own
     packing logic and drift from it.
+
+    Round-6 audit of the other keyed-window queries on single-split
+    scans (every sf0.1 table arrives as 1-3 splits): the degenerate
+    layout only hurts when EXPENSIVE map-side work sits below the
+    first exchange — the WindowGroupLimit partial sort that motivated
+    this helper (ordered_dedup_lineitems, topk_orders_per_customer),
+    or CPU-heavy per-row work (spread()'s explode/md5 cases). Measured
+    at sf0.1/local[32], warm, 3 runs: session_window_rollup 0.70-0.83s,
+    sequence_packing 0.23-0.25s, length_percentile_trim 0.19-0.23s,
+    event_transition_matrix 0.35-0.42s, funnel_conversion ~0.47s,
+    cohort_retention ~0.31-0.34s — none has a partial sort below its
+    exchange (map side is scan+hash only; the keyed sort runs AFTER
+    the 32-way shuffle), so keyed_spread would add an exchange and a
+    planning probe for nothing. Measured-unnecessary; left unapplied.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= n:

@@ -43,7 +43,11 @@ def _canon_value(v):
     return repr(v)
 
 
-def _canon_rows(cols, rows):
+def canon_rows(cols, rows):
+    """Public canonicalization used by the oracle compare AND by tests
+    that diff Spark vs DuckDB results directly (e.g. test_olap):
+    columns sorted by name, every value rendered via repr with
+    NaN/array normalization, rows sorted. Returns (cols, rows)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
@@ -69,8 +73,8 @@ def compare(spark, sf_dir: str, name: str, fn, oracle: str | None) -> dict:
     finally:
         con.close()
     result["duck_rows"] = len(d_rows)
-    sc, sr = _canon_rows(s_cols, s_rows)
-    dc, dr = _canon_rows(d_cols, d_rows)
+    sc, sr = canon_rows(s_cols, s_rows)
+    dc, dr = canon_rows(d_cols, d_rows)
     result["cols_match"] = sc == dc
     result["rows_match"] = len(sr) == len(dr)
     result["values_match"] = sr == dr

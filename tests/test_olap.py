@@ -10,7 +10,7 @@ import duckdb
 from pyspark.sql import functions as F
 
 from namegraph_collections_spark.queries import REGISTRY
-from tests.oracle_harness import _canon_rows
+from tests.oracle_harness import canon_rows
 
 SF = "/root/testdata/sf0.001"
 
@@ -25,7 +25,7 @@ def test_pivot_empty_cell_is_zero_not_null(spark, tmp_path):
     orders.write.parquet(str(tmp_path / "orders.parquet"))
 
     sdf = spec.fn(spark, str(tmp_path))
-    s_cols, s_rows = _canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    s_cols, s_rows = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
 
     con = duckdb.connect()
     try:
@@ -34,7 +34,7 @@ def test_pivot_empty_cell_is_zero_not_null(spark, tmp_path):
             f"FROM '{tmp_path}/orders.parquet/*.parquet'"
         )
         rel = con.sql(spec.oracle)
-        d_cols, d_rows = _canon_rows(list(rel.columns), rel.fetchall())
+        d_cols, d_rows = canon_rows(list(rel.columns), rel.fetchall())
     finally:
         con.close()
 
