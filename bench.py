@@ -86,6 +86,12 @@ HEADLINE = [
     "event_analytics_battery",
     "similarity_battery",
     "unigram_text_battery",
+    # Round 6 new operators.
+    "deterministic_split",
+    "passage_dedup",
+    "skew_key_diagnostics",
+    "salted_skew_agg",
+    "histogram_quantiles",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

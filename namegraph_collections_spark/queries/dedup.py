@@ -703,3 +703,89 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level (sub-document) dedup: the C4/RefinedWeb-style pass
+# that document-level dedup misses — boilerplate spans repeated
+# ACROSS otherwise-distinct documents (license headers, navigation
+# text, templated intros). Documents chunk into fixed-width
+# non-overlapping token passages; a passage occurring in more than
+# one document is reported with its spread.
+# ---------------------------------------------------------------------------
+PASSAGE_W = 4  # tokens per passage (matches this corpus's dup density)
+
+
+@register(
+    "passage_dedup",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    passages AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(ts) // {PASSAGE_W}),
+                    i -> array_to_string(
+                           list_slice(ts, i*{PASSAGE_W}+1, i*{PASSAGE_W}+{PASSAGE_W}),
+                           ' '))) AS passage
+      FROM toked
+    )
+    SELECT md5(passage) AS passage_hash, passage,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc_id
+    FROM passages
+    GROUP BY passage
+    HAVING COUNT(*) > 1 AND COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated passages: non-overlapping
+    {PASSAGE_W}-token chunks that occur in more than one document
+    (count, distinct-doc spread, first carrier).
+
+    Scale shape: chunking is a pure column program (split → slice loop
+    via transform — no UDF); the only shuffle is the passage groupBy,
+    and partial aggregation collapses repeated passages map-side
+    before the exchange — precisely the rows this query exists to
+    find, so the shuffle carries the DISTINCT passage set, not the
+    corpus. In production the passage hash replaces the passage text
+    on the wire (both ship here because the oracle checks the text);
+    removal then semi-joins docs against the flagged hashes.
+    """
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
+    ts = F.col("ts")
+    n_chunks = F.floor(F.size(ts) / PASSAGE_W)
+    # sequence(0, -1) would generate a DESCENDING [0, -1] for docs
+    # shorter than one passage — guard to an empty array instead.
+    chunk_idx = F.when(
+        n_chunks >= 1, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    passages = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                chunk_idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(ts, (i * PASSAGE_W + 1).cast("int"), PASSAGE_W)
+                ),
+            )
+        ).alias("passage"),
+    )
+    return (
+        passages.groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter((F.col("n_occurrences") > 1) & (F.col("n_docs") > 1))
+        .select(
+            F.md5("passage").alias("passage_hash"),
+            "passage",
+            "n_occurrences",
+            "n_docs",
+            "first_doc_id",
+        )
+    )

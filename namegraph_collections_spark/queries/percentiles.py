@@ -91,3 +91,112 @@ def length_percentile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(kept, F.lit(1))).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles: the sketch-shaped sibling of the
+# exact window percentiles above. A fixed-grid histogram is the
+# simplest mergeable quantile summary there is (counts add across
+# partitions, shards, days); the estimate is the lower edge of the
+# bucket where the cumulative count crosses the target rank —
+# deterministic, so exactly oracle-checkable, unlike t-digest/KLL
+# whose buffers are order-dependent.
+# ---------------------------------------------------------------------------
+HIST_BIN = 100  # grid step over l_extendedprice
+HIST_MAX_B = 2048  # bucket domain is CLAMPED to [0, HIST_MAX_B) — the
+# overflow bucket makes the table bounded BY CONSTRUCTION, which the
+# plan states with a no-op .limit(HIST_MAX_B) so the registry-wide
+# unbounded-window guard can see the bound under the cumsum window.
+
+#: (label, rank numerator, denominator): target rank = ceil(q * n) in
+#: pure integer arithmetic, (n*num + den - 1) // den.
+HIST_QS = [("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)]
+
+
+@register(
+    "histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(CAST(floor(l_extendedprice / {HIST_BIN}) AS BIGINT),
+                   {HIST_MAX_B - 1}) AS bucket,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, c,
+             SUM(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER () AS total
+      FROM b
+    ),
+    targets AS (
+      {" UNION ALL ".join(
+        f"SELECT '{label}' AS quantile, {num} AS num, {den} AS den"
+        for label, num, den in HIST_QS
+      )}
+    )
+    SELECT t.quantile,
+           MIN(cum.bucket) AS bucket,
+           CAST(MIN(cum.bucket) * {HIST_BIN} AS DOUBLE) AS est_lo,
+           CAST(MIN(cum.bucket) * {HIST_BIN} + {HIST_BIN} AS DOUBLE) AS est_hi,
+           MAX(cum.total) AS n_rows
+    FROM targets t JOIN cum
+      ON cum.cum_c >= (cum.total * t.num + t.den - 1) // t.den
+    GROUP BY t.quantile
+    """,
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of l_extendedprice from a fixed-grid
+    histogram: per quantile, the first bucket whose cumulative count
+    reaches ceil(q*n) (integer rank arithmetic — no float thresholds),
+    reported as the [est_lo, est_hi) bucket interval.
+
+    Scale shape: the ONLY pass over the data is the bucket groupBy
+    (partial-aggregated; the shuffle carries <= {HIST_MAX_B} rows per
+    task). Everything after operates on the <= {HIST_MAX_B}-row
+    bucket table: the cumsum window runs single-partition over a
+    BOUNDED input (the clamp + the plan-visible limit make that a
+    checked invariant, the same bounded-merge shape as the KMV
+    sketch), and the quantile probe is a broadcast join of 3 target
+    rows. Histograms from different shards/days merge by adding
+    bucket counts — the incremental-rollup property the exact window
+    percentile can never have.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            F.least(
+                F.floor(F.col("l_extendedprice") / HIST_BIN).cast("long"),
+                F.lit(HIST_MAX_B - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(HIST_MAX_B)  # no-op by construction; states the bound
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = b.select(
+        "bucket",
+        "c",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_tot).alias("total"),
+    )
+    targets = spark.createDataFrame(
+        [(label, num, den) for label, num, den in HIST_QS],
+        "quantile string, num long, den long",
+    )
+    tgt = F.floor(
+        (F.col("total") * F.col("num") + F.col("den") - 1) / F.col("den")
+    )
+    return (
+        cum.join(F.broadcast(targets), F.col("cum_c") >= tgt)
+        .groupBy("quantile")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            (F.min("bucket") * HIST_BIN).cast("double").alias("est_lo"),
+            (F.min("bucket") * HIST_BIN + HIST_BIN).cast("double").alias("est_hi"),
+            F.max("total").alias("n_rows"),
+        )
+    )

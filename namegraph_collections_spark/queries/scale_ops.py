@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from namegraph_collections_spark.operators.bloom import bloom_build, bloom_prune
-from namegraph_collections_spark.queries.registry import register, tbl
+from namegraph_collections_spark.queries.registry import events_tbl, ranked_topk, register, tbl
 
 #: Build-side predicate for the bloom semi-join demo.
 BLOOM_SEGMENT = "BUILDING"
@@ -196,4 +196,144 @@ def fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n").alias("n_b"),
             "edit_dist",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostics + salted aggregation: the measure-then-mitigate
+# pair for hot keys. At 100 TB a skewed shuffle key is the single most
+# common cause of a stuck stage; the diagnostic query quantifies the
+# skew BEFORE you pay for the job, and the salted aggregate is the
+# mitigation when the key really is hot (AQE's skew-join handles
+# joins, but a skewed *aggregation* needs pre-aggregation over a salt
+# or a decomposable two-stage plan like this one).
+# ---------------------------------------------------------------------------
+SKEW_TOP = 20
+
+#: salt fan-out for the two-stage aggregate — at 100 TB pick ~2-4x
+#: the executor count so every hot key's partials spread.
+SALT_N = 16
+
+
+@register(
+    "skew_key_diagnostics",
+    oracle=f"""
+    WITH kc AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt
+      FROM kc
+    ),
+    top AS (
+      SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rnk
+      FROM kc QUALIFY rnk <= {SKEW_TOP}
+    )
+    SELECT 'key' AS op, key, cnt, rnk,
+           CAST(NULL AS BIGINT) AS n_keys, CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS skew_ratio
+    FROM top
+    UNION ALL
+    SELECT 'summary', CAST(NULL AS BIGINT), max_cnt, CAST(NULL AS BIGINT),
+           n_keys, n_rows,
+           ROUND(max_cnt / (CAST(n_rows AS DOUBLE) / n_keys), 6)
+    FROM stats
+    """,
+)
+def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for orders.o_custkey: the {SKEW_TOP}
+    heaviest keys (exact counts, total-ordered rank) plus one summary
+    row — key count, row count, max key frequency, and skew_ratio =
+    max/mean (1.0 = perfectly uniform; the number you check before
+    keying a 100 TB shuffle on this column).
+
+    Scale shape: one partial-aggregated groupBy builds the per-key
+    counts; the top slice is ranked_topk (TakeOrderedAndProject, never
+    a global window over the distinct-key table) and the summary is a
+    1-row total aggregate. Swap the table/key args mentally — the
+    query is the template for profiling any candidate shuffle key.
+    """
+    kc = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    null_l = F.lit(None).cast("long")
+    top = ranked_topk(kc, SKEW_TOP, F.col("cnt").desc(), F.col("key").asc()).select(
+        F.lit("key").alias("op"),
+        "key",
+        "cnt",
+        "rnk",
+        null_l.alias("n_keys"),
+        null_l.alias("n_rows"),
+        F.lit(None).cast("double").alias("skew_ratio"),
+    )
+    summary = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    ).select(
+        F.lit("summary").alias("op"),
+        null_l.alias("key"),
+        F.col("max_cnt").alias("cnt"),
+        F.lit(None).cast("int").alias("rnk"),
+        "n_keys",
+        "n_rows",
+        F.round(
+            F.col("max_cnt") / (F.col("n_rows").cast("double") / F.col("n_keys")), 6
+        ).alias("skew_ratio"),
+    )
+    return top.unionByName(summary)
+
+
+@register(
+    "salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate events by event_type — a pathologically hot key
+    (a handful of distinct values over the whole stream) — via an
+    explicit two-stage SALTED plan: stage 1 groups by (event_type,
+    salt) where salt = user_id % {SALT_N} (deterministic, no RNG),
+    stage 2 merges the decomposable partials (count→sum, sum→sum,
+    min→min, max→max) per key.
+
+    The oracle is the PLAIN one-stage GROUP BY: the value hash proves
+    the salted plan is result-identical. Why bother when Spark already
+    partial-aggregates map-side? Partial agg collapses rows within
+    each TASK; with a handful of key values the final exchange still
+    lands each key's partials on ONE reducer — fine for 5 keys x
+    n_tasks partials, but when the per-key merge state itself is big
+    (large collect-style or sketch state) or combiner efficiency is
+    poor (high task count, wide rows), the salt spreads each key over
+    {SALT_N} reducers and the second (tiny) stage merges {SALT_N}
+    rows per key. This query is the template; the decimal-exact sum
+    keeps the rewrite hash-checkable.
+    """
+    ev = events_tbl(spark, sf_dir)
+    salted = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % SALT_N).alias("salt"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+            "value",
+        )
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("v").alias("psum"),
+            F.min("value").alias("pmin"),
+            F.max("value").alias("pmax"),
+        )
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("psum").cast("double").alias("total_value"),
+        F.min("pmin").alias("min_value"),
+        F.max("pmax").alias("max_value"),
     )

@@ -326,3 +326,68 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_topk(
         keyed, WSAMPLE_K, F.col("skey").desc(), F.col("doc_id").asc()
     ).select("doc_id", "w", "skey", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: the assignment every training
+# pipeline makes exactly once and must never change afterwards.
+# Content-addressed (md5 of doc_id, the same _bucket16 convention as
+# the mix sampler), NOT random: re-running on any engine, any cluster
+# layout, or any day yields the identical split, and adding new
+# documents never reassigns old ones — the property a persisted
+# random seed cannot give you across engines.
+# ---------------------------------------------------------------------------
+#: bucket16 cutoffs for ~80/10/10: [0, 52429) train, [52429, 58982)
+#: val, [58982, 65536) test.
+SPLIT_VAL_LO = 52429
+SPLIT_TEST_LO = 58982
+
+
+@register(
+    "deterministic_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source, {_BUCKET16_SQL.format(c="doc_id")} AS bucket
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN bucket < {SPLIT_VAL_LO} THEN 'train'
+                  WHEN bucket < {SPLIT_TEST_LO} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM assigned GROUP BY source, split
+    """,
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 80/10/10 train/val/test split, summarized per
+    (source, split): row counts plus min/max/sum of the member ids —
+    the sum acts as a membership fingerprint, so the value hash pins
+    WHICH documents landed in each split, not just how many.
+
+    Scale shape: the split column is one md5 expression on the scan
+    (no shuffle to assign), and the summary is a single partial-
+    aggregated groupBy. At 100 TB the assignment is free at read time
+    wherever the corpus is already flowing — the split never needs to
+    be materialized as a copy.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    b = _bucket16(F.col("doc_id"))
+    assigned = docs.select(
+        "doc_id",
+        "source",
+        F.when(b < SPLIT_VAL_LO, F.lit("train"))
+        .when(b < SPLIT_TEST_LO, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("doc_id").cast("long").alias("doc_id_sum"),
+    )

@@ -79,6 +79,11 @@ def test_semi_and_anti_join_physical(spark):
         "event_analytics_battery",
         "similarity_battery",
         "unigram_text_battery",
+        "deterministic_split",
+        "passage_dedup",
+        "skew_key_diagnostics",
+        "salted_skew_agg",
+        "histogram_quantiles",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
@@ -261,3 +266,27 @@ def test_unbounded_global_window_guard_detects_bad_shape(spark):
         .filter(F.col("rnk") <= 25)
     )
     assert not unbounded_global_windows(rescued)
+
+
+def test_salted_agg_is_two_stage(spark):
+    """The salted aggregate must actually plan two keyed stages —
+    an exchange on (event_type, salt) feeding an exchange on
+    event_type, each with its own partial/final HashAggregate pair.
+    If an optimizer change collapses the salt stage, the query
+    silently degrades back into the single-reducer-per-hot-key shape
+    it exists to avoid."""
+    df = REGISTRY["salted_skew_agg"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") >= 2
+    assert plan.count("HashAggregate") >= 4
+    # salt must appear in a partitioning, not just a projection
+    assert any(
+        "salt" in line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+
+
+def test_skew_diagnostics_topk_is_bounded(spark):
+    plan = formatted_plan(REGISTRY["skew_key_diagnostics"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
