@@ -92,6 +92,8 @@ HEADLINE = [
     "skew_key_diagnostics",
     "salted_skew_agg",
     "histogram_quantiles",
+    "bpe_merge_table",
+    "tfidf_cosine_pairs",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

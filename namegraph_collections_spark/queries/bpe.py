@@ -1,0 +1,158 @@
+"""BPE vocabulary induction as iterative DataFrame ops.
+
+The byte-pair-encoding merge loop (Sennrich, Haddow & Birch, "Neural
+Machine Translation of Rare Words with Subword Units", ACL 2016 — a
+textbook public algorithm; nothing like it exists in the reference) is
+the canonical tokenizer-training step of an LLM data pipeline. Its
+production shape is exactly the one this query plans:
+
+1. ONE pass over the corpus builds the word-frequency dictionary —
+   the only big-data shuffle (at 100 TB: explode → partial-aggregated
+   groupBy, the token_frequencies shape).
+2. The merge loop then runs on the BOUNDED dictionary (vocabulary,
+   not corpus, cardinality): each round counts adjacent symbol pairs
+   weighted by word frequency, picks the most frequent pair with a
+   total-order tiebreak, and merges it greedily left-to-right in
+   every word. The corpus is never touched again.
+
+Representation: a word's current segmentation is a marker string
+``<s1><s2>...<sk>`` (symbols are [a-z0-9]+, so the ASCII markers can
+never collide). Merging pair (a, b) is then one literal
+``replace('<a><b>' -> '<ab>')`` — and because replace() substitutes
+non-overlapping occurrences left-to-right in BOTH engines, the marker
+trick IS the greedy BPE merge semantics, checkable value-for-value.
+The pair tiebreak (count desc, a asc, b asc) makes every round's
+winner unique, so the whole training loop is deterministic and the
+DuckDB oracle replays it round by round as a CTE chain (MATERIALIZED:
+each d_{r-1} is referenced twice per round, so DuckDB's default CTE
+inlining would expand the chain 2^rounds-fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.queries.registry import register, spread, tbl
+
+BPE_ROUNDS = 8
+
+
+def _oracle() -> str:
+    ctes = [
+        """words AS MATERIALIZED (
+      SELECT t AS word, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      GROUP BY 1
+    ),
+    d0 AS MATERIALIZED (
+      SELECT word, n,
+             '<' || array_to_string(regexp_extract_all(word, '.'), '><') || '>' AS repr
+      FROM words
+    )"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+      SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+             CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (
+        SELECT n, unnest(list_transform(range(1, len(ss)),
+                         i -> ss[i] || ' ' || ss[i+1])) AS pair
+        FROM (SELECT n, string_split(trim(repr, '<>'), '><') AS ss FROM d{r-1})
+      )
+      GROUP BY 1, 2
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT {r} AS round, a, b, a || b AS merged, cnt
+      FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    d{r} AS MATERIALIZED (
+      SELECT word, n,
+             replace(repr,
+                     '<' || (SELECT a FROM w{r}) || '><' || (SELECT b FROM w{r}) || '>',
+                     '<' || (SELECT merged FROM w{r}) || '>') AS repr
+      FROM d{r-1}
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT round, a, b, merged, cnt FROM w{r}" for r in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@register("bpe_merge_table", oracle=_oracle())
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BPE_ROUNDS} rounds of BPE merge learning over the corpus word
+    dictionary: (round, a, b, merged, frequency-weighted count) — the
+    merge table a BPE tokenizer ships.
+
+    Scale shape (see module docstring): round-0 word counts are the
+    only corpus-sized shuffle; every later stage operates on the
+    bounded dictionary, each round's winning pair is a 1-row broadcast
+    into the merge projection, and the pair argmax is
+    ``orderBy().limit(1)`` (TakeOrderedAndProject — never a global
+    window). The loop materializes the dictionary per round with
+    localCheckpoint, the same lineage-cut treatment as the semi-naive
+    closure and PageRank iterations (operators/closure.py,
+    queries/centrality.py): without it round r's plan re-derives
+    rounds 1..r-1 and planning cost grows quadratically.
+    """
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = words.select(
+        "word",
+        "n",
+        F.concat(
+            F.lit("<"),
+            F.array_join(F.regexp_extract_all(F.col("word"), F.lit("."), 0), "><"),
+            F.lit(">"),
+        ).alias("repr"),
+    ).localCheckpoint(eager=True)
+    winners: list[DataFrame] = []
+    for r in range(1, BPE_ROUNDS + 1):
+        ss = F.split(F.expr("trim(BOTH '<>' FROM repr)"), "><")
+        pairs = d.select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.slice(ss, 1, F.greatest(F.size(ss) - 1, F.lit(0))),
+                    lambda t, i: F.struct(
+                        t.alias("a"), F.element_at(ss, i + 2).alias("b")
+                    ),
+                )
+            ).alias("p"),
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "n")
+        pc = pairs.groupBy("a", "b").agg(F.sum("n").cast("long").alias("cnt"))
+        w = (
+            pc.orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .select(
+                F.lit(r).alias("round"),
+                "a",
+                "b",
+                F.concat("a", "b").alias("merged"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+        winners.append(w)
+        d = (
+            d.crossJoin(F.broadcast(w.select("a", "b", "merged")))
+            .select(
+                "word",
+                "n",
+                F.replace(
+                    F.col("repr"),
+                    F.concat(F.lit("<"), "a", F.lit("><"), "b", F.lit(">")),
+                    F.concat(F.lit("<"), "merged", F.lit(">")),
+                ).alias("repr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out

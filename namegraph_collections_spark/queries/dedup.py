@@ -789,3 +789,140 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_doc_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF weighted cosine near-dup: the soft-weighted sibling of
+# ngram_jaccard_pairs. Jaccard treats every shared shingle equally; a
+# rare shared shingle is far stronger duplication evidence than a
+# common one, and idf-weighted cosine is the standard way to say so
+# (same sparse-vector scoring family as BM25, applied doc-to-doc).
+# ---------------------------------------------------------------------------
+TFIDF_DF_CAP = 50  # same hot-shingle treatment as HOT_SHINGLE_DF_CAP
+TFIDF_MIN_COS = 0.25
+
+_TFIDF_SH0_SQL = """
+    SELECT doc_id, shingle, COUNT(*) AS tf FROM (
+      SELECT doc_id, unnest(
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ) AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    ) GROUP BY doc_id, shingle
+"""
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH sh0 AS MATERIALIZED ({_TFIDF_SH0_SQL}),
+    dft AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY 1),
+    w AS MATERIALIZED (
+      SELECT s.doc_id, s.shingle, dft.df,
+             CAST(round(s.tf * round(ln(1 + (SELECT CAST(COUNT(*) AS DOUBLE)
+                                             FROM documents) / dft.df), 6), 6)
+                  AS DECIMAL(18,6)) AS w
+      FROM sh0 s JOIN dft USING (shingle)
+    ),
+    norms AS (SELECT doc_id, sqrt(CAST(SUM(w*w) AS DOUBLE)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.df <= {TFIDF_DF_CAP} AND b.df <= {TFIDF_DF_CAP}
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= {TFIDF_MIN_COS}
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with idf-weighted shingle-cosine >= {TFIDF_MIN_COS}:
+    tf-idf sparse vectors over word trigrams, dot products via the same
+    capped posting-list pattern as ngram_jaccard_pairs.
+
+    Determinism: idf = round(ln(1 + N/df), 6); w = round(tf*idf, 6) as
+    DECIMAL(18,6), so dots and squared norms sum EXACTLY in decimal on
+    both engines; the single double division + round(6) happens last
+    (the BM25 convention). Hot shingles (df > {TFIDF_DF_CAP}) are
+    excluded from MATCHING (bounding every posting list, hence every
+    pair fan-out, at cap²) but kept in the norms — the standard
+    stop-term treatment; scores are conservative, never inflated.
+
+    Scale shape: tf and df are two partial-aggregated groupBys; the
+    pair stream is emitted map-side from each (bounded) posting list
+    — one shuffle to group lists, one to sum dots — and the norm
+    joins key on doc_id. No all-pairs stage anywhere.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toked = spread(docs, "doc_id").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    toks = F.col("toks")
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda t, i: F.concat_ws(
+            " ", t, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    sh0 = (
+        toked.select("doc_id", F.explode(grams).alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = (
+        sh0.join(dft, "shingle")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "shingle",
+            "df",
+            F.round(
+                F.col("tf") * F.round(F.log(1 + F.col("n_docs") / F.col("df")), 6), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    lists = (
+        w.filter(F.col("df") <= TFIDF_DF_CAP)
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "w"))).alias("posts"))
+        .filter(F.size("posts") > 1)
+    )
+    posts = F.col("posts")
+    pair_structs = F.flatten(
+        F.transform(
+            posts,
+            lambda x, i: F.transform(
+                F.slice(posts, i + 2, TFIDF_DF_CAP),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    (x["w"] * y["w"]).alias("p"),
+                ),
+            ),
+        )
+    )
+    dots = (
+        lists.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
+        .agg(F.sum("pr.p").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot").cast("double") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= TFIDF_MIN_COS)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+    )

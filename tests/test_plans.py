@@ -84,6 +84,8 @@ def test_semi_and_anti_join_physical(spark):
         "skew_key_diagnostics",
         "salted_skew_agg",
         "histogram_quantiles",
+        "bpe_merge_table",
+        "tfidf_cosine_pairs",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
