@@ -94,6 +94,9 @@ HEADLINE = [
     "histogram_quantiles",
     "bpe_merge_table",
     "tfidf_cosine_pairs",
+    "rollup_battery",
+    "sampling_battery",
+    "lexical_dedup_battery",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -73,12 +73,17 @@ from namegraph_collections_spark.queries import batteries  # noqa: E402,F401  (m
 #: event_analytics_battery. Net coverage: +6 operators checked, and
 #: the two freed slots promote pq_rerank_topk (the ANN rerank
 #: representative) and cms_heavy_hitters (the sketch-probe
-#: representative, post top-k fix).
+#: representative, post top-k fix). A second round-6 wave composited
+#: further: exact_dedup_groups -> lexical_dedup_battery (+passage
+#: dedup, +tf-idf cosine), deterministic_mix_sample ->
+#: sampling_battery (+grouped sample, +weighted reservoir, +split),
+#: hourly_event_rollup -> rollup_battery (+cascading, +incremental) —
+#: +7 more operators driver-checked at zero slot cost.
 DRIVER_WINDOW: list[str] = [
     "wiki_all_info",
     "wiki_documents",
     "wiki_validate_members",
-    "exact_dedup_groups",
+    "lexical_dedup_battery",
     "ngram_jaccard_pairs",
     "simhash_neardup_candidates",
     "embedding_neardup_pairs",
@@ -87,7 +92,7 @@ DRIVER_WINDOW: list[str] = [
     "decontamination_overlap",
     "sequence_packing",
     "domain_mix_plan",
-    "deterministic_mix_sample",
+    "sampling_battery",
     "multimodal_byte_histogram",
     "pricing_summary",
     "regional_revenue",
@@ -97,7 +102,7 @@ DRIVER_WINDOW: list[str] = [
     "topk_orders_per_customer",
     "segment_order_metrics",
     "entity_assembly_users",
-    "hourly_event_rollup",
+    "rollup_battery",
     "session_window_rollup",
     "transitive_closure_reachability",
     "string_ops_battery",

@@ -298,3 +298,229 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("name_log_probability").alias("logp"),
     )
     return freq.unionByName(lp)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 second wave (same construction rules as above).
+# ---------------------------------------------------------------------------
+from namegraph_collections_spark.queries.dedup import (  # noqa: E402
+    exact_dedup_groups,
+    passage_dedup,
+    tfidf_cosine_pairs,
+)
+from namegraph_collections_spark.queries.relational import (  # noqa: E402
+    hourly_event_rollup,
+)
+from namegraph_collections_spark.queries.rollups import (  # noqa: E402
+    cascading_time_rollup,
+    incremental_hourly_rollup,
+)
+from namegraph_collections_spark.queries.scale_ops import (  # noqa: E402
+    grouped_deterministic_sample,
+)
+from namegraph_collections_spark.queries.training_data import (  # noqa: E402
+    deterministic_mix_sample,
+    deterministic_split,
+    weighted_sample_topk,
+)
+
+
+@register(
+    "rollup_battery",
+    oracle=f"""
+    SELECT 'hourly' AS op, CAST(NULL AS VARCHAR) AS grain, hour_us AS bucket_us,
+           event_type, n, total_value, CAST(NULL AS DOUBLE) AS mean_value
+    FROM ({_oracle("hourly_event_rollup")})
+    UNION ALL
+    SELECT 'cascading' AS op, grain, bucket_us, event_type, n, total_value,
+           CAST(NULL AS DOUBLE)
+    FROM ({_oracle("cascading_time_rollup")})
+    UNION ALL
+    SELECT 'incremental' AS op, CAST(NULL AS VARCHAR), bucket_us, event_type,
+           n_events, total_value, mean_value
+    FROM ({_oracle("incremental_hourly_rollup")})
+    """,
+)
+def rollup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup + minute→hour→day cascade + split-and-merge
+    incremental rollup in one tagged result. Components unchanged:
+    queries/relational.py, queries/rollups.py.
+    """
+    hourly = hourly_event_rollup(spark, sf_dir).select(
+        F.lit("hourly").alias("op"),
+        _NULL_S().alias("grain"),
+        F.col("hour_us").alias("bucket_us"),
+        "event_type",
+        "n",
+        "total_value",
+        _NULL_D().alias("mean_value"),
+    )
+    casc = cascading_time_rollup(spark, sf_dir).select(
+        F.lit("cascading").alias("op"),
+        "grain",
+        "bucket_us",
+        "event_type",
+        "n",
+        "total_value",
+        _NULL_D().alias("mean_value"),
+    )
+    inc = incremental_hourly_rollup(spark, sf_dir).select(
+        F.lit("incremental").alias("op"),
+        _NULL_S().alias("grain"),
+        "bucket_us",
+        "event_type",
+        F.col("n_events").alias("n"),
+        "total_value",
+        "mean_value",
+    )
+    return hourly.unionByName(casc).unionByName(inc)
+
+
+@register(
+    "sampling_battery",
+    oracle=f"""
+    SELECT 'mix' AS op, doc_id, source, CAST(NULL AS VARCHAR) AS split,
+           CAST(NULL AS INTEGER) AS rk, CAST(NULL AS BIGINT) AS w,
+           CAST(NULL AS DOUBLE) AS skey, CAST(NULL AS INTEGER) AS rnk,
+           CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS min_doc_id,
+           CAST(NULL AS BIGINT) AS max_doc_id, CAST(NULL AS BIGINT) AS doc_id_sum
+    FROM ({_oracle("deterministic_mix_sample")})
+    UNION ALL
+    SELECT 'grouped' AS op, doc_id, source, CAST(NULL AS VARCHAR), rk,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM ({_oracle("grouped_deterministic_sample")})
+    UNION ALL
+    SELECT 'weighted' AS op, doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS INTEGER), w, skey, rnk,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM ({_oracle("weighted_sample_topk")})
+    UNION ALL
+    SELECT 'split' AS op, CAST(NULL AS BIGINT), source, split,
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), n_docs, min_doc_id, max_doc_id, doc_id_sum
+    FROM ({_oracle("deterministic_split")})
+    """,
+)
+def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four deterministic selection policies in one tagged result:
+    temperature-mix sampling, per-group hash-order sampling, weighted
+    reservoir (A-Res) top-k, and the content-addressed train/val/test
+    split. Components unchanged: queries/training_data.py,
+    queries/scale_ops.py.
+    """
+    mix = deterministic_mix_sample(spark, sf_dir).select(
+        F.lit("mix").alias("op"),
+        "doc_id",
+        "source",
+        _NULL_S().alias("split"),
+        _NULL_I().alias("rk"),
+        _NULL_L().alias("w"),
+        _NULL_D().alias("skey"),
+        _NULL_I().alias("rnk"),
+        _NULL_L().alias("n_docs"),
+        _NULL_L().alias("min_doc_id"),
+        _NULL_L().alias("max_doc_id"),
+        _NULL_L().alias("doc_id_sum"),
+    )
+    grouped = grouped_deterministic_sample(spark, sf_dir).select(
+        F.lit("grouped").alias("op"),
+        "doc_id",
+        "source",
+        _NULL_S().alias("split"),
+        "rk",
+        _NULL_L().alias("w"),
+        _NULL_D().alias("skey"),
+        _NULL_I().alias("rnk"),
+        _NULL_L().alias("n_docs"),
+        _NULL_L().alias("min_doc_id"),
+        _NULL_L().alias("max_doc_id"),
+        _NULL_L().alias("doc_id_sum"),
+    )
+    weighted = weighted_sample_topk(spark, sf_dir).select(
+        F.lit("weighted").alias("op"),
+        "doc_id",
+        _NULL_S().alias("source"),
+        _NULL_S().alias("split"),
+        _NULL_I().alias("rk"),
+        "w",
+        "skey",
+        "rnk",
+        _NULL_L().alias("n_docs"),
+        _NULL_L().alias("min_doc_id"),
+        _NULL_L().alias("max_doc_id"),
+        _NULL_L().alias("doc_id_sum"),
+    )
+    split = deterministic_split(spark, sf_dir).select(
+        F.lit("split").alias("op"),
+        _NULL_L().alias("doc_id"),
+        "source",
+        "split",
+        _NULL_I().alias("rk"),
+        _NULL_L().alias("w"),
+        _NULL_D().alias("skey"),
+        _NULL_I().alias("rnk"),
+        "n_docs",
+        "min_doc_id",
+        "max_doc_id",
+        "doc_id_sum",
+    )
+    return mix.unionByName(grouped).unionByName(weighted).unionByName(split)
+
+
+@register(
+    "lexical_dedup_battery",
+    oracle=f"""
+    SELECT 'exact' AS op, fingerprint AS fp, CAST(NULL AS VARCHAR) AS s,
+           canonical_doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           dup_count AS cnt, CAST(NULL AS BIGINT) AS nd,
+           CAST(NULL AS DOUBLE) AS cosine
+    FROM ({_oracle("exact_dedup_groups")})
+    UNION ALL
+    SELECT 'passage' AS op, passage_hash, passage, first_doc_id,
+           CAST(NULL AS BIGINT), n_occurrences, n_docs, CAST(NULL AS DOUBLE)
+    FROM ({_oracle("passage_dedup")})
+    UNION ALL
+    SELECT 'tfidf' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           doc_a, doc_b, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), cosine
+    FROM ({_oracle("tfidf_cosine_pairs")})
+    """,
+)
+def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fingerprint groups + cross-document passage dedup +
+    idf-weighted cosine pairs in one tagged result. Components
+    unchanged: queries/dedup.py.
+    """
+    exact = exact_dedup_groups(spark, sf_dir).select(
+        F.lit("exact").alias("op"),
+        F.col("fingerprint").alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("canonical_doc_id").alias("id_a"),
+        _NULL_L().alias("id_b"),
+        F.col("dup_count").alias("cnt"),
+        _NULL_L().alias("nd"),
+        _NULL_D().alias("cosine"),
+    )
+    passage = passage_dedup(spark, sf_dir).select(
+        F.lit("passage").alias("op"),
+        F.col("passage_hash").alias("fp"),
+        F.col("passage").alias("s"),
+        F.col("first_doc_id").alias("id_a"),
+        _NULL_L().alias("id_b"),
+        F.col("n_occurrences").alias("cnt"),
+        F.col("n_docs").alias("nd"),
+        _NULL_D().alias("cosine"),
+    )
+    tfidf = tfidf_cosine_pairs(spark, sf_dir).select(
+        F.lit("tfidf").alias("op"),
+        _NULL_S().alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        _NULL_L().alias("cnt"),
+        _NULL_L().alias("nd"),
+        "cosine",
+    )
+    return exact.unionByName(passage).unionByName(tfidf)

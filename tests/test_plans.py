@@ -86,6 +86,9 @@ def test_semi_and_anti_join_physical(spark):
         "histogram_quantiles",
         "bpe_merge_table",
         "tfidf_cosine_pairs",
+        "rollup_battery",
+        "sampling_battery",
+        "lexical_dedup_battery",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):

@@ -56,6 +56,11 @@ R6_REPLACED = {
     "ivf_topk": None,
     "lsh_bucket_neighbors": None,
     "asof_join_chunked_events": "temporal_join_battery",
+    # second wave: widen three existing rows into batteries at zero
+    # slot cost (+7 operators driver-checked)
+    "exact_dedup_groups": "lexical_dedup_battery",
+    "deterministic_mix_sample": "sampling_battery",
+    "hourly_event_rollup": "rollup_battery",
 }
 R6_APPENDED = [
     "event_analytics_battery",  # takes the slot freed by the similarity merge
@@ -75,6 +80,16 @@ R6_COMPOSITED = [
     "funnel_conversion",
     "cohort_retention",
     "event_transition_matrix",
+    "exact_dedup_groups",
+    "passage_dedup",
+    "tfidf_cosine_pairs",
+    "deterministic_mix_sample",
+    "grouped_deterministic_sample",
+    "weighted_sample_topk",
+    "deterministic_split",
+    "hourly_event_rollup",
+    "cascading_time_rollup",
+    "incremental_hourly_rollup",
 ]
 
 
