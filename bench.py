@@ -97,6 +97,7 @@ HEADLINE = [
     "rollup_battery",
     "sampling_battery",
     "lexical_dedup_battery",
+    "incremental_minhash_dedup",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

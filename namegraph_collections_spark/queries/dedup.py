@@ -558,7 +558,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: keeping both engines bit-identical on integer arithmetic.
 MINHASH_PRIME = 4294967291
 
-_MINHASH_PAIRS_SQL = f"""
+_MINHASH_BANDS_SQL = f"""
     hashed AS (
       SELECT doc_id,
              CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h1,
@@ -575,7 +575,9 @@ _MINHASH_PAIRS_SQL = f"""
       SELECT doc_id, seed // {BAND_SIZE} AS band,
              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_sig
       FROM hashes GROUP BY doc_id, seed // {BAND_SIZE}
-    ),
+    )"""
+
+_MINHASH_PAIRS_SQL = f"""{_MINHASH_BANDS_SQL},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -584,10 +586,11 @@ _MINHASH_PAIRS_SQL = f"""
 """
 
 
-def _minhash_pairs(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) via MinHash banding —
-    the plan behind `minhash_lsh_candidates`, exposed for reuse by the
-    cluster-closure query."""
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) MinHash-LSH banding table — the index
+    side of every LSH lookup; shared by the all-pairs candidates, the
+    cluster closure, and the incremental (new-batch vs corpus) dedup.
+    """
     sh = _shingles(docs)
     # All NUM_MINHASHES mins as one groupBy(doc_id) with inline min
     # aggs — no seed explode, no (doc, seed) shuffle: the map side
@@ -619,9 +622,16 @@ def _minhash_pairs(docs: DataFrame) -> DataFrame:
     ]
     n_bands = NUM_MINHASHES // BAND_SIZE
     stack_args = ", ".join(f"{b}, b{b}" for b in range(n_bands))
-    bands = hashes.select("doc_id", *band_sigs).selectExpr(
+    return hashes.select("doc_id", *band_sigs).selectExpr(
         "doc_id", f"stack({n_bands}, {stack_args}) AS (band, band_sig)"
     )
+
+
+def _minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) via MinHash banding —
+    the plan behind `minhash_lsh_candidates`, exposed for reuse by the
+    cluster-closure query."""
+    bands = _minhash_bands(docs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -925,4 +935,108 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "doc_b")
         .filter(cos >= TFIDF_MIN_COS)
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (new-batch vs corpus) dedup: the shape production dedup
+# actually runs daily. Re-running all-pairs LSH over corpus+batch
+# costs O(corpus) every day; the incremental form probes the NEW
+# batch's band signatures against the standing index and verifies
+# only new x old candidates with exact Jaccard. The synthetic "new
+# batch" is a deterministic slice (doc_id % 10 == NEW_BATCH_MOD) so
+# both engines agree on membership.
+# ---------------------------------------------------------------------------
+NEW_BATCH_MOD = 7
+
+
+@register(
+    "incremental_minhash_dedup",
+    oracle=f"""
+    WITH shingles AS MATERIALIZED ({_SHINGLES_SQL}),
+    {_MINHASH_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.band_sig = o.band_sig
+      WHERE n.doc_id % 10 = {NEW_BATCH_MOD} AND o.doc_id % 10 <> {NEW_BATCH_MOD}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT c.new_doc, c.old_doc, COUNT(b.shingle) AS n_common
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.new_doc
+      JOIN shingles b ON b.doc_id = c.old_doc AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.new_doc, c.old_doc,
+           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0)), 6) AS jaccard,
+           (CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0))) >= 0.1 AS is_dup
+    FROM cand c
+    LEFT JOIN inter i ON i.new_doc = c.new_doc AND i.old_doc = c.old_doc
+    JOIN sizes sa ON sa.doc_id = c.new_doc
+    JOIN sizes sb ON sb.doc_id = c.old_doc
+    """,
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a new batch against the standing corpus index: the
+    batch's MinHash band signatures probe the index (equi-join on
+    (band, band_sig) — an index LOOKUP, not an all-pairs LSH rerun);
+    every new x old candidate is then verified with exact shingle
+    Jaccard and flagged ``is_dup`` at the 0.1 threshold. Candidates
+    that fail verification ship too (with their true Jaccard) — the
+    false-positive rate of the index is part of the answer.
+
+    Scale shape: at 100 TB the ``bands`` table for the corpus is a
+    PERSISTED index (bucketed by (band, band_sig)); the daily job
+    computes bands only for the batch (O(batch)), joins — co-located
+    if the batch side is bucketed the same way — and the Jaccard
+    verification touches only candidate docs' shingles via semi-join
+    pruning. Nothing rescans the corpus text. Here both sides derive
+    from one table split deterministically so the oracle can replay
+    membership exactly.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    bands = _minhash_bands(docs)
+    is_new = F.col("doc_id") % 10 == NEW_BATCH_MOD
+    new_b = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_sig"
+    )
+    old_b = bands.filter(~is_new).select(
+        F.col("doc_id").alias("old_doc"), "band", "band_sig"
+    )
+    cand = (
+        new_b.join(old_b, ["band", "band_sig"])
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # candidate-restricted verification: shingles join shingles ONLY
+    # through the candidate pair list, never corpus x corpus
+    sh_new = sh.select(F.col("doc_id").alias("new_doc"), "shingle")
+    sh_old = sh.select(F.col("doc_id").alias("old_doc"), "shingle")
+    inter = (
+        cand.join(sh_new, "new_doc")
+        .join(sh_old, ["old_doc", "shingle"])
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("old_doc"), F.col("n_sh").alias("sb"))
+    jac = F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / (
+        F.col("sa") + F.col("sb") - F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    return (
+        cand.join(inter, ["new_doc", "old_doc"], "left")
+        .join(sa, "new_doc")
+        .join(sb, "old_doc")
+        .select(
+            "new_doc",
+            "old_doc",
+            F.round(jac, 6).alias("jaccard"),
+            (jac >= 0.1).alias("is_dup"),
+        )
     )

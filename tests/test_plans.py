@@ -89,6 +89,7 @@ def test_semi_and_anti_join_physical(spark):
         "rollup_battery",
         "sampling_battery",
         "lexical_dedup_battery",
+        "incremental_minhash_dedup",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
