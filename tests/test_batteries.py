@@ -1,0 +1,68 @@
+"""Battery construction-rule pins (no Spark needed).
+
+A battery must wrap its components' ORACLES verbatim — that is the
+property that makes one driver row equivalent to checking every
+component: if a component's oracle changes, the battery's oracle
+changes identically, and the two can never drift. This test pins the
+rule structurally so a future battery (or an edit that inlines a
+stale copy of a component's SQL) fails fast.
+"""
+
+from __future__ import annotations
+
+from namegraph_collections_spark.queries import REGISTRY
+
+#: battery -> components whose oracle text must appear verbatim
+BATTERIES = {
+    "temporal_join_battery": [
+        "asof_join_events",
+        "asof_join_chunked_events",
+        "interval_range_join",
+    ],
+    "event_analytics_battery": [
+        "funnel_conversion",
+        "cohort_retention",
+        "event_transition_matrix",
+    ],
+    "similarity_battery": [
+        "cosine_topk_bruteforce",
+        "ivf_topk",
+        "lsh_bucket_neighbors",
+    ],
+    "unigram_text_battery": ["token_frequencies", "unigram_logprob"],
+    "rollup_battery": [
+        "hourly_event_rollup",
+        "cascading_time_rollup",
+        "incremental_hourly_rollup",
+    ],
+    "sampling_battery": [
+        "deterministic_mix_sample",
+        "grouped_deterministic_sample",
+        "weighted_sample_topk",
+        "deterministic_split",
+    ],
+    "lexical_dedup_battery": [
+        "exact_dedup_groups",
+        "passage_dedup",
+        "tfidf_cosine_pairs",
+    ],
+}
+
+
+def test_battery_oracles_embed_component_oracles_verbatim():
+    for battery, components in BATTERIES.items():
+        b_oracle = REGISTRY[battery].oracle
+        assert b_oracle, battery
+        for comp in components:
+            c_oracle = REGISTRY[comp].oracle
+            assert c_oracle, comp
+            assert c_oracle in b_oracle, (
+                f"{battery} does not embed {comp}'s oracle verbatim — "
+                "the battery can drift from the single"
+            )
+
+
+def test_battery_components_stay_registered():
+    for components in BATTERIES.values():
+        for comp in components:
+            assert comp in REGISTRY
