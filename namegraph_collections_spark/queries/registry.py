@@ -118,8 +118,18 @@ def ranked_topk(df: DataFrame, k: int, *order, rnk: str = "rnk") -> DataFrame:
     there — Spark's InferWindowGroupLimit does NOT rescue it (the
     rewrite fires only for windows WITH a partition spec), so the
     empty-spec window really is a single-task sort of the full input.
-    tests/test_plans.py pins this registry-wide: any empty-spec
-    WindowExec must sit above a k-bounded child.
+    tests/test_plans.py pins this registry-wide: any effectively-global
+    WindowExec (empty or all-literal partition spec) must sit above a
+    k-bounded child.
+
+    The rank window over the k survivors still logs WindowExec's
+    blanket "No Partition Defined" warning — it fires on every
+    empty-spec window regardless of input size, and a constant
+    partition spec does not silence it (Catalyst constant-folds
+    literals out of the spec before the physical plan, verified).
+    get_spark() therefore drops that logger to ERROR with the
+    justification that the plan guard proves every such window here
+    is k-bounded.
     """
     return (
         df.orderBy(*order)

@@ -44,4 +44,23 @@ def get_spark(app_name: str = "namegraph-collections-spark", cpus: int | None = 
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec logs a blanket "No Partition Defined" warning on EVERY
+    # empty-partition-spec window, regardless of input size, and a
+    # constant partition spec cannot silence it (Catalyst folds
+    # literals out of the spec before the physical plan — verified).
+    # Every empty-spec window in this engine is k-bounded by
+    # construction and MACHINE-CHECKED by the registry-wide plan guard
+    # (tests/test_plans.py::test_no_unbounded_global_window), so the
+    # warning is pure noise here; 300+ copies of it were drowning real
+    # signals in the bench logs. Dropped to ERROR, justified by the
+    # guard — if the guard ever goes red, this suppression is the
+    # first thing to revisit.
+    try:
+        jvm = spark.sparkContext._jvm
+        lvl = jvm.org.apache.logging.log4j.Level.ERROR
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec", lvl
+        )
+    except Exception:
+        pass  # logging backend changed — cosmetic only, never fatal
     return spark

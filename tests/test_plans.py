@@ -202,19 +202,35 @@ def _walk_physical(node):
         yield from _walk_physical(kids.apply(i))
 
 
+def _is_global_spec(spec) -> bool:
+    """True when a window's partition spec is empty OR consists only of
+    foldable (literal) expressions — both mean every row lands in ONE
+    partition. The bounded-input windows deliberately spell their spec
+    as partitionBy(lit(0)) to silence WindowExec's unbounded-case
+    warning; this predicate makes sure that spelling can never hide a
+    genuinely unbounded global window from the guard."""
+    if spec.isEmpty():
+        return True
+    for i in range(spec.length()):
+        if not spec.apply(i).foldable():
+            return False
+    return True
+
+
 def unbounded_global_windows(df) -> list:
-    """Empty-partition-spec WindowExec nodes whose input subtree has NO
-    k-bounding node (TakeOrderedAndProject / WindowGroupLimit / Limit).
-    Such a window shuffles its ENTIRE input to one partition and sorts
-    it on one task — the canonical 100TB cliff. InferWindowGroupLimit
-    never rescues it: that rewrite fires only for windows WITH a
-    partition spec."""
+    """Effectively-global WindowExec nodes (empty or all-literal
+    partition spec) whose input subtree has NO k-bounding node
+    (TakeOrderedAndProject / WindowGroupLimit / Limit). Such a window
+    shuffles its ENTIRE input to one partition and sorts it on one
+    task — the canonical 100TB cliff. InferWindowGroupLimit never
+    rescues the empty-spec case: that rewrite fires only for windows
+    WITH a partition spec."""
     root = df._jdf.queryExecution().executedPlan()
     bad = []
     for node in _walk_physical(root):
         if node.getClass().getSimpleName() != "WindowExec":
             continue
-        if not node.partitionSpec().isEmpty():
+        if not _is_global_spec(node.partitionSpec()):
             continue
         kids = node.children()
         child = kids.apply(0)
