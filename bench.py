@@ -98,6 +98,8 @@ HEADLINE = [
     "sampling_battery",
     "lexical_dedup_battery",
     "incremental_minhash_dedup",
+    "cube_status_priority",
+    "table_stats_profile",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

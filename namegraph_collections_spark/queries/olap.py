@@ -124,3 +124,34 @@ def status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         renames.append(F.coalesce(F.col(f"`{p}_n`"), F.lit(0).cast("long")).alias(f"n_{digit}"))
         renames.append(F.coalesce(F.col(f"`{p}_rev`"), F.lit(0.0)).alias(f"rev_{digit}"))
     return pivoted.select(*renames)
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four grouping sets of (status, priority) — leaf, each
+    one-dimension margin, grand total — in ONE pass via native CUBE
+    (completing the grouping-sets family next to ROLLUP and PIVOT).
+
+    ``lvl`` is the grouping bitmask (0 leaf, 1 priority-margin,
+    2 status-margin, 3 grand total) with the same MSB-first definition
+    on both engines. One partial-aggregated shuffle computes every
+    set; the reference's reporting layer would run 4 passes.
+    """
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )

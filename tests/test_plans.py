@@ -90,6 +90,8 @@ def test_semi_and_anti_join_physical(spark):
         "sampling_battery",
         "lexical_dedup_battery",
         "incremental_minhash_dedup",
+        "cube_status_priority",
+        "table_stats_profile",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
