@@ -100,6 +100,7 @@ HEADLINE = [
     "incremental_minhash_dedup",
     "cube_status_priority",
     "table_stats_profile",
+    "bigram_lm_perplexity",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -385,3 +385,156 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, PMI_TOP,
         F.col("n_pair").desc(), F.col("a").asc(), F.col("b").asc(),
     ).select("a", "b", "n_pair", "pmi", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# LM-perplexity quality filtering (the CCNet recipe — Wenzek et al.,
+# "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+# Data", LREC 2020): train a language model on trusted text, score
+# every document by per-token negative log-likelihood, keep the
+# low-NLL tail. Here the LM is an add-alpha-smoothed bigram model
+# trained on the content-addressed 'train' split (the same bucket16
+# rule as deterministic_split), so the whole train->score->filter
+# loop is reproducible on any engine and the held-out splits are
+# genuinely unseen by the model.
+# ---------------------------------------------------------------------------
+LM_ALPHA_NUM, LM_ALPHA_DEN = 1, 2  # alpha = 0.5, exactly representable
+#: keep threshold on nats/token — documents above it are flagged out.
+LM_NLL_KEEP = 3.4
+
+#: bucket16 train cutoff — identical to deterministic_split's.
+_LM_TRAIN_LO = 52429
+
+
+def _bucket16_col(col):
+    """Same content-addressed bucket as training_data._bucket16 —
+    duplicated (two expressions, one definition in each module) to
+    avoid a circular import; pinned equal by the shared SQL constant
+    in both oracles."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
+_LM_IS_TRAIN_SQL = (
+    "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 4) AS BIGINT)"
+    f" < {_LM_TRAIN_LO}"
+)
+
+
+@register(
+    "bigram_lm_perplexity",
+    oracle=f"""
+    WITH toked AS MATERIALIZED (
+      SELECT doc_id, {_LM_IS_TRAIN_SQL.format(c="doc_id")} AS is_train,
+             string_split(lower(text), ' ') AS ts
+      FROM documents
+    ),
+    pairs AS MATERIALIZED (
+      SELECT doc_id, is_train,
+             unnest(list_transform(range(1, len(ts)),
+                    i -> ts[i] || ' ' || ts[i+1])) AS pair
+      FROM toked
+    ),
+    uni AS (
+      SELECT split_part(pair, ' ', 1) AS a, COUNT(*) AS ca
+      FROM pairs WHERE is_train GROUP BY 1
+    ),
+    bi AS (
+      SELECT pair, COUNT(*) AS cab FROM pairs WHERE is_train GROUP BY 1
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT t) AS vocab FROM (
+        SELECT unnest(ts) AS t FROM toked WHERE is_train
+      )
+    ),
+    scored AS (
+      SELECT p.doc_id, p.is_train,
+        CAST(round(-ln(
+          CASE
+            WHEN b.cab IS NOT NULL THEN
+              (b.cab + {LM_ALPHA_NUM}/{LM_ALPHA_DEN}.0)
+              / (u.ca + {LM_ALPHA_NUM} * v.vocab / {LM_ALPHA_DEN}.0)
+            WHEN u.ca IS NOT NULL THEN
+              ({LM_ALPHA_NUM}/{LM_ALPHA_DEN}.0)
+              / (u.ca + {LM_ALPHA_NUM} * v.vocab / {LM_ALPHA_DEN}.0)
+            ELSE 1.0 / v.vocab
+          END), 6) AS DECIMAL(18,6)) AS nllp
+      FROM pairs p
+      LEFT JOIN bi b ON b.pair = p.pair
+      LEFT JOIN uni u ON u.a = split_part(p.pair, ' ', 1)
+      CROSS JOIN v
+    )
+    SELECT doc_id, MAX(CAST(is_train AS INTEGER)) = 1 AS is_train,
+           COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(nllp) AS DOUBLE) / COUNT(*), 6) AS nll,
+           (CAST(SUM(nllp) AS DOUBLE) / COUNT(*)) <= {LM_NLL_KEEP} AS keep
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM quality score (CCNet-style): mean bigram
+    negative log-likelihood in nats/token under an add-{LM_ALPHA_NUM}/
+    {LM_ALPHA_DEN}-smoothed bigram model trained ONLY on the
+    content-addressed train split; ``keep`` flags the low-NLL tail.
+    Reported as NLL, not exp(NLL): monotone-identical ranking without
+    putting each engine's exp() in the hash (the unigram_logprob
+    determinism convention — ln rounds to 6, sums are decimal-exact,
+    ONE double division at the end).
+
+    Backoff is explicit and checked: seen bigram -> smoothed
+    conditional; unseen bigram with seen history -> alpha mass;
+    unseen history -> uniform 1/V. The held-out splits genuinely
+    exercise all three branches.
+
+    Scale shape: the model tables are two partial-aggregated groupBys
+    over the train split; scoring joins the corpus pair stream against
+    them (broadcast here, vocabulary-keyed shuffle join when the vocab
+    outgrows broadcast — the bigram_pmi note) plus a 1-row vocab
+    cross join; per-doc reduce is one groupBy on doc_id.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toked = spread(docs, "doc_id").select(
+        "doc_id",
+        (_bucket16_col(F.col("doc_id")) < _LM_TRAIN_LO).alias("is_train"),
+        F.split(F.lower("text"), " ").alias("ts"),
+    )
+    ts = F.col("ts")
+    pairs = toked.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.transform(
+                F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+                lambda t, i: F.struct(t.alias("a"), F.element_at(ts, i + 2).alias("b")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "is_train", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    train = pairs.filter("is_train")
+    uni = train.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    bi = train.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    vocab = (
+        toked.filter("is_train")
+        .select(F.explode(ts).alias("t"))
+        .agg(F.countDistinct("t").alias("vocab"))
+    )
+    alpha = F.lit(LM_ALPHA_NUM) / F.lit(float(LM_ALPHA_DEN))
+    denom = F.col("ca") + F.lit(LM_ALPHA_NUM) * F.col("vocab") / F.lit(float(LM_ALPHA_DEN))
+    prob = (
+        F.when(F.col("cab").isNotNull(), (F.col("cab") + alpha) / denom)
+        .when(F.col("ca").isNotNull(), alpha / denom)
+        .otherwise(F.lit(1.0) / F.col("vocab"))
+    )
+    scored = (
+        pairs.join(F.broadcast(bi), ["a", "b"], "left")
+        .join(F.broadcast(uni), "a", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "is_train",
+            F.round(-F.log(prob), 6).cast("decimal(18,6)").alias("nllp"),
+        )
+    )
+    nll = F.sum("nllp").cast("double") / F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        (F.max(F.col("is_train").cast("int")) == 1).alias("is_train"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(nll, 6).alias("nll"),
+        (nll <= LM_NLL_KEEP).alias("keep"),
+    )

@@ -92,6 +92,7 @@ def test_semi_and_anti_join_physical(spark):
         "incremental_minhash_dedup",
         "cube_status_priority",
         "table_stats_profile",
+        "bigram_lm_perplexity",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
