@@ -222,3 +222,76 @@ def test_cms_never_undercounts(spark):
     assert df.filter(F.col("overcount") < 0).count() == 0
     # and the fixture exercises real collisions, not a vacuous sketch
     assert df.filter(F.col("overcount") > 0).count() > 0
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_histogram_quantiles_are_monotone(spark):
+    """p50 <= p90 <= p99 bucket estimates, and every cumulative rank
+    target is within the row count — the structural invariants of the
+    fixed-grid quantile probe."""
+    from namegraph_collections_spark.queries import REGISTRY
+
+    rows = {r["quantile"]: r for r in REGISTRY["histogram_quantiles"].fn(spark, SF).collect()}
+    assert set(rows) == {"p50", "p90", "p99"}
+    assert rows["p50"]["bucket"] <= rows["p90"]["bucket"] <= rows["p99"]["bucket"]
+    for r in rows.values():
+        assert r["est_hi"] == r["est_lo"] + 100
+        assert r["n_rows"] > 0
+
+
+def test_bpe_merges_are_structurally_valid(spark):
+    """Each merge round's merged symbol is the concatenation of its
+    pair, counts are positive, and rounds are 1..N exactly once."""
+    from namegraph_collections_spark.queries import REGISTRY
+    from namegraph_collections_spark.queries.bpe import BPE_ROUNDS
+
+    rows = REGISTRY["bpe_merge_table"].fn(spark, SF).collect()
+    assert sorted(r["round"] for r in rows) == list(range(1, BPE_ROUNDS + 1))
+    for r in rows:
+        assert r["merged"] == r["a"] + r["b"]
+        assert r["cnt"] > 0
+
+
+def test_deterministic_split_ratios(spark):
+    """The content-addressed split lands near 80/10/10 (binomial
+    tolerance at 500 docs) and every document is assigned exactly
+    once."""
+    from namegraph_collections_spark.queries import REGISTRY
+
+    rows = REGISTRY["deterministic_split"].fn(spark, SF).collect()
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["split"]] = totals.get(r["split"], 0) + r["n_docs"]
+    n = sum(totals.values())
+    assert n == 500
+    assert 0.7 <= totals["train"] / n <= 0.9
+    assert 0.04 <= totals["val"] / n <= 0.18
+    assert 0.04 <= totals["test"] / n <= 0.18
+
+
+def test_incremental_dedup_candidates_subset_of_full_lsh(spark):
+    """Every incremental (new x old) candidate must also be a
+    candidate of the full all-pairs LSH run on the same corpus — the
+    incremental index lookup can only ever see a subset of the
+    all-pairs band collisions."""
+    from namegraph_collections_spark.queries import REGISTRY
+
+    inc = {
+        (min(r["new_doc"], r["old_doc"]), max(r["new_doc"], r["old_doc"]))
+        for r in REGISTRY["incremental_minhash_dedup"].fn(spark, SF).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["minhash_lsh_candidates"].fn(spark, SF).collect()
+    }
+    assert inc <= full
+
+
+def test_tfidf_cosine_bounded(spark):
+    """Conservative-norm cosine must stay in (0, 1]."""
+    from namegraph_collections_spark.queries import REGISTRY
+
+    for r in REGISTRY["tfidf_cosine_pairs"].fn(spark, SF).collect():
+        assert 0.0 < r["cosine"] <= 1.000001
