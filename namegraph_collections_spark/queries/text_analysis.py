@@ -399,8 +399,9 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # genuinely unseen by the model.
 # ---------------------------------------------------------------------------
 LM_ALPHA_NUM, LM_ALPHA_DEN = 1, 2  # alpha = 0.5, exactly representable
-#: keep threshold on nats/token — documents above it are flagged out.
-LM_NLL_KEEP = 3.4
+#: keep threshold in MICRO-nats/token — documents above it are flagged
+#: out. Integer so the keep decision never compares doubles.
+LM_NLL_KEEP_MICRO = 3_400_000
 
 #: bucket16 train cutoff — identical to deterministic_split's.
 _LM_TRAIN_LO = 52429
@@ -460,12 +461,17 @@ _LM_IS_TRAIN_SQL = (
       LEFT JOIN bi b ON b.pair = p.pair
       LEFT JOIN uni u ON u.a = split_part(p.pair, ' ', 1)
       CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, MAX(CAST(is_train AS INTEGER)) = 1 AS is_train,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(nllp) * 1000000 AS BIGINT) AS s_micro
+      FROM scored GROUP BY doc_id
     )
-    SELECT doc_id, MAX(CAST(is_train AS INTEGER)) = 1 AS is_train,
-           COUNT(*) AS n_pairs,
-           ROUND(CAST(SUM(nllp) AS DOUBLE) / COUNT(*), 6) AS nll,
-           (CAST(SUM(nllp) AS DOUBLE) / COUNT(*)) <= {LM_NLL_KEEP} AS keep
-    FROM scored GROUP BY doc_id
+    SELECT doc_id, is_train, n_pairs,
+           ((s_micro + n_pairs // 2) // n_pairs) / 1000000.0 AS nll,
+           (s_micro + n_pairs // 2) // n_pairs <= {LM_NLL_KEEP_MICRO} AS keep
+    FROM agg
     """,
 )
 def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,10 +537,22 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.log(prob), 6).cast("decimal(18,6)").alias("nllp"),
         )
     )
-    nll = F.sum("nllp").cast("double") / F.count(F.lit(1))
-    return scored.groupBy("doc_id").agg(
+    agg = scored.groupBy("doc_id").agg(
         (F.max(F.col("is_train").cast("int")) == 1).alias("is_train"),
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(nll, 6).alias("nll"),
-        (nll <= LM_NLL_KEEP).alias("keep"),
+        (F.sum("nllp") * 1000000).cast("long").alias("s_micro"),
+    )
+    # round-half-up in PURE INTEGER arithmetic: (s + n div 2) div n.
+    # ROUND(double, 6) differs between engines on half-way cases (a
+    # 1-ulp nll divergence appeared at sf0.1 — 5000 docs was enough to
+    # land on one), so the one unavoidable division happens on exact
+    # micro-nat integers and only the final /1e6 touches doubles
+    # (identical IEEE on both engines for the same integer).
+    nll_micro = F.expr("(s_micro + n_pairs div 2) div n_pairs")
+    return agg.select(
+        "doc_id",
+        "is_train",
+        "n_pairs",
+        (nll_micro / F.lit(1000000.0)).alias("nll"),
+        (nll_micro <= LM_NLL_KEEP_MICRO).alias("keep"),
     )
