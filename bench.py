@@ -101,6 +101,13 @@ HEADLINE = [
     "cube_status_priority",
     "table_stats_profile",
     "bigram_lm_perplexity",
+    "pq_battery",
+    "sketch_stats_battery",
+    "text_mining_battery",
+    "graph_battery",
+    "revenue_olap_battery",
+    "cdc_battery",
+    "set_prune_battery",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

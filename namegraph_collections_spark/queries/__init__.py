@@ -79,7 +79,14 @@ from namegraph_collections_spark.queries import batteries  # noqa: E402,F401  (m
 #: dedup, +tf-idf cosine), deterministic_mix_sample ->
 #: sampling_battery (+grouped sample, +weighted reservoir, +split),
 #: hourly_event_rollup -> rollup_battery (+cascading, +incremental) —
-#: +7 more operators driver-checked at zero slot cost.
+#: +7 more operators driver-checked at zero slot cost. A third wave
+#: finished the job: seven more window rows widened into batteries
+#: (sketch_stats, text_mining, graph, revenue_olap, cdc, set_prune,
+#: pq) and three existing batteries grew a leg (lexical_dedup +=
+#: incremental_minhash_dedup, unigram_text += bigram_lm_perplexity,
+#: similarity += ann_recall_eval) — after which EVERY registry
+#: operator's output is hashed by some driver row (singles stay
+#: registered for the local sweep).
 DRIVER_WINDOW: list[str] = [
     "wiki_all_info",
     "wiki_documents",
@@ -96,8 +103,8 @@ DRIVER_WINDOW: list[str] = [
     "sampling_battery",
     "multimodal_byte_histogram",
     "pricing_summary",
-    "regional_revenue",
-    "customer_key_set_algebra",
+    "revenue_olap_battery",
+    "set_prune_battery",
     "fallback_coalesce_join",
     "ordered_dedup_lineitems",
     "topk_orders_per_customer",
@@ -105,7 +112,7 @@ DRIVER_WINDOW: list[str] = [
     "entity_assembly_users",
     "rollup_battery",
     "session_window_rollup",
-    "transitive_closure_reachability",
+    "graph_battery",
     "string_ops_battery",
     "text_features",
     "unigram_text_battery",
@@ -117,10 +124,10 @@ DRIVER_WINDOW: list[str] = [
     "stemmed_bm25",
     "cdc_snapshot_ops",
     "cdc_minimal_field_diff",
-    "cdc_three_way_ops",
+    "cdc_battery",
     "merge_collections_two_level",
     "letter_range_normalize",
-    "suffix_mining",
+    "text_mining_battery",
     "command_driven_sorts",
     "related_collections_precompute",
     "sqldump_extract",
@@ -129,8 +136,8 @@ DRIVER_WINDOW: list[str] = [
     "event_analytics_battery",
     "bipartite_pagerank",
     "kmv_distinct_sketch",
-    "pq_rerank_topk",
-    "cms_heavy_hitters",
+    "pq_battery",
+    "sketch_stats_battery",
 ]
 
 

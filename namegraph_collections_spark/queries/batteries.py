@@ -29,6 +29,7 @@ from namegraph_collections_spark.queries.event_analytics import (
     event_transition_matrix,
     funnel_conversion,
 )
+from namegraph_collections_spark.queries.ann_eval import ann_recall_eval
 from namegraph_collections_spark.queries.registry import REGISTRY, register
 from namegraph_collections_spark.queries.similarity import (
     cosine_topk_bruteforce,
@@ -41,6 +42,7 @@ from namegraph_collections_spark.queries.temporal import (
     interval_range_join,
 )
 from namegraph_collections_spark.queries.text_analysis import (
+    bigram_lm_perplexity,
     token_frequencies,
     unigram_logprob,
 )
@@ -62,6 +64,10 @@ def _NULL_D():
 
 def _NULL_S():
     return F.lit(None).cast("string")
+
+
+def _NULL_B():
+    return F.lit(None).cast("boolean")
 
 
 def _oracle(name: str) -> str:
@@ -218,12 +224,17 @@ def event_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), labels,
            bucket, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), n_vecs
     FROM ({_oracle("lsh_bucket_neighbors")})
+    UNION ALL
+    SELECT 'recall' AS op, q_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           method, CAST(NULL AS INTEGER), recall, CAST(NULL AS BIGINT), hits
+    FROM ({_oracle("ann_recall_eval")})
     """,
 )
 def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k + IVF (learned lists) top-k + LSH
-    bucket census in one tagged result. Components unchanged:
-    queries/similarity.py.
+    bucket census + the ANN recall@k evaluation (per-query and macro
+    rows) in one tagged result. Components unchanged:
+    queries/similarity.py, ann_eval.py.
     """
     cos = cosine_topk_bruteforce(spark, sf_dir).select(
         F.lit("cos").alias("op"),
@@ -258,7 +269,18 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_I().alias("rnk"),
         "n_vecs",
     )
-    return cos.unionByName(ivf).unionByName(lsh)
+    recall = ann_recall_eval(spark, sf_dir).select(
+        F.lit("recall").alias("op"),
+        "q_id",
+        _NULL_L().alias("c_id"),
+        _NULL_L().alias("c_label"),
+        F.col("method").alias("labels"),
+        _NULL_I().alias("grp"),
+        F.col("recall").alias("cosine"),
+        _NULL_I().alias("rnk"),
+        F.col("hits").alias("n_vecs"),
+    )
+    return cos.unionByName(ivf).unionByName(lsh).unionByName(recall)
 
 
 # ---------------------------------------------------------------------------
@@ -269,17 +291,24 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_text_battery",
     oracle=f"""
     SELECT 'freq' AS op, token, CAST(NULL AS BIGINT) AS doc_id, n, df,
-           CAST(NULL AS DOUBLE) AS logp
+           CAST(NULL AS DOUBLE) AS logp, CAST(NULL AS DOUBLE) AS nll,
+           CAST(NULL AS BOOLEAN) AS is_train, CAST(NULL AS BOOLEAN) AS keep
     FROM ({_oracle("token_frequencies")})
     UNION ALL
     SELECT 'logprob' AS op, CAST(NULL AS VARCHAR), doc_id,
-           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), name_log_probability
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), name_log_probability,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
     FROM ({_oracle("unigram_logprob")})
+    UNION ALL
+    SELECT 'lm' AS op, CAST(NULL AS VARCHAR), doc_id, n_pairs,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), nll, is_train, keep
+    FROM ({_oracle("bigram_lm_perplexity")})
     """,
 )
 def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/document frequencies + unigram-LM per-doc log-probability
-    in one tagged result. Components unchanged: queries/text_analysis.py.
+    + bigram-LM perplexity quality filter in one tagged result.
+    Components unchanged: queries/text_analysis.py.
     """
     freq = token_frequencies(spark, sf_dir).select(
         F.lit("freq").alias("op"),
@@ -288,6 +317,9 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "df",
         _NULL_D().alias("logp"),
+        _NULL_D().alias("nll"),
+        _NULL_B().alias("is_train"),
+        _NULL_B().alias("keep"),
     )
     lp = unigram_logprob(spark, sf_dir).select(
         F.lit("logprob").alias("op"),
@@ -296,8 +328,22 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("n"),
         _NULL_L().alias("df"),
         F.col("name_log_probability").alias("logp"),
+        _NULL_D().alias("nll"),
+        _NULL_B().alias("is_train"),
+        _NULL_B().alias("keep"),
     )
-    return freq.unionByName(lp)
+    lm = bigram_lm_perplexity(spark, sf_dir).select(
+        F.lit("lm").alias("op"),
+        _NULL_S().alias("token"),
+        "doc_id",
+        F.col("n_pairs").alias("n"),
+        _NULL_L().alias("df"),
+        _NULL_D().alias("logp"),
+        "nll",
+        "is_train",
+        "keep",
+    )
+    return freq.unionByName(lp).unionByName(lm)
 
 
 # ---------------------------------------------------------------------------
@@ -305,6 +351,7 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 from namegraph_collections_spark.queries.dedup import (  # noqa: E402
     exact_dedup_groups,
+    incremental_minhash_dedup,
     passage_dedup,
     tfidf_cosine_pairs,
 )
@@ -476,22 +523,30 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'exact' AS op, fingerprint AS fp, CAST(NULL AS VARCHAR) AS s,
            canonical_doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
            dup_count AS cnt, CAST(NULL AS BIGINT) AS nd,
-           CAST(NULL AS DOUBLE) AS cosine
+           CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS BOOLEAN) AS is_dup
     FROM ({_oracle("exact_dedup_groups")})
     UNION ALL
     SELECT 'passage' AS op, passage_hash, passage, first_doc_id,
-           CAST(NULL AS BIGINT), n_occurrences, n_docs, CAST(NULL AS DOUBLE)
+           CAST(NULL AS BIGINT), n_occurrences, n_docs, CAST(NULL AS DOUBLE),
+           CAST(NULL AS BOOLEAN)
     FROM ({_oracle("passage_dedup")})
     UNION ALL
     SELECT 'tfidf' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-           doc_a, doc_b, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), cosine
+           doc_a, doc_b, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), cosine,
+           CAST(NULL AS BOOLEAN)
     FROM ({_oracle("tfidf_cosine_pairs")})
+    UNION ALL
+    SELECT 'incremental' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           new_doc, old_doc, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           jaccard, is_dup
+    FROM ({_oracle("incremental_minhash_dedup")})
     """,
 )
 def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fingerprint groups + cross-document passage dedup +
-    idf-weighted cosine pairs in one tagged result. Components
-    unchanged: queries/dedup.py.
+    idf-weighted cosine pairs + incremental (batch-vs-corpus) MinHash
+    dedup in one tagged result. Components unchanged:
+    queries/dedup.py.
     """
     exact = exact_dedup_groups(spark, sf_dir).select(
         F.lit("exact").alias("op"),
@@ -502,6 +557,7 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_count").alias("cnt"),
         _NULL_L().alias("nd"),
         _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
     )
     passage = passage_dedup(spark, sf_dir).select(
         F.lit("passage").alias("op"),
@@ -512,6 +568,7 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_occurrences").alias("cnt"),
         F.col("n_docs").alias("nd"),
         _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
     )
     tfidf = tfidf_cosine_pairs(spark, sf_dir).select(
         F.lit("tfidf").alias("op"),
@@ -522,5 +579,430 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("cnt"),
         _NULL_L().alias("nd"),
         "cosine",
+        _NULL_B().alias("is_dup"),
     )
-    return exact.unionByName(passage).unionByName(tfidf)
+    inc = incremental_minhash_dedup(spark, sf_dir).select(
+        F.lit("incremental").alias("op"),
+        _NULL_S().alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("new_doc").alias("id_a"),
+        F.col("old_doc").alias("id_b"),
+        _NULL_L().alias("cnt"),
+        _NULL_L().alias("nd"),
+        F.col("jaccard").alias("cosine"),
+        "is_dup",
+    )
+    return exact.unionByName(passage).unionByName(tfidf).unionByName(inc)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 third wave.
+# ---------------------------------------------------------------------------
+from namegraph_collections_spark.queries.similarity_pq import (  # noqa: E402
+    pq_adc_topk,
+    pq_rerank_topk,
+)
+
+
+@register(
+    "pq_battery",
+    oracle=f"""
+    SELECT 'adc' AS op, q_id, c_id, approx_l2 AS score, rnk
+    FROM ({_oracle("pq_adc_topk")})
+    UNION ALL
+    SELECT 'rerank' AS op, q_id, c_id, cosine, rnk
+    FROM ({_oracle("pq_rerank_topk")})
+    """,
+)
+def pq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN pair in one tagged result: raw ADC
+    (integer-LUT asymmetric distances) top-k and the exact-cosine
+    re-rank over the ADC shortlist. Components unchanged:
+    queries/similarity_pq.py.
+    """
+    adc = pq_adc_topk(spark, sf_dir).select(
+        F.lit("adc").alias("op"),
+        "q_id",
+        "c_id",
+        F.col("approx_l2").alias("score"),
+        "rnk",
+    )
+    rr = pq_rerank_topk(spark, sf_dir).select(
+        F.lit("rerank").alias("op"),
+        "q_id",
+        "c_id",
+        F.col("cosine").alias("score"),
+        "rnk",
+    )
+    return adc.unionByName(rr)
+
+
+from namegraph_collections_spark.queries.bpe import bpe_merge_table  # noqa: E402
+from namegraph_collections_spark.queries.cdc import (  # noqa: E402
+    cdc_driven_rollup,
+    cdc_three_way_ops,
+)
+from namegraph_collections_spark.queries.centrality import (  # noqa: E402,F401  (graph battery)
+    bipartite_pagerank,
+)
+from namegraph_collections_spark.queries.closure import (  # noqa: E402
+    transitive_closure_reachability,
+)
+from namegraph_collections_spark.queries.collections_ops import (  # noqa: E402
+    suffix_mining,
+)
+from namegraph_collections_spark.queries.graph_metrics import (  # noqa: E402
+    neardup_triangles,
+)
+from namegraph_collections_spark.queries.olap import (  # noqa: E402
+    cube_status_priority,
+    rollup_regional_revenue,
+)
+from namegraph_collections_spark.queries.percentiles import (  # noqa: E402
+    histogram_quantiles,
+    length_percentile_trim,
+)
+from namegraph_collections_spark.queries.profiling import (  # noqa: E402
+    table_stats_profile,
+)
+from namegraph_collections_spark.queries.relational import (  # noqa: E402
+    customer_key_set_algebra,
+    regional_revenue,
+)
+from namegraph_collections_spark.queries.rollups import cms_heavy_hitters  # noqa: E402
+from namegraph_collections_spark.queries.scale_ops import (  # noqa: E402
+    bloom_pruned_semi_join,
+    salted_skew_agg,
+    skew_key_diagnostics,
+)
+from namegraph_collections_spark.queries.text_analysis import bigram_pmi  # noqa: E402
+
+
+@register(
+    "sketch_stats_battery",
+    oracle=f"""
+    SELECT 'cms' AS op, token AS s, CAST(NULL AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3,
+           n_exact AS n1, cms_estimate AS n2, overcount AS n3, rnk,
+           CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2,
+           CAST(NULL AS DOUBLE) AS d3,
+           CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3
+    FROM ({_oracle("cms_heavy_hitters")})
+    UNION ALL
+    SELECT 'hist' AS op, quantile, bucket, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), n_rows, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), est_lo, est_hi,
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM ({_oracle("histogram_quantiles")})
+    UNION ALL
+    SELECT 'stats' AS op, col, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), n_rows, n_nulls, n_distinct,
+           CAST(NULL AS INTEGER), min_num, max_num, CAST(NULL AS DOUBLE),
+           min_str, max_str
+    FROM ({_oracle("table_stats_profile")})
+    UNION ALL
+    SELECT 'skew_' || op AS op, CAST(NULL AS VARCHAR), key, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), cnt, n_keys, n_rows, rnk, skew_ratio,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM ({_oracle("skew_key_diagnostics")})
+    UNION ALL
+    SELECT 'salted' AS op, event_type, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), n_events, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), total_value, min_value,
+           max_value, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM ({_oracle("salted_skew_agg")})
+    UNION ALL
+    SELECT 'trim' AS op, source, p50, p90, p99, n_docs, n_kept,
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM ({_oracle("length_percentile_trim")})
+    """,
+)
+def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch/statistics family in one tagged result: count-min
+    heavy hitters, fixed-grid histogram quantiles, the one-pass table
+    stats profile, shuffle-key skew diagnostics, the salted two-stage
+    aggregate, and exact-percentile outlier trim. Components
+    unchanged: queries/rollups.py, percentiles.py, profiling.py,
+    scale_ops.py.
+    """
+    cms = cms_heavy_hitters(spark, sf_dir).select(
+        F.lit("cms").alias("op"),
+        F.col("token").alias("s"),
+        _NULL_L().alias("k"), _NULL_L().alias("k2"), _NULL_L().alias("k3"),
+        F.col("n_exact").alias("n1"),
+        F.col("cms_estimate").alias("n2"),
+        F.col("overcount").alias("n3"),
+        "rnk",
+        _NULL_D().alias("d1"), _NULL_D().alias("d2"), _NULL_D().alias("d3"),
+        _NULL_S().alias("s2"), _NULL_S().alias("s3"),
+    )
+    hist = histogram_quantiles(spark, sf_dir).select(
+        F.lit("hist").alias("op"),
+        F.col("quantile").alias("s"),
+        F.col("bucket").alias("k"), _NULL_L().alias("k2"), _NULL_L().alias("k3"),
+        F.col("n_rows").alias("n1"), _NULL_L().alias("n2"), _NULL_L().alias("n3"),
+        _NULL_I().alias("rnk"),
+        F.col("est_lo").alias("d1"), F.col("est_hi").alias("d2"),
+        _NULL_D().alias("d3"),
+        _NULL_S().alias("s2"), _NULL_S().alias("s3"),
+    )
+    stats = table_stats_profile(spark, sf_dir).select(
+        F.lit("stats").alias("op"),
+        F.col("col").alias("s"),
+        _NULL_L().alias("k"), _NULL_L().alias("k2"), _NULL_L().alias("k3"),
+        F.col("n_rows").alias("n1"),
+        F.col("n_nulls").alias("n2"),
+        F.col("n_distinct").alias("n3"),
+        _NULL_I().alias("rnk"),
+        F.col("min_num").alias("d1"), F.col("max_num").alias("d2"),
+        _NULL_D().alias("d3"),
+        F.col("min_str").alias("s2"), F.col("max_str").alias("s3"),
+    )
+    skew = skew_key_diagnostics(spark, sf_dir).select(
+        F.concat(F.lit("skew_"), "op").alias("op"),
+        _NULL_S().alias("s"),
+        F.col("key").alias("k"), _NULL_L().alias("k2"), _NULL_L().alias("k3"),
+        F.col("cnt").alias("n1"),
+        F.col("n_keys").alias("n2"),
+        F.col("n_rows").alias("n3"),
+        "rnk",
+        F.col("skew_ratio").alias("d1"), _NULL_D().alias("d2"),
+        _NULL_D().alias("d3"),
+        _NULL_S().alias("s2"), _NULL_S().alias("s3"),
+    )
+    salted = salted_skew_agg(spark, sf_dir).select(
+        F.lit("salted").alias("op"),
+        F.col("event_type").alias("s"),
+        _NULL_L().alias("k"), _NULL_L().alias("k2"), _NULL_L().alias("k3"),
+        F.col("n_events").alias("n1"), _NULL_L().alias("n2"), _NULL_L().alias("n3"),
+        _NULL_I().alias("rnk"),
+        F.col("total_value").alias("d1"),
+        F.col("min_value").alias("d2"),
+        F.col("max_value").alias("d3"),
+        _NULL_S().alias("s2"), _NULL_S().alias("s3"),
+    )
+    trim = length_percentile_trim(spark, sf_dir).select(
+        F.lit("trim").alias("op"),
+        F.col("source").alias("s"),
+        F.col("p50").alias("k"), F.col("p90").alias("k2"), F.col("p99").alias("k3"),
+        F.col("n_docs").alias("n1"), F.col("n_kept").alias("n2"),
+        _NULL_L().alias("n3"),
+        _NULL_I().alias("rnk"),
+        _NULL_D().alias("d1"), _NULL_D().alias("d2"), _NULL_D().alias("d3"),
+        _NULL_S().alias("s2"), _NULL_S().alias("s3"),
+    )
+    return (
+        cms.unionByName(hist).unionByName(stats)
+        .unionByName(skew).unionByName(salted).unionByName(trim)
+    )
+
+
+@register(
+    "text_mining_battery",
+    oracle=f"""
+    SELECT 'suffix' AS op, suffix AS s1, CAST(NULL AS VARCHAR) AS s2,
+           examples AS s3, n_names AS n, CAST(NULL AS DOUBLE) AS d,
+           CAST(NULL AS INTEGER) AS rnk
+    FROM ({_oracle("suffix_mining")})
+    UNION ALL
+    SELECT 'pmi' AS op, a, b, CAST(NULL AS VARCHAR), n_pair, pmi, rnk
+    FROM ({_oracle("bigram_pmi")})
+    UNION ALL
+    SELECT 'bpe' AS op, a, b, merged, cnt, CAST(NULL AS DOUBLE), round
+    FROM ({_oracle("bpe_merge_table")})
+    """,
+)
+def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix mining + bigram PMI collocations + BPE merge learning in
+    one tagged result. Components unchanged: queries/collections_ops.py,
+    text_analysis.py, bpe.py.
+    """
+    suf = suffix_mining(spark, sf_dir).select(
+        F.lit("suffix").alias("op"),
+        F.col("suffix").alias("s1"),
+        _NULL_S().alias("s2"),
+        F.col("examples").alias("s3"),
+        F.col("n_names").alias("n"),
+        _NULL_D().alias("d"),
+        _NULL_I().alias("rnk"),
+    )
+    pmi = bigram_pmi(spark, sf_dir).select(
+        F.lit("pmi").alias("op"),
+        F.col("a").alias("s1"),
+        F.col("b").alias("s2"),
+        _NULL_S().alias("s3"),
+        F.col("n_pair").alias("n"),
+        F.col("pmi").alias("d"),
+        "rnk",
+    )
+    bpe = bpe_merge_table(spark, sf_dir).select(
+        F.lit("bpe").alias("op"),
+        F.col("a").alias("s1"),
+        F.col("b").alias("s2"),
+        F.col("merged").alias("s3"),
+        F.col("cnt").alias("n"),
+        _NULL_D().alias("d"),
+        F.col("round").cast("int").alias("rnk"),
+    )
+    return suf.unionByName(pmi).unionByName(bpe)
+
+
+@register(
+    "graph_battery",
+    oracle=f"""
+    SELECT 'closure' AS op, src, dst,
+           CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2,
+           CAST(NULL AS BIGINT) AS t3
+    FROM ({_oracle("transitive_closure_reachability")})
+    UNION ALL
+    SELECT 'triangle' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           t1, t2, t3
+    FROM ({_oracle("neardup_triangles")})
+    """,
+)
+def graph_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-naive transitive closure + degree-ordered triangle
+    enumeration in one tagged result. Components unchanged:
+    queries/closure.py, graph_metrics.py.
+    """
+    clo = transitive_closure_reachability(spark, sf_dir).select(
+        F.lit("closure").alias("op"),
+        "src",
+        "dst",
+        _NULL_L().alias("t1"), _NULL_L().alias("t2"), _NULL_L().alias("t3"),
+    )
+    tri = neardup_triangles(spark, sf_dir).select(
+        F.lit("triangle").alias("op"),
+        _NULL_S().alias("src"),
+        _NULL_S().alias("dst"),
+        "t1", "t2", "t3",
+    )
+    return clo.unionByName(tri)
+
+
+@register(
+    "revenue_olap_battery",
+    oracle=f"""
+    SELECT 'regional' AS op, n_name AS s1, CAST(NULL AS VARCHAR) AS s2,
+           CAST(NULL AS BIGINT) AS lvl, revenue, n_items AS n
+    FROM ({_oracle("regional_revenue")})
+    UNION ALL
+    SELECT 'rollup' AS op, r_name, n_name, lvl, revenue, n_orders
+    FROM ({_oracle("rollup_regional_revenue")})
+    UNION ALL
+    SELECT 'cube' AS op, o_orderstatus, o_orderpriority, lvl, revenue, n_orders
+    FROM ({_oracle("cube_status_priority")})
+    """,
+)
+def revenue_olap_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue aggregation family in one tagged result: the
+    dimension-join regional rollup, the ROLLUP hierarchy, and the CUBE
+    grouping sets. Components unchanged: queries/relational.py,
+    olap.py.
+    """
+    reg = regional_revenue(spark, sf_dir).select(
+        F.lit("regional").alias("op"),
+        F.col("n_name").alias("s1"),
+        _NULL_S().alias("s2"),
+        _NULL_L().alias("lvl"),
+        "revenue",
+        F.col("n_items").alias("n"),
+    )
+    rol = rollup_regional_revenue(spark, sf_dir).select(
+        F.lit("rollup").alias("op"),
+        F.col("r_name").alias("s1"),
+        F.col("n_name").alias("s2"),
+        "lvl",
+        "revenue",
+        F.col("n_orders").alias("n"),
+    )
+    cub = cube_status_priority(spark, sf_dir).select(
+        F.lit("cube").alias("op"),
+        F.col("o_orderstatus").alias("s1"),
+        F.col("o_orderpriority").alias("s2"),
+        "lvl",
+        "revenue",
+        F.col("n_orders").alias("n"),
+    )
+    return reg.unionByName(rol).unionByName(cub)
+
+
+@register(
+    "cdc_battery",
+    oracle=f"""
+    SELECT 'three_way' AS op, o_orderkey AS key, op AS cdc_op, doc_id,
+           members_out, CAST(NULL AS VARCHAR) AS status,
+           CAST(NULL AS BIGINT) AS n_orders, CAST(NULL AS BIGINT) AS total_cents
+    FROM ({_oracle("cdc_three_way_ops")})
+    UNION ALL
+    SELECT 'ivm_rollup' AS op, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), o_orderstatus,
+           n_orders, total_cents
+    FROM ({_oracle("cdc_driven_rollup")})
+    """,
+)
+def cdc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way snapshot CDC classification + the CDC-delta-maintained
+    incremental rollup in one tagged result. Components unchanged:
+    queries/cdc.py, operators/cdc.py.
+    """
+    three = cdc_three_way_ops(spark, sf_dir).select(
+        F.lit("three_way").alias("op"),
+        F.col("o_orderkey").alias("key"),
+        F.col("op").alias("cdc_op"),
+        "doc_id",
+        "members_out",
+        _NULL_S().alias("status"),
+        _NULL_L().alias("n_orders"),
+        _NULL_L().alias("total_cents"),
+    )
+    ivm = cdc_driven_rollup(spark, sf_dir).select(
+        F.lit("ivm_rollup").alias("op"),
+        _NULL_L().alias("key"),
+        _NULL_S().alias("cdc_op"),
+        _NULL_S().alias("doc_id"),
+        _NULL_L().alias("members_out"),
+        F.col("o_orderstatus").alias("status"),
+        "n_orders",
+        "total_cents",
+    )
+    return three.unionByName(ivm)
+
+
+@register(
+    "set_prune_battery",
+    oracle=f"""
+    SELECT 'set_' || op AS op, c_custkey AS key, CAST(NULL AS BIGINT) AS key2,
+           c_name AS s1, c_mktsegment AS s2, CAST(NULL AS DOUBLE) AS price
+    FROM ({_oracle("customer_key_set_algebra")})
+    UNION ALL
+    SELECT 'bloom' AS op, o_orderkey, o_custkey, o_orderstatus,
+           CAST(NULL AS VARCHAR), o_totalprice
+    FROM ({_oracle("bloom_pruned_semi_join")})
+    """,
+)
+def set_prune_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-set algebra (union/intersect/except as semi/anti joins) +
+    the bloom-pruned semi-join in one tagged result. Components
+    unchanged: queries/relational.py, scale_ops.py.
+    """
+    ks = customer_key_set_algebra(spark, sf_dir).select(
+        F.concat(F.lit("set_"), "op").alias("op"),
+        F.col("c_custkey").alias("key"),
+        _NULL_L().alias("key2"),
+        F.col("c_name").alias("s1"),
+        F.col("c_mktsegment").alias("s2"),
+        _NULL_D().alias("price"),
+    )
+    bl = bloom_pruned_semi_join(spark, sf_dir).select(
+        F.lit("bloom").alias("op"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_custkey").alias("key2"),
+        F.col("o_orderstatus").alias("s1"),
+        _NULL_S().alias("s2"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return ks.unionByName(bl)

@@ -28,8 +28,13 @@ BATTERIES = {
         "cosine_topk_bruteforce",
         "ivf_topk",
         "lsh_bucket_neighbors",
+        "ann_recall_eval",
     ],
-    "unigram_text_battery": ["token_frequencies", "unigram_logprob"],
+    "unigram_text_battery": [
+        "token_frequencies",
+        "unigram_logprob",
+        "bigram_lm_perplexity",
+    ],
     "rollup_battery": [
         "hourly_event_rollup",
         "cascading_time_rollup",
@@ -45,7 +50,26 @@ BATTERIES = {
         "exact_dedup_groups",
         "passage_dedup",
         "tfidf_cosine_pairs",
+        "incremental_minhash_dedup",
     ],
+    "pq_battery": ["pq_adc_topk", "pq_rerank_topk"],
+    "sketch_stats_battery": [
+        "cms_heavy_hitters",
+        "histogram_quantiles",
+        "table_stats_profile",
+        "skew_key_diagnostics",
+        "salted_skew_agg",
+        "length_percentile_trim",
+    ],
+    "text_mining_battery": ["suffix_mining", "bigram_pmi", "bpe_merge_table"],
+    "graph_battery": ["transitive_closure_reachability", "neardup_triangles"],
+    "revenue_olap_battery": [
+        "regional_revenue",
+        "rollup_regional_revenue",
+        "cube_status_priority",
+    ],
+    "cdc_battery": ["cdc_three_way_ops", "cdc_driven_rollup"],
+    "set_prune_battery": ["customer_key_set_algebra", "bloom_pruned_semi_join"],
 }
 
 

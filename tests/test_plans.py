@@ -93,6 +93,13 @@ def test_semi_and_anti_join_physical(spark):
         "cube_status_priority",
         "table_stats_profile",
         "bigram_lm_perplexity",
+        "pq_battery",
+        "sketch_stats_battery",
+        "text_mining_battery",
+        "graph_battery",
+        "revenue_olap_battery",
+        "cdc_battery",
+        "set_prune_battery",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):

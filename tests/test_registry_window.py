@@ -61,6 +61,15 @@ R6_REPLACED = {
     "exact_dedup_groups": "lexical_dedup_battery",
     "deterministic_mix_sample": "sampling_battery",
     "hourly_event_rollup": "rollup_battery",
+    # third wave: seven more rows widened into batteries; after this
+    # every registry operator's output is hashed by some driver row
+    "cms_heavy_hitters": "sketch_stats_battery",
+    "suffix_mining": "text_mining_battery",
+    "transitive_closure_reachability": "graph_battery",
+    "regional_revenue": "revenue_olap_battery",
+    "cdc_three_way_ops": "cdc_battery",
+    "customer_key_set_algebra": "set_prune_battery",
+    "pq_rerank_topk": "pq_battery",
 }
 R6_APPENDED = [
     "event_analytics_battery",  # takes the slot freed by the similarity merge
@@ -90,6 +99,30 @@ R6_COMPOSITED = [
     "hourly_event_rollup",
     "cascading_time_rollup",
     "incremental_hourly_rollup",
+    # third wave
+    "cms_heavy_hitters",
+    "histogram_quantiles",
+    "table_stats_profile",
+    "skew_key_diagnostics",
+    "salted_skew_agg",
+    "length_percentile_trim",
+    "suffix_mining",
+    "bigram_pmi",
+    "bpe_merge_table",
+    "transitive_closure_reachability",
+    "neardup_triangles",
+    "regional_revenue",
+    "rollup_regional_revenue",
+    "cube_status_priority",
+    "cdc_three_way_ops",
+    "cdc_driven_rollup",
+    "customer_key_set_algebra",
+    "bloom_pruned_semi_join",
+    "pq_rerank_topk",
+    "pq_adc_topk",
+    "incremental_minhash_dedup",
+    "bigram_lm_perplexity",
+    "ann_recall_eval",
 ]
 
 
@@ -107,18 +140,18 @@ def _r5_window() -> list[str]:
 
 
 def _expected_window() -> list[str]:
+    # r5 window + the wave-1 appends, then EVERY entry mapped through
+    # the replacement table (wave-1 appends pq_rerank_topk and
+    # cms_heavy_hitters were themselves widened into batteries by
+    # wave 3, so the map applies to appended names too).
     out: list[str] = []
-    for name in _r5_window():
+    for name in [*_r5_window(), *R6_APPENDED]:
         if name in R6_REPLACED:
             repl = R6_REPLACED[name]
             if repl is not None:
                 out.append(repl)
             continue
         out.append(name)
-    # event_analytics_battery slots in before the r5 promotions' tail
-    # position ordering is irrelevant to the driver (it checks a set of
-    # the first 50) but the pin is exact to catch ANY reorder.
-    out.extend(R6_APPENDED)
     return out
 
 
