@@ -77,6 +77,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every (method, query) pair is present even at zero hits (grid ×
     left join), so a collapsed index reads 0.0, not absent.
     """
+    # truth is referenced twice below (the query grid and the hit
+    # join) but stays checkpoint-free ON MEASUREMENT: an interleaved
+    # in-process A/B at sf0.1/local[32] read plain 6.1-7.9s vs
+    # checkpointed 6.0-7.9s — equal within noise (the duplicated
+    # subtree dedups via ReusedExchange), unlike neardup_triangles'
+    # five-reference edge list where the same experiment showed 1.5x.
     truth = cosine_topk_bruteforce(spark, sf_dir).select("q_id", "c_id")
     methods = (
         ivf_topk(spark, sf_dir)
