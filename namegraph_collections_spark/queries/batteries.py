@@ -70,6 +70,16 @@ def _NULL_B():
     return F.lit(None).cast("boolean")
 
 
+def _NULL_DEC():
+    # DECIMAL(28,6): the common pad/widening type for decimal-valued
+    # battery columns — wide enough to hold every leg's DECIMAL(18,2)
+    # / DECIMAL(18,6) / DECIMAL(28,6) outputs exactly. Used where a
+    # battery's hash surface is kept float-free (raw DOUBLEs are the
+    # one output class whose cross-engine-version behavior can
+    # diverge in a value hash).
+    return F.lit(None).cast("decimal(28,6)")
+
+
 def _oracle(name: str) -> str:
     return REGISTRY[name].oracle  # type: ignore[return-value]
 
@@ -684,38 +694,43 @@ from namegraph_collections_spark.queries.text_analysis import bigram_pmi  # noqa
     SELECT 'cms' AS op, token AS s, CAST(NULL AS BIGINT) AS k,
            CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3,
            n_exact AS n1, cms_estimate AS n2, overcount AS n3, rnk,
-           CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2,
-           CAST(NULL AS DOUBLE) AS d3,
+           CAST(NULL AS DECIMAL(28,6)) AS d1, CAST(NULL AS DECIMAL(28,6)) AS d2,
+           CAST(NULL AS DECIMAL(28,6)) AS d3,
            CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3
     FROM ({_oracle("cms_heavy_hitters")})
     UNION ALL
     SELECT 'hist' AS op, quantile, bucket, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), n_rows, CAST(NULL AS BIGINT),
-           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), est_lo, est_hi,
-           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(est_lo AS DECIMAL(28,6)), CAST(est_hi AS DECIMAL(28,6)),
+           CAST(NULL AS DECIMAL(28,6)), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM ({_oracle("histogram_quantiles")})
     UNION ALL
     SELECT 'stats' AS op, col, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), n_rows, n_nulls, n_distinct,
-           CAST(NULL AS INTEGER), min_num, max_num, CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), CAST(min_num AS DECIMAL(28,6)),
+           CAST(max_num AS DECIMAL(28,6)), CAST(NULL AS DECIMAL(28,6)),
            min_str, max_str
     FROM ({_oracle("table_stats_profile")})
     UNION ALL
     SELECT 'skew_' || op AS op, CAST(NULL AS VARCHAR), key, CAST(NULL AS BIGINT),
-           CAST(NULL AS BIGINT), cnt, n_keys, n_rows, rnk, skew_ratio,
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), cnt, n_keys, n_rows, rnk,
+           CAST(skew_ratio AS DECIMAL(28,6)),
+           CAST(NULL AS DECIMAL(28,6)), CAST(NULL AS DECIMAL(28,6)),
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM ({_oracle("skew_key_diagnostics")})
     UNION ALL
     SELECT 'salted' AS op, event_type, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), n_events, CAST(NULL AS BIGINT),
-           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), total_value, min_value,
-           max_value, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(total_value AS DECIMAL(28,6)), CAST(min_value AS DECIMAL(28,6)),
+           CAST(max_value AS DECIMAL(28,6)),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM ({_oracle("salted_skew_agg")})
     UNION ALL
     SELECT 'trim' AS op, source, p50, p90, p99, n_docs, n_kept,
-           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS DECIMAL(28,6)),
+           CAST(NULL AS DECIMAL(28,6)), CAST(NULL AS DECIMAL(28,6)),
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM ({_oracle("length_percentile_trim")})
     """,
@@ -728,6 +743,7 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged: queries/rollups.py, percentiles.py, profiling.py,
     scale_ops.py.
     """
+    dec = "decimal(28,6)"
     cms = cms_heavy_hitters(spark, sf_dir).select(
         F.lit("cms").alias("op"),
         F.col("token").alias("s"),
@@ -736,7 +752,7 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_estimate").alias("n2"),
         F.col("overcount").alias("n3"),
         "rnk",
-        _NULL_D().alias("d1"), _NULL_D().alias("d2"), _NULL_D().alias("d3"),
+        _NULL_DEC().alias("d1"), _NULL_DEC().alias("d2"), _NULL_DEC().alias("d3"),
         _NULL_S().alias("s2"), _NULL_S().alias("s3"),
     )
     hist = histogram_quantiles(spark, sf_dir).select(
@@ -745,8 +761,8 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("k"), _NULL_L().alias("k2"), _NULL_L().alias("k3"),
         F.col("n_rows").alias("n1"), _NULL_L().alias("n2"), _NULL_L().alias("n3"),
         _NULL_I().alias("rnk"),
-        F.col("est_lo").alias("d1"), F.col("est_hi").alias("d2"),
-        _NULL_D().alias("d3"),
+        F.col("est_lo").cast(dec).alias("d1"), F.col("est_hi").cast(dec).alias("d2"),
+        _NULL_DEC().alias("d3"),
         _NULL_S().alias("s2"), _NULL_S().alias("s3"),
     )
     stats = table_stats_profile(spark, sf_dir).select(
@@ -757,8 +773,8 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nulls").alias("n2"),
         F.col("n_distinct").alias("n3"),
         _NULL_I().alias("rnk"),
-        F.col("min_num").alias("d1"), F.col("max_num").alias("d2"),
-        _NULL_D().alias("d3"),
+        F.col("min_num").cast(dec).alias("d1"), F.col("max_num").cast(dec).alias("d2"),
+        _NULL_DEC().alias("d3"),
         F.col("min_str").alias("s2"), F.col("max_str").alias("s3"),
     )
     skew = skew_key_diagnostics(spark, sf_dir).select(
@@ -769,8 +785,8 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_keys").alias("n2"),
         F.col("n_rows").alias("n3"),
         "rnk",
-        F.col("skew_ratio").alias("d1"), _NULL_D().alias("d2"),
-        _NULL_D().alias("d3"),
+        F.col("skew_ratio").cast(dec).alias("d1"), _NULL_DEC().alias("d2"),
+        _NULL_DEC().alias("d3"),
         _NULL_S().alias("s2"), _NULL_S().alias("s3"),
     )
     salted = salted_skew_agg(spark, sf_dir).select(
@@ -779,9 +795,9 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("k"), _NULL_L().alias("k2"), _NULL_L().alias("k3"),
         F.col("n_events").alias("n1"), _NULL_L().alias("n2"), _NULL_L().alias("n3"),
         _NULL_I().alias("rnk"),
-        F.col("total_value").alias("d1"),
-        F.col("min_value").alias("d2"),
-        F.col("max_value").alias("d3"),
+        F.col("total_value").cast(dec).alias("d1"),
+        F.col("min_value").cast(dec).alias("d2"),
+        F.col("max_value").cast(dec).alias("d3"),
         _NULL_S().alias("s2"), _NULL_S().alias("s3"),
     )
     trim = length_percentile_trim(spark, sf_dir).select(
@@ -791,7 +807,7 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n1"), F.col("n_kept").alias("n2"),
         _NULL_L().alias("n3"),
         _NULL_I().alias("rnk"),
-        _NULL_D().alias("d1"), _NULL_D().alias("d2"), _NULL_D().alias("d3"),
+        _NULL_DEC().alias("d1"), _NULL_DEC().alias("d2"), _NULL_DEC().alias("d3"),
         _NULL_S().alias("s2"), _NULL_S().alias("s3"),
     )
     return (

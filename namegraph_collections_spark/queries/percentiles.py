@@ -136,8 +136,8 @@ HIST_QS = [("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)]
     )
     SELECT t.quantile,
            MIN(cum.bucket) AS bucket,
-           CAST(MIN(cum.bucket) * {HIST_BIN} AS DOUBLE) AS est_lo,
-           CAST(MIN(cum.bucket) * {HIST_BIN} + {HIST_BIN} AS DOUBLE) AS est_hi,
+           CAST(MIN(cum.bucket) * {HIST_BIN} AS DECIMAL(18,2)) AS est_lo,
+           CAST(MIN(cum.bucket) * {HIST_BIN} + {HIST_BIN} AS DECIMAL(18,2)) AS est_hi,
            MAX(cum.total) AS n_rows
     FROM targets t JOIN cum
       ON cum.cum_c >= (cum.total * t.num + t.den - 1) // t.den
@@ -195,8 +195,13 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quantile")
         .agg(
             F.min("bucket").alias("bucket"),
-            (F.min("bucket") * HIST_BIN).cast("double").alias("est_lo"),
-            (F.min("bucket") * HIST_BIN + HIST_BIN).cast("double").alias("est_hi"),
+            # DECIMAL, not DOUBLE: these are integer-derived
+            # (bucket * bin step), and raw doubles are the one output
+            # class whose engine-version formatting can diverge in a
+            # value hash — the whole battery's hash surface is kept
+            # integer/decimal-only by convention.
+            (F.min("bucket") * HIST_BIN).cast("decimal(18,2)").alias("est_lo"),
+            (F.min("bucket") * HIST_BIN + HIST_BIN).cast("decimal(18,2)").alias("est_hi"),
             F.max("total").alias("n_rows"),
         )
     )

@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 from namegraph_collections_spark.queries.registry import register, tbl
 
 #: (column, kind) pairs profiled on `orders`. Numeric columns report
-#: min/max as DOUBLE, string columns as VARCHAR — no cross-type value
-#: formatting (engine-specific) ever enters the hash.
+#: min/max as DECIMAL(18,2) (the sources are int64 keys and
+#: 2-decimal-valued prices, so the cast is exact), string columns as
+#: VARCHAR — no raw DOUBLE and no cross-type value formatting
+#: (engine-specific) ever enters the hash.
 PROFILE_COLS = [
     ("o_orderkey", "num"),
     ("o_custkey", "num"),
@@ -39,15 +41,15 @@ def _oracle() -> str:
         aggs.append(f"COUNT(*) - COUNT({c}) AS {c}_nulls")
         aggs.append(f"COUNT(DISTINCT {c}) AS {c}_distinct")
         if kind == "num":
-            aggs.append(f"CAST(MIN({c}) AS DOUBLE) AS {c}_min_num")
-            aggs.append(f"CAST(MAX({c}) AS DOUBLE) AS {c}_max_num")
+            aggs.append(f"CAST(MIN({c}) AS DECIMAL(18,2)) AS {c}_min_num")
+            aggs.append(f"CAST(MAX({c}) AS DECIMAL(18,2)) AS {c}_max_num")
         else:
             aggs.append(f"MIN({c}) AS {c}_min_str")
             aggs.append(f"MAX({c}) AS {c}_max_str")
     rows = []
     for c, kind in PROFILE_COLS:
-        mn_num = f"{c}_min_num" if kind == "num" else "CAST(NULL AS DOUBLE)"
-        mx_num = f"{c}_max_num" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mn_num = f"{c}_min_num" if kind == "num" else "CAST(NULL AS DECIMAL(18,2))"
+        mx_num = f"{c}_max_num" if kind == "num" else "CAST(NULL AS DECIMAL(18,2))"
         mn_str = f"{c}_min_str" if kind == "str" else "CAST(NULL AS VARCHAR)"
         mx_str = f"{c}_max_str" if kind == "str" else "CAST(NULL AS VARCHAR)"
         rows.append(
@@ -79,13 +81,13 @@ def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"))
         aggs.append(F.countDistinct(c).alias(f"{c}_distinct"))
         if kind == "num":
-            aggs.append(F.min(c).cast("double").alias(f"{c}_min_num"))
-            aggs.append(F.max(c).cast("double").alias(f"{c}_max_num"))
+            aggs.append(F.min(c).cast("decimal(18,2)").alias(f"{c}_min_num"))
+            aggs.append(F.max(c).cast("decimal(18,2)").alias(f"{c}_max_num"))
         else:
             aggs.append(F.min(c).alias(f"{c}_min_str"))
             aggs.append(F.max(c).alias(f"{c}_max_str"))
     s = orders.agg(*aggs)
-    null_d = F.lit(None).cast("double")
+    null_d = F.lit(None).cast("decimal(18,2)")
     null_s = F.lit(None).cast("string")
     parts = []
     for c, kind in PROFILE_COLS:

@@ -229,12 +229,13 @@ SALT_N = 16
     )
     SELECT 'key' AS op, key, cnt, rnk,
            CAST(NULL AS BIGINT) AS n_keys, CAST(NULL AS BIGINT) AS n_rows,
-           CAST(NULL AS DOUBLE) AS skew_ratio
+           CAST(NULL AS DECIMAL(18,6)) AS skew_ratio
     FROM top
     UNION ALL
     SELECT 'summary', CAST(NULL AS BIGINT), max_cnt, CAST(NULL AS BIGINT),
            n_keys, n_rows,
-           ROUND(max_cnt / (CAST(n_rows AS DOUBLE) / n_keys), 6)
+           CAST(((max_cnt * n_keys * 1000000 + n_rows // 2) // n_rows)
+                / 1000000.0 AS DECIMAL(18,6))
     FROM stats
     """,
 )
@@ -264,7 +265,7 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         null_l.alias("n_keys"),
         null_l.alias("n_rows"),
-        F.lit(None).cast("double").alias("skew_ratio"),
+        F.lit(None).cast("decimal(18,6)").alias("skew_ratio"),
     )
     summary = kc.agg(
         F.count(F.lit(1)).alias("n_keys"),
@@ -277,9 +278,19 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("rnk"),
         "n_keys",
         "n_rows",
-        F.round(
-            F.col("max_cnt") / (F.col("n_rows").cast("double") / F.col("n_keys")), 6
-        ).alias("skew_ratio"),
+        # skew_ratio = round(max_cnt * n_keys / n_rows, 6) computed in
+        # exact integer micro-units (the bigram-LM NLL convention):
+        # ROUND(double, 6) has engine-specific half-way rules, and raw
+        # doubles are banned from driver-hashed surfaces. The final
+        # micro/1e6 double division is IEEE-exact on both engines and
+        # the DECIMAL(18,6) cast recovers the integer micro value.
+        # (long overflow bound: max_cnt * n_keys * 1e6 < 2^63 holds for
+        # any table where max_cnt * n_keys < 9.2e12 — beyond that,
+        # compute in DECIMAL(38,0).)
+        (
+            F.expr("(max_cnt * n_keys * 1000000L + n_rows div 2) div n_rows")
+            / F.lit(1000000.0)
+        ).cast("decimal(18,6)").alias("skew_ratio"),
     )
     return top.unionByName(summary)
 
@@ -289,9 +300,9 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-           MIN(value) AS min_value,
-           MAX(value) AS max_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_value,
+           CAST(MIN(value) AS DECIMAL(18,2)) AS min_value,
+           CAST(MAX(value) AS DECIMAL(18,2)) AS max_value
     FROM events GROUP BY event_type
     """,
 )
@@ -331,9 +342,12 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("pmax"),
         )
     )
+    # The sum stays DECIMAL end-to-end (no double cast ever), and the
+    # min/max picks — exact selections of 2-decimal-valued doubles —
+    # are emitted as DECIMAL(18,2): no raw DOUBLE reaches the hash.
     return salted.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.sum("psum").cast("double").alias("total_value"),
-        F.min("pmin").alias("min_value"),
-        F.max("pmax").alias("max_value"),
+        F.sum("psum").cast("decimal(28,6)").alias("total_value"),
+        F.min("pmin").cast("decimal(18,2)").alias("min_value"),
+        F.max("pmax").cast("decimal(18,2)").alias("max_value"),
     )
