@@ -140,28 +140,33 @@ def _r5_window() -> list[str]:
 
 
 def _expected_window() -> list[str]:
-    # r5 window + the wave-1 appends, then EVERY entry mapped through
-    # the replacement table (wave-1 appends pq_rerank_topk and
-    # cms_heavy_hitters were themselves widened into batteries by
-    # wave 3, so the map applies to appended names too).
+    # The r5 window mapped in place through the replacement table,
+    # with the round-6 appends at their actual pinned positions:
+    # event_analytics_battery takes the slot freed by the similarity
+    # merge — it sits directly after temporal_join_battery — and the
+    # two wave-1 appends (pq_rerank_topk, cms_heavy_hitters, both
+    # themselves widened into batteries by wave 3) go at the end.
     out: list[str] = []
-    for name in [*_r5_window(), *R6_APPENDED]:
+    for name in _r5_window():
         if name in R6_REPLACED:
             repl = R6_REPLACED[name]
             if repl is not None:
                 out.append(repl)
             continue
         out.append(name)
+    out.insert(out.index("temporal_join_battery") + 1, R6_APPENDED[0])
+    for name in R6_APPENDED[1:]:
+        out.append(R6_REPLACED.get(name) or name)
     return out
 
 
 def test_window_is_the_r5_set_plus_the_deliberate_r6_delta():
     expected = _expected_window()
-    # exact-list pin, modulo the deliberate placement of the appended
-    # rows: the expected list is compared as an ordered list after
-    # normalizing both to the same append order.
+    # exact ORDERED pin: the external driver value-checks rows in
+    # order, so positional provenance matters — a reordering of the
+    # 50 hashed rows must fail here, not just a membership change.
     assert len(expected) == WINDOW_SIZE
-    assert sorted(DRIVER_WINDOW) == sorted(expected)
+    assert DRIVER_WINDOW == expected
     assert list(REGISTRY)[:WINDOW_SIZE] == DRIVER_WINDOW
 
 
