@@ -66,30 +66,17 @@ def _oracle() -> str:
     """
 
 
-@register("ann_recall_eval", oracle=_oracle())
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@{TOP_K} of ivf_topk and pq_rerank_topk against
-    cosine_topk_bruteforce as ground truth.
-
-    Composition-only: re-runs the three registry queries verbatim and
-    joins their (q_id, c_id) sets — the per-query rows report the hit
-    count and recall, the q_id = -1 row the macro recall per method.
-    Every (method, query) pair is present even at zero hits (grid ×
-    left join), so a collapsed index reads 0.0, not absent.
-    """
-    # truth is referenced twice below (the query grid and the hit
-    # join) but stays checkpoint-free ON MEASUREMENT: an interleaved
-    # in-process A/B at sf0.1/local[32] read plain 6.1-7.9s vs
-    # checkpointed 6.0-7.9s — equal within noise (the duplicated
-    # subtree dedups via ReusedExchange), unlike neardup_triangles'
-    # five-reference edge list where the same experiment showed 1.5x.
-    truth = cosine_topk_bruteforce(spark, sf_dir).select("q_id", "c_id")
+def recall_eval_from(truth: DataFrame, ivf: DataFrame, pq: DataFrame) -> DataFrame:
+    """The eval body over ALREADY-BUILT result frames (each carrying
+    q_id/c_id): callers that have the three searches materialized
+    (e.g. similarity_battery, which also unions them as legs) pass
+    them in so the searches execute once, not once per reference.
+    ``ann_recall_eval`` below is the standalone composition."""
+    truth = truth.select("q_id", "c_id")
     methods = (
-        ivf_topk(spark, sf_dir)
-        .select(F.lit("ivf").alias("method"), "q_id", "c_id")
+        ivf.select(F.lit("ivf").alias("method"), "q_id", "c_id")
         .unionByName(
-            pq_rerank_topk(spark, sf_dir)
-            .select(F.lit("pq_rerank").alias("method"), "q_id", "c_id")
+            pq.select(F.lit("pq_rerank").alias("method"), "q_id", "c_id")
         )
     )
     grid = (
@@ -117,3 +104,30 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("hits") / (F.count(F.lit(1)) * F.lit(float(TOP_K))), 6).alias("recall"),
     ).select("method", "q_id", "hits", "recall")
     return perq.unionByName(macro)
+
+
+@register("ann_recall_eval", oracle=_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{TOP_K} of ivf_topk and pq_rerank_topk against
+    cosine_topk_bruteforce as ground truth.
+
+    Composition-only: runs the three registry queries verbatim and
+    joins their (q_id, c_id) sets — the per-query rows report the hit
+    count and recall, the q_id = -1 row the macro recall per method.
+    Every (method, query) pair is present even at zero hits (grid ×
+    left join), so a collapsed index reads 0.0, not absent.
+    """
+    # truth is referenced twice inside the eval (the query grid and
+    # the hit join) but stays checkpoint-free ON MEASUREMENT here: an
+    # interleaved in-process A/B at sf0.1/local[32] read plain
+    # 6.1-7.9s vs checkpointed 6.0-7.9s — equal within noise (the
+    # duplicated subtree dedups via ReusedExchange), unlike
+    # neardup_triangles' five-reference edge list where the same
+    # experiment showed 1.5x. similarity_battery, whose references
+    # span a UNION (where ReusedExchange does NOT dedup), passes
+    # checkpointed frames into recall_eval_from instead.
+    return recall_eval_from(
+        cosine_topk_bruteforce(spark, sf_dir),
+        ivf_topk(spark, sf_dir),
+        pq_rerank_topk(spark, sf_dir),
+    )

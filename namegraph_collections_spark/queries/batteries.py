@@ -29,7 +29,7 @@ from namegraph_collections_spark.queries.event_analytics import (
     event_transition_matrix,
     funnel_conversion,
 )
-from namegraph_collections_spark.queries.ann_eval import ann_recall_eval
+from namegraph_collections_spark.queries.ann_eval import recall_eval_from
 from namegraph_collections_spark.queries.registry import REGISTRY, register
 from namegraph_collections_spark.queries.similarity import (
     cosine_topk_bruteforce,
@@ -245,8 +245,20 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket census + the ANN recall@k evaluation (per-query and macro
     rows) in one tagged result. Components unchanged:
     queries/similarity.py, ann_eval.py.
+
+    The cosine and IVF results are localCheckpointed and feed BOTH
+    their battery leg and the recall eval: the eval re-references the
+    searches, and across a UNION ReusedExchange does not dedup the
+    repeated subtrees (measured in the neardup_triangles commit), so
+    without the checkpoint the battery executed its ANN legs ~twice.
+    Interleaved in-process A/B at sf0.1/local[32] (4 alternating
+    samples each, warmed): plain 2.51/2.36/2.35/2.36s vs checkpointed
+    1.58/1.71/1.56/1.66s — ~1.5x. pq_rerank is referenced once (its
+    battery leg lives in pq_battery), so it is not checkpointed here.
     """
-    cos = cosine_topk_bruteforce(spark, sf_dir).select(
+    cos_full = cosine_topk_bruteforce(spark, sf_dir).localCheckpoint(eager=False)
+    ivf_full = ivf_topk(spark, sf_dir).localCheckpoint(eager=False)
+    cos = cos_full.select(
         F.lit("cos").alias("op"),
         "q_id",
         "c_id",
@@ -257,7 +269,7 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         _NULL_L().alias("n_vecs"),
     )
-    ivf = ivf_topk(spark, sf_dir).select(
+    ivf = ivf_full.select(
         F.lit("ivf").alias("op"),
         "q_id",
         "c_id",
@@ -279,7 +291,9 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_I().alias("rnk"),
         "n_vecs",
     )
-    recall = ann_recall_eval(spark, sf_dir).select(
+    recall = recall_eval_from(
+        cos_full, ivf_full, pq_rerank_topk(spark, sf_dir)
+    ).select(
         F.lit("recall").alias("op"),
         "q_id",
         _NULL_L().alias("c_id"),
