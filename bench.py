@@ -112,6 +112,8 @@ HEADLINE = [
     "revenue_olap_battery",
     "cdc_battery",
     "set_prune_battery",
+    # Round 7 additions (append-only).
+    "doc_quality_signals",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -57,6 +57,7 @@ from namegraph_collections_spark.queries import event_analytics  # noqa: E402,F4
 from namegraph_collections_spark.queries import ann_eval  # noqa: E402,F401
 from namegraph_collections_spark.queries import bpe  # noqa: E402,F401
 from namegraph_collections_spark.queries import profiling  # noqa: E402,F401
+from namegraph_collections_spark.queries import quality_signals  # noqa: E402,F401
 from namegraph_collections_spark.queries import batteries  # noqa: E402,F401  (must import last: wraps other modules' oracles)
 
 #: The 50 rows the external driver value-hashes, in check order.

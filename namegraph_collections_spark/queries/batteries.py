@@ -30,6 +30,7 @@ from namegraph_collections_spark.queries.event_analytics import (
     funnel_conversion,
 )
 from namegraph_collections_spark.queries.ann_eval import recall_eval_from
+from namegraph_collections_spark.queries.quality_signals import doc_quality_signals
 from namegraph_collections_spark.queries.registry import REGISTRY, register
 from namegraph_collections_spark.queries.similarity import (
     cosine_topk_bruteforce,
@@ -68,6 +69,10 @@ def _NULL_S():
 
 def _NULL_B():
     return F.lit(None).cast("boolean")
+
+
+def _NULL_DEC6():
+    return F.lit(None).cast("decimal(18,6)")
 
 
 def _NULL_DEC():
@@ -316,24 +321,62 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT 'freq' AS op, token, CAST(NULL AS BIGINT) AS doc_id, n, df,
            CAST(NULL AS DOUBLE) AS logp, CAST(NULL AS DOUBLE) AS nll,
-           CAST(NULL AS BOOLEAN) AS is_train, CAST(NULL AS BOOLEAN) AS keep
+           CAST(NULL AS BOOLEAN) AS is_train, CAST(NULL AS BOOLEAN) AS keep,
+           CAST(NULL AS BIGINT) AS n_stop,
+           CAST(NULL AS DECIMAL(18,6)) AS q_mean_len,
+           CAST(NULL AS DECIMAL(18,6)) AS q_symbol,
+           CAST(NULL AS DECIMAL(18,6)) AS q_bullet,
+           CAST(NULL AS DECIMAL(18,6)) AS q_ellipsis,
+           CAST(NULL AS DECIMAL(18,6)) AS q_alpha,
+           CAST(NULL AS DECIMAL(18,6)) AS q_dup_line,
+           CAST(NULL AS DECIMAL(18,6)) AS q_dup_bigram
     FROM ({_oracle("token_frequencies")})
     UNION ALL
     SELECT 'logprob' AS op, CAST(NULL AS VARCHAR), doc_id,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), name_log_probability,
-           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS DECIMAL(18,6)),
+           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6)),
+           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6)),
+           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6))
     FROM ({_oracle("unigram_logprob")})
     UNION ALL
     SELECT 'lm' AS op, CAST(NULL AS VARCHAR), doc_id, n_pairs,
-           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), nll, is_train, keep
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), nll, is_train, keep,
+           CAST(NULL AS BIGINT), CAST(NULL AS DECIMAL(18,6)),
+           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6)),
+           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6)),
+           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6))
     FROM ({_oracle("bigram_lm_perplexity")})
+    UNION ALL
+    SELECT 'quality' AS op, CAST(NULL AS VARCHAR), doc_id, n_words,
+           n_lines, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BOOLEAN), keep, n_stopword_hits,
+           mean_word_len, symbol_word_ratio, bullet_line_ratio,
+           ellipsis_line_ratio, alpha_word_ratio, dup_line_ratio,
+           dup_bigram_ratio
+    FROM ({_oracle("doc_quality_signals")})
     """,
 )
 def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/document frequencies + unigram-LM per-doc log-probability
-    + bigram-LM perplexity quality filter in one tagged result.
-    Components unchanged: queries/text_analysis.py.
+    + bigram-LM perplexity quality filter + Gopher/C4 quality signals
+    in one tagged result. Components unchanged:
+    queries/text_analysis.py, quality_signals.py.
     """
+
+    def _qpad():
+        return [
+            _NULL_L().alias("n_stop"),
+            _NULL_DEC6().alias("q_mean_len"),
+            _NULL_DEC6().alias("q_symbol"),
+            _NULL_DEC6().alias("q_bullet"),
+            _NULL_DEC6().alias("q_ellipsis"),
+            _NULL_DEC6().alias("q_alpha"),
+            _NULL_DEC6().alias("q_dup_line"),
+            _NULL_DEC6().alias("q_dup_bigram"),
+        ]
+
     freq = token_frequencies(spark, sf_dir).select(
         F.lit("freq").alias("op"),
         "token",
@@ -344,6 +387,7 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_D().alias("nll"),
         _NULL_B().alias("is_train"),
         _NULL_B().alias("keep"),
+        *_qpad(),
     )
     lp = unigram_logprob(spark, sf_dir).select(
         F.lit("logprob").alias("op"),
@@ -355,6 +399,7 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_D().alias("nll"),
         _NULL_B().alias("is_train"),
         _NULL_B().alias("keep"),
+        *_qpad(),
     )
     lm = bigram_lm_perplexity(spark, sf_dir).select(
         F.lit("lm").alias("op"),
@@ -366,8 +411,28 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nll",
         "is_train",
         "keep",
+        *_qpad(),
     )
-    return freq.unionByName(lp).unionByName(lm)
+    quality = doc_quality_signals(spark, sf_dir).select(
+        F.lit("quality").alias("op"),
+        _NULL_S().alias("token"),
+        "doc_id",
+        F.col("n_words").alias("n"),
+        F.col("n_lines").alias("df"),
+        _NULL_D().alias("logp"),
+        _NULL_D().alias("nll"),
+        _NULL_B().alias("is_train"),
+        "keep",
+        F.col("n_stopword_hits").alias("n_stop"),
+        F.col("mean_word_len").alias("q_mean_len"),
+        F.col("symbol_word_ratio").alias("q_symbol"),
+        F.col("bullet_line_ratio").alias("q_bullet"),
+        F.col("ellipsis_line_ratio").alias("q_ellipsis"),
+        F.col("alpha_word_ratio").alias("q_alpha"),
+        F.col("dup_line_ratio").alias("q_dup_line"),
+        F.col("dup_bigram_ratio").alias("q_dup_bigram"),
+    )
+    return freq.unionByName(lp).unionByName(lm).unionByName(quality)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,256 @@
+"""Gopher/C4-style document quality signals (Rae et al. 2021, §A1.1;
+Raffel et al. 2020 §2.2 — public pretraining-filter heuristics).
+
+The standard rule family every large-scale pretraining corpus is
+filtered with, computed per document in ONE scan with JVM-side
+higher-order array functions — the quality-filter leg of the
+LLM-pipeline brief next to the statistical ``bigram_lm_perplexity``
+score:
+
+- word count bounds, mean word length bounds;
+- symbol-to-word ratio (``#``/``$`` glyphs and ``...`` runs);
+- bullet-started and ellipsis-ended line fractions;
+- alphabetic-word fraction and a minimum stopword-hit count;
+- repetition: duplicate-line fraction and duplicate word-bigram
+  fraction;
+- a composite ``keep`` flag AND-ing the thresholds.
+
+Reference parity note: the reference's only quality gates are
+interesting-score floors and member-count gates
+(airflow/dags/create_merged.py:82-97,393-394) — this family is the
+training-data generalization the brief asks for, not a port.
+
+Determinism conventions (same as bigram_lm_perplexity): every ratio
+is computed in exact integer micro-units — ``(num*1e6 + den/2) / den``
+in integer arithmetic — and emitted as DECIMAL(18,6); the keep flag
+compares the micro integers, so no ROUND(double) half-way rule can
+diverge across engines. The synthetic corpus is single-line
+symbol-free text, so (the ``text_features`` PII-scrub precedent) both
+engines append the same deterministic doc_id-keyed tail carrying
+bullets, a repeated line, symbol runs, and an ellipsis — the rules
+then fire on a corpus-dependent subset instead of matching vacuously.
+
+Scale shape: embarrassingly parallel scan+project — zero shuffles,
+zero joins, no Python. At 100 TB this is the cheapest possible plan
+shape; the signals columns feed the same downstream keep-filter scan
+the LM-perplexity flag does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.queries.registry import register, tbl
+from namegraph_collections_spark.queries.text_analysis import STOPWORDS
+
+#: Composite keep thresholds, integer micro-units (1e6 = ratio 1.0).
+#: All values are Gopher §A1.1's published thresholds (the bigram cap
+#: uses Gopher's 0.20 top-2-gram figure applied to our count-based
+#: duplicate-bigram fraction). On the synthetic corpus at
+#: sf0.01/sf0.1 seven of the nine rules reject real subsets
+#: (word-count 199/500, bullet 167, stopword 105, dup-line 67,
+#: symbol 51, ellipsis 34, alpha 1); mean-word-length and dup-bigram
+#: pass everywhere (observed dup-bigram max 0.19) but their signal
+#: COLUMNS are value-hashed, so a computation drift still fails
+#: parity even where the threshold is slack.
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MEAN_LEN_LO_MICRO, MEAN_LEN_HI_MICRO = 3_000_000, 10_000_000
+SYMBOL_MAX_MICRO = 100_000  # symbol-to-word ratio < 0.1
+BULLET_MAX_MICRO = 100_000  # ≥90% of lines must not start with a bullet
+ELLIPSIS_MAX_MICRO = 300_000  # ≤30% of lines may end with "..."
+ALPHA_MIN_MICRO = 800_000  # ≥80% of words contain an alphabetic char
+MIN_STOPWORD_HITS = 2
+DUP_LINE_MAX_MICRO = 300_000
+DUP_BIGRAM_MAX_MICRO = 200_000
+
+#: Deterministic synthetic tail (both engines build the identical
+#: string): a bullet line for doc_id % 3 == 0, a twice-repeated line
+#: for % 4 == 0, a symbol run for % 5 == 0, an ellipsis line for
+#: % 6 == 0 — so each rule fires on a different, overlapping subset.
+_TAIL_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN chr(10) || '* item ' || (doc_id % 7) ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'repeated filler line'"
+    " || chr(10) || 'repeated filler line' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'cost ### ' || (doc_id % 9)"
+    " || ' $$$' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'and then more...' ELSE '' END"
+)
+
+_MICRO = "1000000"
+
+
+def _micro_sql(num: str, den: str) -> str:
+    """Round-half-up ratio in integer micro-units (DuckDB `//`)."""
+    return f"(({num}) * {_MICRO} + ({den}) // 2) // ({den})"
+
+
+def _micro_spark(num: str, den: str) -> str:
+    """Same, Spark SQL (`div` is integer division on longs)."""
+    return f"(({num}) * {_MICRO}L + ({den}) div 2) div ({den})"
+
+
+def _dec(micro_expr: str) -> str:
+    """micro → DECIMAL(18,6). The double division by 1e6 is IEEE-exact
+    for any |micro| < 2^52 and the decimal cast recovers the integer
+    micro value — no raw double survives to the output."""
+    return f"CAST(({micro_expr}) / 1000000.0 AS DECIMAL(18,6))"
+
+
+_KEEP_SQL = (
+    f"n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}"
+    f" AND mean_len_micro BETWEEN {MEAN_LEN_LO_MICRO} AND {MEAN_LEN_HI_MICRO}"
+    f" AND symbol_micro < {SYMBOL_MAX_MICRO}"
+    f" AND bullet_micro <= {BULLET_MAX_MICRO}"
+    f" AND ellipsis_micro <= {ELLIPSIS_MAX_MICRO}"
+    f" AND alpha_micro >= {ALPHA_MIN_MICRO}"
+    f" AND n_stopword_hits >= {MIN_STOPWORD_HITS}"
+    f" AND dup_line_micro <= {DUP_LINE_MAX_MICRO}"
+    f" AND dup_bigram_micro <= {DUP_BIGRAM_MAX_MICRO}"
+)
+
+
+@register(
+    "doc_quality_signals",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text || ({_TAIL_SQL}) AS qtext FROM documents
+    ),
+    arr AS (
+      SELECT doc_id,
+             list_filter(string_split(replace(qtext, chr(10), ' '), ' '),
+                         w -> w <> '') AS words,
+             string_split(qtext, chr(10)) AS lines,
+             qtext
+      FROM q
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT)
+               AS sum_word_len,
+             CAST(len(list_filter(words,
+                    w -> list_contains({STOPWORDS!r}, w))) AS BIGINT)
+               AS n_stopword_hits,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(length(qtext) - length(replace(qtext, '#', ''))
+                  + length(qtext) - length(replace(qtext, '$', ''))
+                  + (length(qtext) - length(replace(qtext, '...', ''))) // 3
+                  AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(lines, l -> l LIKE '* %')) AS BIGINT)
+               AS n_bullet_lines,
+             CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+               AS n_ellipsis_lines,
+             CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+               AS n_dup_lines,
+             CAST(len(words) - 1 AS BIGINT) AS n_bigrams,
+             CAST(len(words) - 1 - len(list_distinct(
+               list_transform(range(1, len(words)),
+                              i -> words[i] || ' ' || words[i + 1])))
+               AS BIGINT) AS n_dup_bigrams
+      FROM arr
+    ),
+    m AS (
+      SELECT doc_id, n_words, n_lines, n_stopword_hits,
+             {_micro_sql("sum_word_len", "n_words")} AS mean_len_micro,
+             {_micro_sql("n_symbols", "n_words")} AS symbol_micro,
+             {_micro_sql("n_bullet_lines", "n_lines")} AS bullet_micro,
+             {_micro_sql("n_ellipsis_lines", "n_lines")} AS ellipsis_micro,
+             {_micro_sql("n_alpha_words", "n_words")} AS alpha_micro,
+             {_micro_sql("n_dup_lines", "n_lines")} AS dup_line_micro,
+             {_micro_sql("n_dup_bigrams", "n_bigrams")} AS dup_bigram_micro
+      FROM c
+    )
+    SELECT doc_id, n_words, n_lines, n_stopword_hits,
+           {_dec("mean_len_micro")} AS mean_word_len,
+           {_dec("symbol_micro")} AS symbol_word_ratio,
+           {_dec("bullet_micro")} AS bullet_line_ratio,
+           {_dec("ellipsis_micro")} AS ellipsis_line_ratio,
+           {_dec("alpha_micro")} AS alpha_word_ratio,
+           {_dec("dup_line_micro")} AS dup_line_ratio,
+           {_dec("dup_bigram_micro")} AS dup_bigram_ratio,
+           {_KEEP_SQL} AS keep
+    FROM m
+    """,
+)
+def doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher/C4 quality signals + composite keep flag
+    (module docstring) in one scan — no shuffle, no join, no Python.
+    """
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"text || ({_TAIL_SQL})").alias("qtext")
+    )
+    arr = docs.select(
+        "doc_id",
+        F.expr("filter(split(replace(qtext, chr(10), ' '), ' '), w -> w != '')")
+        .alias("words"),
+        F.expr("split(qtext, chr(10))").alias("lines"),
+        "qtext",
+    )
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    c = arr.select(
+        "doc_id",
+        F.expr("cast(size(words) AS BIGINT)").alias("n_words"),
+        F.expr("cast(size(lines) AS BIGINT)").alias("n_lines"),
+        F.expr(
+            "aggregate(words, cast(0 AS BIGINT), (acc, w) -> acc + length(w))"
+        ).alias("sum_word_len"),
+        F.expr(
+            f"cast(size(filter(words, w -> array_contains({stop_arr}, w))) AS BIGINT)"
+        ).alias("n_stopword_hits"),
+        F.expr(
+            "cast(size(filter(words, w -> w rlike '[a-z]')) AS BIGINT)"
+        ).alias("n_alpha_words"),
+        F.expr(
+            "cast(length(qtext) - length(replace(qtext, '#', ''))"
+            " + length(qtext) - length(replace(qtext, '$', ''))"
+            " + (length(qtext) - length(replace(qtext, '...', ''))) div 3"
+            " AS BIGINT)"
+        ).alias("n_symbols"),
+        F.expr(
+            "cast(size(filter(lines, l -> l LIKE '* %')) AS BIGINT)"
+        ).alias("n_bullet_lines"),
+        F.expr(
+            "cast(size(filter(lines, l -> l LIKE '%...')) AS BIGINT)"
+        ).alias("n_ellipsis_lines"),
+        F.expr(
+            "cast(size(lines) - size(array_distinct(lines)) AS BIGINT)"
+        ).alias("n_dup_lines"),
+        F.expr("cast(size(words) - 1 AS BIGINT)").alias("n_bigrams"),
+        F.expr(
+            "cast(size(words) - 1 - size(array_distinct("
+            "  transform(sequence(1, size(words) - 1),"
+            "            i -> concat(element_at(words, i), ' ',"
+            "                        element_at(words, i + 1)))))"
+            " AS BIGINT)"
+        ).alias("n_dup_bigrams"),
+    )
+    m = c.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        "n_stopword_hits",
+        F.expr(_micro_spark("sum_word_len", "n_words")).alias("mean_len_micro"),
+        F.expr(_micro_spark("n_symbols", "n_words")).alias("symbol_micro"),
+        F.expr(_micro_spark("n_bullet_lines", "n_lines")).alias("bullet_micro"),
+        F.expr(_micro_spark("n_ellipsis_lines", "n_lines")).alias("ellipsis_micro"),
+        F.expr(_micro_spark("n_alpha_words", "n_words")).alias("alpha_micro"),
+        F.expr(_micro_spark("n_dup_lines", "n_lines")).alias("dup_line_micro"),
+        F.expr(_micro_spark("n_dup_bigrams", "n_bigrams")).alias("dup_bigram_micro"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        "n_stopword_hits",
+        F.expr(_dec("mean_len_micro")).alias("mean_word_len"),
+        F.expr(_dec("symbol_micro")).alias("symbol_word_ratio"),
+        F.expr(_dec("bullet_micro")).alias("bullet_line_ratio"),
+        F.expr(_dec("ellipsis_micro")).alias("ellipsis_line_ratio"),
+        F.expr(_dec("alpha_micro")).alias("alpha_word_ratio"),
+        F.expr(_dec("dup_line_micro")).alias("dup_line_ratio"),
+        F.expr(_dec("dup_bigram_micro")).alias("dup_bigram_ratio"),
+        F.expr(_KEEP_SQL).alias("keep"),
+    )

@@ -34,6 +34,8 @@ BATTERIES = {
         "token_frequencies",
         "unigram_logprob",
         "bigram_lm_perplexity",
+        # round 7: the Gopher/C4 quality-signals leg
+        "doc_quality_signals",
     ],
     "rollup_battery": [
         "hourly_event_rollup",

@@ -124,6 +124,10 @@ R6_COMPOSITED = [
     "bigram_lm_perplexity",
     "ann_recall_eval",
 ]
+# round 7: singles composited into a widened battery at creation time
+R7_COMPOSITED = [
+    "doc_quality_signals",  # rides unigram_text_battery
+]
 
 
 def _r5_window() -> list[str]:
@@ -172,7 +176,7 @@ def test_window_is_the_r5_set_plus_the_deliberate_r6_delta():
 
 def test_composited_singles_stay_registered_after_the_window():
     tail = list(REGISTRY)[WINDOW_SIZE:]
-    for name in R5_COMPOSITED + R5_DEMOTED + R6_COMPOSITED:
+    for name in R5_COMPOSITED + R5_DEMOTED + R6_COMPOSITED + R7_COMPOSITED:
         assert name in tail, f"{name} lost its local-sweep parity check"
 
 
