@@ -43,6 +43,7 @@ def _oracle() -> str:
         """words AS MATERIALIZED (
       SELECT t AS word, COUNT(*) AS n
       FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      WHERE regexp_matches(t, '^[a-z0-9]+$')
       GROUP BY 1
     ),
     d0 AS MATERIALIZED (
@@ -99,6 +100,11 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        # The marker encoding below is only collision-free for tokens in
+        # [a-z0-9]+ (module docstring); enforce that alphabet rather than
+        # assume it, so a '<'/'>' in the corpus can't silently corrupt
+        # the merge semantics identically on both engines.
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )

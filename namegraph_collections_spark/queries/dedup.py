@@ -19,6 +19,25 @@ NUM_MINHASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
 
 
+def _round6_det(x):
+    """Engine-version-proof 6-decimal rounding: floor(x*1e6 + 0.5)/1e6.
+
+    Every op here (multiply, add, floor, divide) is IEEE-754-defined and
+    correctly rounded, so for the same input double both engines produce
+    the same output bit-for-bit — unlike ROUND(double, 6), whose
+    half-way handling is an engine implementation detail (the class
+    behind the bigram-LM sf0.1 divergence, see text_analysis.py, and
+    the r06 sketch-battery hash exposure). Valid for the non-negative,
+    < ~2^45 magnitudes of the similarity scores rounded here.
+    """
+    return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _round6_det_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`_round6_det` (same IEEE op sequence)."""
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000.0"
+
+
 @register(
     "exact_dedup_groups",
     oracle="""
@@ -144,7 +163,7 @@ def _jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", _round6_det(jac).alias("jaccard"))
     )
 
 
@@ -164,7 +183,7 @@ def _jaccard_pairs(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6)
+           {_round6_det_sql('CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common)')}
              AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
@@ -438,7 +457,7 @@ _EMB_DOT = (
       JOIN norms eb ON eb.vec_id = cand.vec_b
     )
     SELECT vec_a, vec_b,
-      ROUND({_EMB_DOT.format(a="emb_a", b="emb_b")} / (nrm_a * nrm_b), 6) AS cosine
+      {_round6_det_sql(_EMB_DOT.format(a="emb_a", b="emb_b") + ' / (nrm_a * nrm_b)')} AS cosine
     FROM scored
     WHERE {_EMB_DOT.format(a="emb_a", b="emb_b")} / (nrm_a * nrm_b) >= {NEARDUP_COSINE}
     """,
@@ -544,7 +563,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("_cos", cos)
         .filter(F.col("_cos") >= NEARDUP_COSINE)
-        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
+        .select("vec_a", "vec_b", _round6_det(F.col("_cos")).alias("cosine"))
     )
 
 
@@ -842,7 +861,7 @@ _TFIDF_SH0_SQL = """
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+           {_round6_det_sql('CAST(dot AS DOUBLE) / (na.nrm * nb.nrm)')} AS cosine
     FROM dots
     JOIN norms na ON na.doc_id = doc_a
     JOIN norms nb ON nb.doc_id = doc_b
@@ -856,8 +875,13 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: idf = round(ln(1 + N/df), 6); w = round(tf*idf, 6) as
     DECIMAL(18,6), so dots and squared norms sum EXACTLY in decimal on
-    both engines; the single double division + round(6) happens last
-    (the BM25 convention). Hot shingles (df > {TFIDF_DF_CAP}) are
+    both engines; the single double division happens last and its
+    6-decimal rounding uses the IEEE-deterministic floor form
+    (:func:`_round6_det`), not engine ROUND. Residual (accepted) risk:
+    the intermediate ``round(·,6) → DECIMAL`` weight cast still rides
+    engine ROUND; a half-way tie there would diverge, but it is
+    absorbed upstream of decimal-exact sums and has never fired in the
+    three-scale sweep. Hot shingles (df > {TFIDF_DF_CAP}) are
     excluded from MATCHING (bounding every posting list, hence every
     pair fan-out, at cap²) but kept in the norms — the standard
     stop-term treatment; scores are conservative, never inflated.
@@ -934,7 +958,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(cos >= TFIDF_MIN_COS)
-        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        .select("doc_a", "doc_b", _round6_det(cos).alias("cosine"))
     )
 
 
@@ -970,8 +994,8 @@ NEW_BATCH_MOD = 7
       GROUP BY 1, 2
     )
     SELECT c.new_doc, c.old_doc,
-           ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0)), 6) AS jaccard,
+           {_round6_det_sql('''CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0))''')} AS jaccard,
            (CAST(COALESCE(i.n_common, 0) AS DOUBLE)
                  / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0))) >= 0.1 AS is_dup
     FROM cand c
@@ -1036,7 +1060,7 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "new_doc",
             "old_doc",
-            F.round(jac, 6).alias("jaccard"),
+            _round6_det(jac).alias("jaccard"),
             (jac >= 0.1).alias("is_dup"),
         )
     )
