@@ -118,10 +118,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join), so a collapsed index reads 0.0, not absent.
     """
     # truth is referenced twice inside the eval (the query grid and
-    # the hit join) but stays checkpoint-free ON MEASUREMENT here: an
-    # interleaved in-process A/B at sf0.1/local[32] read plain
-    # 6.1-7.9s vs checkpointed 6.0-7.9s — equal within noise (the
-    # duplicated subtree dedups via ReusedExchange), unlike
+    # the hit join) but stays checkpoint-free ON MEASUREMENT: an
+    # interleaved A/B read plain vs checkpointed equal within noise
+    # (numbers in MEASUREMENTS.md — the duplicated subtree dedups
+    # via ReusedExchange inside a single plan), unlike
     # neardup_triangles' five-reference edge list where the same
     # experiment showed 1.5x. similarity_battery, whose references
     # span a UNION (where ReusedExchange does NOT dedup), passes

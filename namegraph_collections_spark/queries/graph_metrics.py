@@ -80,8 +80,8 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     program references it FIVE times (degrees twice, orientation,
     both wedge sides via orientation, the closing join): without the
     cut, the multi-band LSH pipeline that produces the edges re-executes
-    per reference (measured at sf0.1/local[32], interleaved A/B:
-    5.3-6.1s -> 3.5-4.3s with the checkpoint). This is the OPPOSITE
+    per reference (measured ~1.5x win, interleaved A/B — raw numbers
+    in MEASUREMENTS.md). This is the OPPOSITE
     call from _jaccard_pairs' documented no-checkpoint decision, for
     the stated reason there: that intermediate is a corpus-sized
     shingle stream (~3x the text bytes), while this one is the COMPACT

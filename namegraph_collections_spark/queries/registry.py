@@ -143,17 +143,16 @@ def keyed_spread(df: DataFrame, key: str) -> DataFrame:
     partitions than the session parallelism — the degenerate layout a
     small single-file parquet scan produces locally.
 
-    Why it matters for keyed windows (measured on
-    ordered_dedup_lineitems, sf0.1, single-row-group lineitem file):
-    Spark's WindowGroupLimit rewrite inserts a PARTIAL sort+limit
-    below the window's exchange. With one input split that partial
-    sorts the ENTIRE table in one task (1.15s); hash-partitioning on
-    the window key first satisfies the window's required distribution
-    (the exchange collapses into this one) and the sort runs parallel
-    (0.47s). With a normally-parallel scan this helper is a no-op, so
-    at cluster scale the map-side partial keeps cutting shuffle volume
-    exactly as before — the condition distinguishes the two regimes
-    instead of picking one.
+    Why it matters for keyed windows: Spark's WindowGroupLimit rewrite
+    inserts a PARTIAL sort+limit below the window's exchange. With one
+    input split that partial sorts the ENTIRE table in one task;
+    hash-partitioning on the window key first satisfies the window's
+    required distribution (the exchange collapses into this one) and
+    the sort runs parallel (~2.4× on the motivating case — raw numbers
+    in MEASUREMENTS.md). With a normally-parallel scan this helper is
+    a no-op, so at cluster scale the map-side partial keeps cutting
+    shuffle volume exactly as before — the condition distinguishes the
+    two regimes instead of picking one.
 
     Cost note: ``df.rdd.getNumPartitions()`` forces physical planning
     of ``df`` on the driver even in the no-op regime. That is a
@@ -162,19 +161,16 @@ def keyed_spread(df: DataFrame, key: str) -> DataFrame:
     count from file sizes — would re-derive FileSourceScan's own
     packing logic and drift from it.
 
-    Round-6 audit of the other keyed-window queries on single-split
-    scans (every sf0.1 table arrives as 1-3 splits): the degenerate
-    layout only hurts when EXPENSIVE map-side work sits below the
-    first exchange — the WindowGroupLimit partial sort that motivated
-    this helper (ordered_dedup_lineitems, topk_orders_per_customer),
-    or CPU-heavy per-row work (spread()'s explode/md5 cases). Measured
-    at sf0.1/local[32], warm, 3 runs: session_window_rollup 0.70-0.83s,
-    sequence_packing 0.23-0.25s, length_percentile_trim 0.19-0.23s,
-    event_transition_matrix 0.35-0.42s, funnel_conversion ~0.47s,
-    cohort_retention ~0.31-0.34s — none has a partial sort below its
-    exchange (map side is scan+hash only; the keyed sort runs AFTER
-    the 32-way shuffle), so keyed_spread would add an exchange and a
-    planning probe for nothing. Measured-unnecessary; left unapplied.
+    Audit of the other keyed-window queries on single-split scans
+    (every sf0.1 table arrives as 1-3 splits): the degenerate layout
+    only hurts when EXPENSIVE map-side work sits below the first
+    exchange — the WindowGroupLimit partial sort that motivated this
+    helper (ordered_dedup_lineitems, topk_orders_per_customer), or
+    CPU-heavy per-row work (spread()'s explode/md5 cases). The others
+    have scan+hash-only map sides (the keyed sort runs AFTER the
+    32-way shuffle), so keyed_spread would add an exchange and a
+    planning probe for nothing — measured-unnecessary; left unapplied
+    (per-query timings in MEASUREMENTS.md).
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= n:

@@ -20,6 +20,20 @@ from namegraph_collections_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
+
+def _ascii_safe(text: str) -> str:
+    """Escape bytes grep would treat as binary (NULs from binary-literal
+    plan nodes) and non-ASCII glyphs, so PLANS.md stays a greppable text
+    artifact."""
+    out = []
+    for ch in text:
+        o = ord(ch)
+        if ch in "\n\t" or 0x20 <= o < 0x7F:
+            out.append(ch)
+        else:
+            out.append(f"\\x{o:02x}" if o < 0x100 else f"\\u{o:04x}")
+    return "".join(out)
+
 HEADER = """# Physical plans (generated — do not edit)
 
 `tools/dump_plans.py` renders `.explain("formatted")` for every bench
@@ -39,7 +53,7 @@ def main() -> None:
     out = [HEADER]
     for name in HEADLINE:
         df = REGISTRY[name].fn(spark, SF)
-        plan = df._jdf.queryExecution().explainString(mode)
+        plan = _ascii_safe(df._jdf.queryExecution().explainString(mode))
         out.append(f"\n## {name}\n\n```\n{plan}\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("".join(out))
