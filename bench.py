@@ -114,6 +114,8 @@ HEADLINE = [
     "set_prune_battery",
     # Round 7 additions (append-only).
     "doc_quality_signals",
+    "winnowing_fingerprints",
+    "bpe_encode_tokens",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -443,6 +443,7 @@ from namegraph_collections_spark.queries.dedup import (  # noqa: E402
     incremental_minhash_dedup,
     passage_dedup,
     tfidf_cosine_pairs,
+    winnowing_fingerprints,
 )
 from namegraph_collections_spark.queries.relational import (  # noqa: E402
     hourly_event_rollup,
@@ -629,13 +630,18 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            new_doc, old_doc, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            jaccard, is_dup
     FROM ({_oracle("incremental_minhash_dedup")})
+    UNION ALL
+    SELECT 'winnow' AS op, CAST(fp AS VARCHAR), CAST(NULL AS VARCHAR),
+           doc_id, fp_pos, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+    FROM ({_oracle("winnowing_fingerprints")})
     """,
 )
 def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fingerprint groups + cross-document passage dedup +
     idf-weighted cosine pairs + incremental (batch-vs-corpus) MinHash
-    dedup in one tagged result. Components unchanged:
-    queries/dedup.py.
+    dedup + winnowing local fingerprints in one tagged result.
+    Components unchanged: queries/dedup.py.
     """
     exact = exact_dedup_groups(spark, sf_dir).select(
         F.lit("exact").alias("op"),
@@ -681,7 +687,23 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").alias("cosine"),
         "is_dup",
     )
-    return exact.unionByName(passage).unionByName(tfidf).unionByName(inc)
+    winnow = winnowing_fingerprints(spark, sf_dir).select(
+        F.lit("winnow").alias("op"),
+        F.col("fp").cast("string").alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("doc_id").alias("id_a"),
+        F.col("fp_pos").alias("id_b"),
+        _NULL_L().alias("cnt"),
+        _NULL_L().alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+    )
+    return (
+        exact.unionByName(passage)
+        .unionByName(tfidf)
+        .unionByName(inc)
+        .unionByName(winnow)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -726,7 +748,10 @@ def pq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc.unionByName(rr)
 
 
-from namegraph_collections_spark.queries.bpe import bpe_merge_table  # noqa: E402
+from namegraph_collections_spark.queries.bpe import (  # noqa: E402
+    bpe_encode_tokens,
+    bpe_merge_table,
+)
 from namegraph_collections_spark.queries.cdc import (  # noqa: E402
     cdc_driven_rollup,
     cdc_three_way_ops,
@@ -899,21 +924,28 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_mining_battery",
     oracle=f"""
     SELECT 'suffix' AS op, suffix AS s1, CAST(NULL AS VARCHAR) AS s2,
-           examples AS s3, n_names AS n, CAST(NULL AS DOUBLE) AS d,
-           CAST(NULL AS INTEGER) AS rnk
+           examples AS s3, n_names AS n, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS d, CAST(NULL AS INTEGER) AS rnk
     FROM ({_oracle("suffix_mining")})
     UNION ALL
-    SELECT 'pmi' AS op, a, b, CAST(NULL AS VARCHAR), n_pair, pmi, rnk
+    SELECT 'pmi' AS op, a, b, CAST(NULL AS VARCHAR), n_pair,
+           CAST(NULL AS BIGINT), pmi, rnk
     FROM ({_oracle("bigram_pmi")})
     UNION ALL
-    SELECT 'bpe' AS op, a, b, merged, cnt, CAST(NULL AS DOUBLE), round
+    SELECT 'bpe' AS op, a, b, merged, cnt, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), round
     FROM ({_oracle("bpe_merge_table")})
+    UNION ALL
+    SELECT 'bpe_encode' AS op, token, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), total_count, n_words,
+           CAST(NULL AS DOUBLE), token_len
+    FROM ({_oracle("bpe_encode_tokens")})
     """,
 )
 def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suffix mining + bigram PMI collocations + BPE merge learning in
-    one tagged result. Components unchanged: queries/collections_ops.py,
-    text_analysis.py, bpe.py.
+    """Suffix mining + bigram PMI collocations + BPE merge learning +
+    BPE corpus encoding in one tagged result. Components unchanged:
+    queries/collections_ops.py, text_analysis.py, bpe.py.
     """
     suf = suffix_mining(spark, sf_dir).select(
         F.lit("suffix").alias("op"),
@@ -921,6 +953,7 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_S().alias("s2"),
         F.col("examples").alias("s3"),
         F.col("n_names").alias("n"),
+        _NULL_L().alias("n2"),
         _NULL_D().alias("d"),
         _NULL_I().alias("rnk"),
     )
@@ -930,6 +963,7 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("s2"),
         _NULL_S().alias("s3"),
         F.col("n_pair").alias("n"),
+        _NULL_L().alias("n2"),
         F.col("pmi").alias("d"),
         "rnk",
     )
@@ -939,10 +973,21 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("s2"),
         F.col("merged").alias("s3"),
         F.col("cnt").alias("n"),
+        _NULL_L().alias("n2"),
         _NULL_D().alias("d"),
         F.col("round").cast("int").alias("rnk"),
     )
-    return suf.unionByName(pmi).unionByName(bpe)
+    enc = bpe_encode_tokens(spark, sf_dir).select(
+        F.lit("bpe_encode").alias("op"),
+        F.col("token").alias("s1"),
+        _NULL_S().alias("s2"),
+        _NULL_S().alias("s3"),
+        F.col("total_count").alias("n"),
+        F.col("n_words").alias("n2"),
+        _NULL_D().alias("d"),
+        F.col("token_len").alias("rnk"),
+    )
+    return suf.unionByName(pmi).unionByName(bpe).unionByName(enc)
 
 
 @register(

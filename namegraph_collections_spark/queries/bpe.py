@@ -38,7 +38,11 @@ from namegraph_collections_spark.queries.registry import register, spread, tbl
 BPE_ROUNDS = 8
 
 
-def _oracle() -> str:
+def _oracle_ctes() -> str:
+    """The shared WITH-chain replaying word counts + {BPE_ROUNDS} merge
+    rounds; both registered queries' oracles finish it with their own
+    final SELECT (w1..wN for the merge table, d{BPE_ROUNDS} for the
+    encoded dictionary)."""
     ctes = [
         """words AS MATERIALIZED (
       SELECT t AS word, COUNT(*) AS n
@@ -74,29 +78,20 @@ def _oracle() -> str:
                      '<' || (SELECT merged FROM w{r}) || '>') AS repr
       FROM d{r-1}
     )""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _oracle() -> str:
     unions = " UNION ALL ".join(
         f"SELECT round, a, b, merged, cnt FROM w{r}" for r in range(1, BPE_ROUNDS + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+    return _oracle_ctes() + "\n    " + unions
 
 
-@register("bpe_merge_table", oracle=_oracle())
-def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{BPE_ROUNDS} rounds of BPE merge learning over the corpus word
-    dictionary: (round, a, b, merged, frequency-weighted count) — the
-    merge table a BPE tokenizer ships.
-
-    Scale shape (see module docstring): round-0 word counts are the
-    only corpus-sized shuffle; every later stage operates on the
-    bounded dictionary, each round's winning pair is a 1-row broadcast
-    into the merge projection, and the pair argmax is
-    ``orderBy().limit(1)`` (TakeOrderedAndProject — never a global
-    window). The loop materializes the dictionary per round with
-    localCheckpoint, the same lineage-cut treatment as the semi-naive
-    closure and PageRank iterations (operators/closure.py,
-    queries/centrality.py): without it round r's plan re-derives
-    rounds 1..r-1 and planning cost grows quadratically.
-    """
+def _learn(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
+    """Run the merge loop; return (per-round winner frames, the final
+    encoded dictionary ``(word, n, repr)``). Shared by the merge-table
+    and encode queries so the two can never disagree on the merges."""
     docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -158,7 +153,74 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return winners, d
+
+
+@register("bpe_merge_table", oracle=_oracle())
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BPE_ROUNDS} rounds of BPE merge learning over the corpus word
+    dictionary: (round, a, b, merged, frequency-weighted count) — the
+    merge table a BPE tokenizer ships.
+
+    Scale shape (see module docstring): round-0 word counts are the
+    only corpus-sized shuffle; every later stage operates on the
+    bounded dictionary, each round's winning pair is a 1-row broadcast
+    into the merge projection, and the pair argmax is
+    ``orderBy().limit(1)`` (TakeOrderedAndProject — never a global
+    window). The loop materializes the dictionary per round with
+    localCheckpoint, the same lineage-cut treatment as the semi-naive
+    closure and PageRank iterations (operators/closure.py,
+    queries/centrality.py): without it round r's plan re-derives
+    rounds 1..r-1 and planning cost grows quadratically.
+    """
+    winners, _ = _learn(spark, sf_dir)
     out = winners[0]
     for w in winners[1:]:
         out = out.unionByName(w)
     return out
+
+
+@register(
+    "bpe_encode_tokens",
+    oracle=_oracle_ctes()
+    + f"""
+    SELECT token, CAST(length(token) AS INTEGER) AS token_len,
+           COUNT(DISTINCT word) AS n_words,
+           CAST(SUM(n) AS BIGINT) AS total_count
+    FROM (SELECT word, n,
+                 unnest(string_split(trim(repr, '<>'), '><')) AS token
+          FROM d{BPE_ROUNDS})
+    GROUP BY token
+    """,
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the learned merges: the token vocabulary after
+    applying all {BPE_ROUNDS} merge rounds to the corpus dictionary —
+    (token, token_len, n_words containing it, frequency-weighted
+    total_count). This is the apply half of BPE (the tokenizer a
+    pipeline actually runs over the corpus), complementing
+    ``bpe_merge_table``'s training half.
+
+    Scale shape: the final dictionary after the merge loop already IS
+    the encoded corpus vocabulary (segmenting a word replays exactly
+    the greedy merges the loop applied), so encoding costs one explode
+    + one partial-aggregated groupBy over the BOUNDED dictionary — the
+    corpus itself is never re-scanned. At 100 TB, encoding raw text
+    would join each word against this (broadcastable,
+    vocabulary-sized) segmentation table.
+    """
+    _, d = _learn(spark, sf_dir)
+    tok = d.select(
+        "word",
+        "n",
+        F.explode(F.split(F.expr("trim(BOTH '<>' FROM repr)"), "><")).alias("token"),
+    )
+    return tok.groupBy("token").agg(
+        F.countDistinct("word").alias("n_words"),
+        F.sum("n").cast("long").alias("total_count"),
+    ).select(
+        "token",
+        F.length("token").cast("int").alias("token_len"),
+        "n_words",
+        "total_count",
+    )

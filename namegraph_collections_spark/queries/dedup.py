@@ -1064,3 +1064,120 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jac >= 0.1).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+# 2003 — the classic rolling-hash fingerprint selection MOSS uses; a
+# textbook public algorithm, nothing like it in the reference). Where
+# MinHash summarizes GLOBAL document similarity, winnowing guarantees
+# LOCAL coverage: any shared substring of length >= W + K - 1 words
+# contributes at least one identical selected fingerprint, which is
+# what makes the fingerprints usable for partial-overlap / quotation
+# detection, not just whole-document near-dup.
+# ---------------------------------------------------------------------------
+WINNOW_K = 3  # k-gram length (words)
+WINNOW_W = 4  # window: every W consecutive k-grams yield >= 1 fingerprint
+
+#: Position packing: key = hash * 2^16 + (65535 - pos). Minimizing the
+#: key minimizes (hash, -pos) lexicographically — i.e. robust
+#: winnowing's "rightmost minimal hash per window" rule — with ONE
+#: integer min, so both engines pick identical fingerprints with no
+#: tie-rule or struct-ordering exposure. hash is 32 bits (md5 prefix),
+#: so key < 2^48; positions are corpus-doc word offsets << 2^16.
+_POS_PACK = 65536
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM (
+        SELECT doc_id, unnest(
+                 list_transform(range(1, greatest(len(t) - {WINNOW_K - 1}, 0) + 1),
+                                i -> struct_pack(pos := i,
+                                                 gram := t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+               ) AS pg
+        FROM toked
+      )
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) * {_POS_PACK}
+               + ({_POS_PACK - 1} - pos) AS key
+      FROM grams
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_pos
+      FROM keyed
+    )
+    SELECT DISTINCT doc_id,
+           wmin // {_POS_PACK} AS fp,
+           {_POS_PACK - 1} - (wmin % {_POS_PACK}) AS fp_pos
+    FROM wins
+    WHERE pos <= greatest(n_pos - {WINNOW_W - 1}, 1)
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selected (doc_id, fp, fp_pos) winnowing fingerprints: 32-bit
+    rolling hashes of word {WINNOW_K}-grams, the rightmost minimum of
+    every {WINNOW_W}-hash window kept (see the section comment for the
+    packed-key encoding of the rightmost-min rule). Expected selected
+    density 2/(W+1) ~ 0.4 of positions; docs shorter than one window
+    keep their single whole-doc minimum (the WHERE's greatest(_, 1)).
+
+    Scale shape: one corpus scan exploding positional k-grams, then a
+    per-document window — partitioned on doc_id, frame bounded at
+    {WINNOW_W} rows — and a distinct keyed on (doc_id, fp). Nothing is
+    global: state per key is O(doc length), the same bound as the
+    shingle operators, and the output is ~0.4 fingerprint rows per
+    corpus word. Matching (find docs sharing fingerprints) reuses the
+    capped inverted-index pattern of the other dedup ops downstream.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toked = spread(docs, "doc_id").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    toks = F.col("toks")
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (WINNOW_K - 1), F.lit(0))),
+        lambda t, i: F.concat_ws(
+            " ", t, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    g = toked.select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+    keyed = g.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            * F.lit(_POS_PACK)
+            + (F.lit(_POS_PACK - 1) - (F.col("pos0") + 1))
+        ).alias("key"),
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    w_cnt = Window.partitionBy("doc_id")
+    wins = keyed.select(
+        "doc_id",
+        "pos",
+        F.min("key").over(w_min).alias("wmin"),
+        F.count(F.lit(1)).over(w_cnt).alias("n_pos"),
+    )
+    return (
+        wins.filter(
+            F.col("pos") <= F.greatest(F.col("n_pos") - (WINNOW_W - 1), F.lit(1))
+        )
+        .select(
+            "doc_id",
+            F.expr(f"wmin div {_POS_PACK}").alias("fp"),
+            (F.lit(_POS_PACK - 1) - F.expr(f"wmin % {_POS_PACK}")).alias("fp_pos"),
+        )
+        .distinct()
+    )

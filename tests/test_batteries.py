@@ -53,6 +53,8 @@ BATTERIES = {
         "passage_dedup",
         "tfidf_cosine_pairs",
         "incremental_minhash_dedup",
+        # round 7: winnowing local fingerprints
+        "winnowing_fingerprints",
     ],
     "pq_battery": ["pq_adc_topk", "pq_rerank_topk"],
     "sketch_stats_battery": [
@@ -63,7 +65,13 @@ BATTERIES = {
         "salted_skew_agg",
         "length_percentile_trim",
     ],
-    "text_mining_battery": ["suffix_mining", "bigram_pmi", "bpe_merge_table"],
+    "text_mining_battery": [
+        "suffix_mining",
+        "bigram_pmi",
+        "bpe_merge_table",
+        # round 7: the BPE apply/encode half
+        "bpe_encode_tokens",
+    ],
     "graph_battery": ["transitive_closure_reachability", "neardup_triangles"],
     "revenue_olap_battery": [
         "regional_revenue",

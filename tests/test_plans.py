@@ -100,6 +100,9 @@ def test_semi_and_anti_join_physical(spark):
         "revenue_olap_battery",
         "cdc_battery",
         "set_prune_battery",
+        # round 7 additions
+        "winnowing_fingerprints",
+        "bpe_encode_tokens",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):

@@ -127,6 +127,8 @@ R6_COMPOSITED = [
 # round 7: singles composited into a widened battery at creation time
 R7_COMPOSITED = [
     "doc_quality_signals",  # rides unigram_text_battery
+    "winnowing_fingerprints",  # rides lexical_dedup_battery
+    "bpe_encode_tokens",  # rides text_mining_battery
 ]
 
 
