@@ -414,7 +414,22 @@ NEARDUP_COSINE = 0.2  # synthetic embeddings are near-orthogonal; low bar keeps 
 N_HYPERPLANES = 16  # sign-bit hyperplanes (3 planes / 8 buckets is O(n²/8) at scale)
 EMB_BANDS = 4  # 4 bands × 4 bits — multi-band OR: a pair is a candidate
 EMB_BAND_BITS = 4  # if it agrees on ALL bits of ANY band
-EMB_BUCKET_CAP = 4096  # deterministic per-bucket membership cap (skew backstop)
+#: Deterministic per-bucket membership cap. The scaling curve
+#: (tools/scale_curve_result.json) caught the old 4096 value as a
+#: scale defect: 4 bands x 4 bits is only 64 buckets TOTAL, so bucket
+#: occupancy is n/16 and candidate volume grows O(n^2/64) until the
+#: cap binds — at 4096 that bind point was ~65k vectors and sf1
+#: (20k vectors, avg bucket 1250) ran the quadratic regime unchecked
+#: (4.2M output pairs, 34x sf0.1 wall on the triangle consumer). 512
+#: binds at ~8k vectors and bounds candidates at 64*C(512,2) ~ 8.4M
+#: INDEPENDENT of corpus size, while every bucket at the driver
+#: scales stays under it (max 150 at sf0.1, 47 at sf0.01 — outputs
+#: there are byte-identical). The cap is the backstop, not the design
+#: point: at production scale you grow the signature instead —
+#: band bits ∝ log2(n) keeps occupancy constant (16 more hyperplanes
+#: per 16x corpus growth), exactly how web-scale SimHash/LSH systems
+#: size their fingerprints.
+EMB_BUCKET_CAP = 512
 _EMB_DOT = (
     "list_sum(list_transform(range(1, 65), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
