@@ -1156,7 +1156,12 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus word. Matching (find docs sharing fingerprints) reuses the
     capped inverted-index pattern of the other dedup ops downstream.
     """
-    docs = tbl(spark, sf_dir, "documents")
+    return _winnow(tbl(spark, sf_dir, "documents"))
+
+
+def _winnow(docs: DataFrame) -> DataFrame:
+    """Winnowing over any DataFrame[doc_id, text] (exposed separately so
+    property tests can drive synthetic overlap fixtures)."""
     toked = spread(docs, "doc_id").select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
     )
