@@ -748,10 +748,7 @@ def pq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc.unionByName(rr)
 
 
-from namegraph_collections_spark.queries.bpe import (  # noqa: E402
-    bpe_encode_tokens,
-    bpe_merge_table,
-)
+from namegraph_collections_spark.queries import bpe as _bpe  # noqa: E402,F401  (oracle refs; legs share _bpe._learn)
 from namegraph_collections_spark.queries.cdc import (  # noqa: E402
     cdc_driven_rollup,
     cdc_three_way_ops,
@@ -967,7 +964,14 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pmi").alias("d"),
         "rnk",
     )
-    bpe = bpe_merge_table(spark, sf_dir).select(
+    # ONE merge-loop run feeds both BPE legs (the similarity_battery
+    # treatment): _learn's per-round frames are already eagerly
+    # localCheckpointed, so the union leg and the vocabulary leg read
+    # the same materialized loop instead of re-training it twice.
+    from namegraph_collections_spark.queries.bpe import _encode_from, _learn, _merge_union
+
+    winners, d_final = _learn(spark, sf_dir)
+    bpe = _merge_union(winners).select(
         F.lit("bpe").alias("op"),
         F.col("a").alias("s1"),
         F.col("b").alias("s2"),
@@ -977,7 +981,7 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_D().alias("d"),
         F.col("round").cast("int").alias("rnk"),
     )
-    enc = bpe_encode_tokens(spark, sf_dir).select(
+    enc = _encode_from(d_final).select(
         F.lit("bpe_encode").alias("op"),
         F.col("token").alias("s1"),
         _NULL_S().alias("s2"),

@@ -173,7 +173,12 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries/centrality.py): without it round r's plan re-derives
     rounds 1..r-1 and planning cost grows quadratically.
     """
-    winners, _ = _learn(spark, sf_dir)
+    return _merge_union(_learn(spark, sf_dir)[0])
+
+
+def _merge_union(winners: list[DataFrame]) -> DataFrame:
+    """The merge-table projection over the loop's winner frames (shared
+    with text_mining_battery, which runs _learn ONCE for both legs)."""
     out = winners[0]
     for w in winners[1:]:
         out = out.unionByName(w)
@@ -209,7 +214,12 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     would join each word against this (broadcastable,
     vocabulary-sized) segmentation table.
     """
-    _, d = _learn(spark, sf_dir)
+    return _encode_from(_learn(spark, sf_dir)[1])
+
+
+def _encode_from(d: DataFrame) -> DataFrame:
+    """The vocabulary projection over the final encoded dictionary
+    (shared with text_mining_battery, same reason as _merge_union)."""
     tok = d.select(
         "word",
         "n",
