@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from namegraph_collections_spark.functions.det_round import round6_det
+
 DEFAULT_SALTS = 16
 
 
@@ -96,7 +98,7 @@ def top_keys(df: DataFrame, key: str, n: int = 20) -> DataFrame:
     total = counts.agg(F.sum("count").alias("_t"))
     return (
         counts.crossJoin(F.broadcast(total))
-        .select(key, "count", F.round(F.col("count") / F.col("_t"), 6).alias("share"))
+        .select(key, "count", round6_det(F.col("count") / F.col("_t")).alias("share"))
         .orderBy(F.col("count").desc(), F.col(key).asc())
         .limit(n)
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from namegraph_collections_spark.functions.det_round import round6_det
 from namegraph_collections_spark.functions.namehash import ens_namehash_udf
 from namegraph_collections_spark.functions.seeded import make_seeded_emoji_udf, seeded_banner_udf
 
@@ -152,7 +153,7 @@ def build_documents(
             .crossJoin(F.broadcast(min_lp))
             .withColumn("log_prob", F.coalesce("log_prob", F.col("min_lp")))
             .groupBy("item")
-            .agg(F.round(F.sum("log_prob"), 6).alias("name_log_probability"))
+            .agg(round6_det(F.sum("log_prob")).alias("name_log_probability"))
         )
         doc = doc.join(lp, "item", "left")
     else:

@@ -55,13 +55,14 @@ def _oracle() -> str:
     perq AS (
       SELECT g.method, g.q_id,
              CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-             ROUND(COALESCE(h.hits, 0) / {TOP_K}.0, 6) AS recall
+             ((COALESCE(h.hits, 0) * 1000000 + {TOP_K} // 2) // {TOP_K}) / 1000000.0 AS recall
       FROM grid g LEFT JOIN hit h ON h.method = g.method AND h.q_id = g.q_id
     )
     SELECT method, q_id, hits, recall FROM perq
     UNION ALL
     SELECT method, CAST(-1 AS BIGINT) AS q_id, SUM(hits) AS hits,
-           ROUND(SUM(hits) / (COUNT(*) * {TOP_K}.0), 6) AS recall
+           ((SUM(hits) * 1000000 + (COUNT(*) * {TOP_K}) // 2) // (COUNT(*) * {TOP_K})) / 1000000.0
+             AS recall
     FROM perq GROUP BY method
     """
 
@@ -92,16 +93,31 @@ def recall_eval_from(truth: DataFrame, ivf: DataFrame, pq: DataFrame) -> DataFra
         .groupBy("method", "q_id")
         .agg(F.count(F.lit(1)).alias("h"))
     )
+    # Recall in exact integer micro-units (text_analysis.py convention):
+    # hits/k is an exact rational that can land on a 6-decimal half
+    # (1/128-class), where engine ROUND(double) half-way rules differ.
     perq = grid.join(F.broadcast(hit), ["method", "q_id"], "left").select(
         "method",
         "q_id",
         F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
-        F.round(F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(TOP_K)), 6).alias("recall"),
+    ).select(
+        "method",
+        "q_id",
+        "hits",
+        (
+            F.expr(f"(hits * 1000000 + {TOP_K} div 2) div {TOP_K}") / F.lit(1000000.0)
+        ).alias("recall"),
     )
     macro = perq.groupBy("method").agg(
         F.lit(-1).cast("long").alias("q_id"),
         F.sum("hits").alias("hits"),
-        F.round(F.sum("hits") / (F.count(F.lit(1)) * F.lit(float(TOP_K))), 6).alias("recall"),
+        (
+            F.expr(
+                f"(SUM(hits) * 1000000 + (COUNT(1) * {TOP_K}) div 2)"
+                f" div (COUNT(1) * {TOP_K})"
+            )
+            / F.lit(1000000.0)
+        ).alias("recall"),
     ).select("method", "q_id", "hits", "recall")
     return perq.unionByName(macro)
 

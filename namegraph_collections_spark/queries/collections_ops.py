@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from namegraph_collections_spark.functions.det_round import round6_det
 from namegraph_collections_spark.plans.letter_merge import (
     ALPHABET_RANGE_PATTERN,
     M1_PATTERN,
@@ -460,7 +461,7 @@ ordd AS (
 ),
 agg AS (
   SELECT n, COUNT(*) AS cnt,
-    round(greatest(SUM(iscore) / COUNT(*), 1e-8), 6) AS score_mean,
+    floor(greatest(SUM(iscore) / COUNT(*), 1e-8) * 1000000 + 0.5) / 1000000.0 AS score_mean,
     CAST(COUNT(*) FILTER (WHERE status = 'available') AS BIGINT) AS available_count,
     CAST(COUNT(*) FILTER (WHERE status = 'taken') AS BIGINT) AS taken_count,
     CAST(COUNT(*) FILTER (WHERE status = 'on_sale') AS BIGINT) AS on_sale_count,
@@ -577,7 +578,7 @@ def custom_collections_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         c("template.nonavailable_members_count").cast("long").alias(
             "nonavailable_members_count"
         ),
-        F.round("template.members_system_interesting_score_mean", 6).alias("score_mean"),
+        round6_det(c("template.members_system_interesting_score_mean")).alias("score_mean"),
         F.try_element_at(c("template.names"), F.lit(1))["rank"].alias("member_rank"),
         F.array_join(
             F.transform(c("template.top10_names"), lambda t: t["normalized_name"]), ","

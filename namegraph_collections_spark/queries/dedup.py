@@ -19,23 +19,14 @@ NUM_MINHASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
 
 
-def _round6_det(x):
-    """Engine-version-proof 6-decimal rounding: floor(x*1e6 + 0.5)/1e6.
-
-    Every op here (multiply, add, floor, divide) is IEEE-754-defined and
-    correctly rounded, so for the same input double both engines produce
-    the same output bit-for-bit — unlike ROUND(double, 6), whose
-    half-way handling is an engine implementation detail (the class
-    behind the bigram-LM sf0.1 divergence, see text_analysis.py, and
-    the r06 sketch-battery hash exposure). Valid for the non-negative,
-    < ~2^45 magnitudes of the similarity scores rounded here.
-    """
-    return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-
-
-def _round6_det_sql(expr: str) -> str:
-    """DuckDB mirror of :func:`_round6_det` (same IEEE op sequence)."""
-    return f"floor(({expr}) * 1000000 + 0.5) / 1000000.0"
+# Engine-version-proof 6-decimal rounding — promoted to the shared
+# functions/det_round.py module (round 7) so every rounded-double hash
+# surface uses one audited implementation; these aliases keep the
+# existing call sites unchanged.
+from namegraph_collections_spark.functions.det_round import (  # noqa: E402
+    round6_det as _round6_det,
+    round6_det_sql as _round6_det_sql,
+)
 
 
 @register(
@@ -863,8 +854,10 @@ _TFIDF_SH0_SQL = """
     dft AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY 1),
     w AS MATERIALIZED (
       SELECT s.doc_id, s.shingle, dft.df,
-             CAST(round(s.tf * round(ln(1 + (SELECT CAST(COUNT(*) AS DOUBLE)
-                                             FROM documents) / dft.df), 6), 6)
+             CAST(floor((s.tf * (floor(ln(1 + (SELECT CAST(COUNT(*) AS DOUBLE)
+                                              FROM documents) / dft.df)
+                                       * 1000000 + 0.5) / 1000000.0))
+                        * 1000000 + 0.5) / 1000000.0
                   AS DECIMAL(18,6)) AS w
       FROM sh0 s JOIN dft USING (shingle)
     ),
@@ -888,15 +881,13 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf-idf sparse vectors over word trigrams, dot products via the same
     capped posting-list pattern as ngram_jaccard_pairs.
 
-    Determinism: idf = round(ln(1 + N/df), 6); w = round(tf*idf, 6) as
-    DECIMAL(18,6), so dots and squared norms sum EXACTLY in decimal on
-    both engines; the single double division happens last and its
-    6-decimal rounding uses the IEEE-deterministic floor form
-    (:func:`_round6_det`), not engine ROUND. Residual (accepted) risk:
-    the intermediate ``round(·,6) → DECIMAL`` weight cast still rides
-    engine ROUND; a half-way tie there would diverge, but it is
-    absorbed upstream of decimal-exact sums and has never fired in the
-    three-scale sweep. Hot shingles (df > {TFIDF_DF_CAP}) are
+    Determinism: idf and w = tf*idf are rounded with the
+    IEEE-deterministic floor form (:func:`_round6_det`) — including the
+    intermediate weight, closing the previously-documented residual
+    engine-ROUND tie risk — then cast DECIMAL(18,6), so dots and
+    squared norms sum EXACTLY in decimal on both engines; the single
+    double division happens last and uses the same floor form, not
+    engine ROUND. Hot shingles (df > {TFIDF_DF_CAP}) are
     excluded from MATCHING (bounding every posting list, hence every
     pair fan-out, at cap²) but kept in the norms — the standard
     stop-term treatment; scores are conservative, never inflated.
@@ -931,8 +922,8 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "shingle",
             "df",
-            F.round(
-                F.col("tf") * F.round(F.log(1 + F.col("n_docs") / F.col("df")), 6), 6
+            _round6_det(
+                F.col("tf") * _round6_det(F.log(1 + F.col("n_docs") / F.col("df")))
             )
             .cast("decimal(18,6)")
             .alias("w"),

@@ -9,7 +9,13 @@ Determinism rules used throughout (so the order-insensitive value hash
 matches):
 - money/double sums go through DECIMAL(18,2)/(18,6) so both engines
   compute exact arithmetic, then cast to DOUBLE at the end;
-- ratios/means are derived from exact sums with a final ROUND(x, 6);
+- ratios/means with exact inputs (DECIMAL sums, counts) round in
+  integer micro-units — ``(x_micro + d div 2) div d`` — and
+  double-computed scores use the floor form in
+  ``functions/det_round.py``; bare ``ROUND(double, 6)`` is banned
+  from hash surfaces (its half-way rule is engine-specific: the
+  incremental-rollup mean diverged at sf1 on 13911.3/320 being an
+  exact 6-decimal half);
 - arrays are always ``array_sort``-ed / ``list_sort``-ed;
 - timestamps are emitted as epoch microseconds (BIGINT);
 - every window/top-k has a total order (explicit tiebreakers).

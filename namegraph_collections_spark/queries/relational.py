@@ -34,8 +34,10 @@ def _dec(c, scale: int = 2):
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
         AS sum_disc_price,
-      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      ((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 1000000 AS BIGINT) + COUNT(*) // 2)
+         // COUNT(*)) / 1000000.0 AS avg_qty,
+      ((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000000 AS BIGINT) + COUNT(*) // 2)
+         // COUNT(*)) / 1000000.0 AS avg_price,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -58,8 +60,23 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
         F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
-        F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
-        F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+        # Means in exact integer micro-units (text_analysis.py convention):
+        # DECIMAL-sum / COUNT can land exactly on a 6-decimal half
+        # (13911.3/320-class), where engines' ROUND half-way rules differ.
+        (
+            F.expr(
+                "(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 1000000 AS BIGINT)"
+                " + COUNT(1) div 2) div COUNT(1)"
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_qty"),
+        (
+            F.expr(
+                "(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000000 AS BIGINT)"
+                " + COUNT(1) div 2) div COUNT(1)"
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_price"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -319,10 +336,13 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
       COUNT(*) AS n_orders,
-      ROUND(GREATEST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 1e-8), 6)
+      ROUND(GREATEST(
+        ((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 1000000 AS BIGINT) + COUNT(*) // 2)
+           // COUNT(*)) / 1000000.0, 1e-8), 6)
         AS price_mean,
       ROUND(GREATEST(MEDIAN(o_totalprice), 1e-8), 6) AS price_median,
-      ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+      ((SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2)
+         // COUNT(*)) / 1000000.0
         AS finished_ratio
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -394,13 +414,27 @@ def segment_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = o_b.join(c_b.hint("merge"), o_b.o_custkey == c_b.c_custkey)
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
+        # Mean/ratio in exact integer micro-units before the (now no-op-
+        # deterministic) round: the DECIMAL-sum/COUNT quotient can land
+        # exactly on a 6-decimal half where engine ROUND rules differ.
         F.round(
-            F.greatest(F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1)), F.lit(1e-8)), 6
+            F.greatest(
+                F.expr(
+                    "(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 1000000 AS BIGINT)"
+                    " + COUNT(1) div 2) div COUNT(1)"
+                )
+                / F.lit(1000000.0),
+                F.lit(1e-8),
+            ),
+            6,
         ).alias("price_mean"),
         F.round(F.greatest(F.median("o_totalprice"), F.lit(1e-8)), 6).alias("price_median"),
-        F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("double") / F.count(F.lit(1)),
-            6,
+        (
+            F.expr(
+                "(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1000000"
+                " + COUNT(1) div 2) div COUNT(1)"
+            )
+            / F.lit(1000000.0)
         ).alias("finished_ratio"),
     )
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from namegraph_collections_spark.functions.det_round import round6_det
 from namegraph_collections_spark.queries.registry import (
     events_tbl,
     ranked_topk,
@@ -191,7 +192,8 @@ _TRIGRAMS_SQL = """
     )
     SELECT scope, n_exact,
            CASE WHEN h_k IS NULL THEN CAST(n_exact AS DOUBLE)
-                ELSE ROUND(({KMV_K} - 1) * {_KMV_RANGE!r} / CAST(h_k AS DOUBLE), 6)
+                ELSE floor((({KMV_K} - 1) * {_KMV_RANGE!r} / CAST(h_k AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000.0
            END AS kmv_estimate
     FROM (SELECT * FROM per_source UNION ALL SELECT * FROM merged)
     """,
@@ -272,7 +274,7 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h_k",
     )
     est = F.when(F.col("h_k").isNull(), F.col("n_exact").cast("double")).otherwise(
-        F.round(F.lit(float(KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("h_k").cast("double"), 6)
+        round6_det(F.lit(float(KMV_K - 1)) * F.lit(_KMV_RANGE) / F.col("h_k").cast("double"))
     )
     return (
         per_source.unionByName(merged)
@@ -293,7 +295,8 @@ INC_SPLIT_US = 1_706_099_400_000_000
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           ((CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) + COUNT(*) // 2)
+              // COUNT(*)) / 1000000.0
              AS mean_value
     FROM events
     GROUP BY 1, 2
@@ -338,12 +341,21 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_us", "event_type")
         .agg(F.sum("n").alias("n_events"), F.sum("tv").alias("tv"))
     )
+    # Mean in exact integer micro-units (the bigram-LM convention,
+    # text_analysis.py): tv is an exact DECIMAL, so the half-up rounding
+    # happens in integer space and both engines agree bit-for-bit.
+    # ROUND(double, 6) diverged here at sf1 — 13911.3/320 = 43.4728125
+    # is an exact half at 6 decimals, and the engines' half-way rules
+    # differ (caught by tools/sweep_scales.py at sf1).
     return merged.select(
         "bucket_us",
         "event_type",
         "n_events",
         F.col("tv").cast("double").alias("total_value"),
-        F.round(F.col("tv").cast("double") / F.col("n_events"), 6).alias("mean_value"),
+        (
+            F.expr("(CAST(tv * 1000000 AS BIGINT) + n_events div 2) div n_events")
+            / F.lit(1000000.0)
+        ).alias("mean_value"),
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from namegraph_collections_spark.functions.det_round import round6_det, round6_det_sql
 from namegraph_collections_spark.functions.porter_sql import porter_ctes
 from namegraph_collections_spark.functions.stemmer import porter_stem
 from namegraph_collections_spark.queries.registry import register, spread, tbl
@@ -178,10 +179,10 @@ def _ltr_feats_cte() -> str:
     feats = (
         [f"CAST(m_{n} AS DOUBLE) AS f_match_{n}" for n in _MATCH_FEATURES]
         + [
-            f"ROUND(CAST({s} AS DOUBLE) / ({s} + {p}), 6) AS f_sat_{n}"
+            f"{round6_det_sql(f'CAST({s} AS DOUBLE) / ({s} + {p})')} AS f_sat_{n}"
             for n, s, p in _SAT_FEATURES
         ]
-        + [f"ROUND(ln(1 + {s}), 6) AS f_log_{n}" for n, s in _LOG_FEATURES]
+        + [f"{round6_det_sql(f'ln(1 + {s})')} AS f_log_{n}" for n, s in _LOG_FEATURES]
         + ["CAST(s_tokens AS DOUBLE) AS f_size_names"]
     )
     return f"""
@@ -301,10 +302,10 @@ def search_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat_cols = (
         [F.col(f"m_{n}").cast("double").alias(f"f_match_{n}") for n in _MATCH_FEATURES]
         + [
-            F.round(F.col(s).cast("double") / (F.col(s) + F.lit(p)), 6).alias(f"f_sat_{n}")
+            round6_det(F.col(s).cast("double") / (F.col(s) + F.lit(p))).alias(f"f_sat_{n}")
             for n, s, p in _SAT_FEATURES
         ]
-        + [F.round(F.log(1 + F.col(s)), 6).alias(f"f_log_{n}") for n, s in _LOG_FEATURES]
+        + [round6_det(F.log(1 + F.col(s))).alias(f"f_log_{n}") for n, s in _LOG_FEATURES]
         + [F.col("s_tokens").cast("double").alias("f_size_names")]
     )
     feats = stats.select("doc_id", "base_score", *feat_cols)
@@ -340,10 +341,10 @@ def search_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
     contrib AS (
       SELECT tf.doc_id,
-        CAST(ROUND(
+        CAST({round6_det_sql(f'''
           ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
           * (tf.tf * ({K1} + 1))
-          / (tf.tf + {K1} * (1 - {B} + {B} * doclen.dl / corpus.avgdl)), 6)
+          / (tf.tf + {K1} * (1 - {B} + {B} * doclen.dl / corpus.avgdl))''')}
         AS DECIMAL(18,6)) AS c
       FROM tf
       JOIN df ON tf.token = df.token
@@ -402,11 +403,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def term_contrib(i: int):
         tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
-        c = F.round(
+        c = round6_det(
             F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
             * (tf * (K1 + 1))
-            / (tf + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
-            6,
+            / (tf + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
         ).cast("decimal(18,6)")
         return F.when(tf > 0, c).otherwise(F.lit(0).cast("decimal(18,6)"))
 
@@ -444,12 +444,12 @@ NDCG_K = 10
     ),
     dcg AS (
       SELECT source,
-        SUM(CAST(ROUND((pow(2, rel) - 1) / log2(rnk + 1), 6) AS DECIMAL(18,6))) AS dcg
+        SUM(CAST({round6_det_sql('(pow(2, rel) - 1) / log2(rnk + 1)')} AS DECIMAL(18,6))) AS dcg
       FROM topk GROUP BY source
     ),
     idcg AS (
       SELECT source,
-        SUM(CAST(ROUND((pow(2, rel) - 1) / log2(irnk + 1), 6) AS DECIMAL(18,6))) AS idcg
+        SUM(CAST({round6_det_sql('(pow(2, rel) - 1) / log2(irnk + 1)')} AS DECIMAL(18,6))) AS idcg
       FROM ideal GROUP BY source
     ),
     per_source AS (
@@ -461,9 +461,11 @@ NDCG_K = 10
     SELECT dcg.source,
            CAST(dcg.dcg AS DOUBLE) AS dcg,
            CAST(idcg.idcg AS DOUBLE) AS idcg,
-           ROUND(CAST(dcg.dcg AS DOUBLE) / nullif(CAST(idcg.idcg AS DOUBLE), 0), 6) AS ndcg,
+           ((CAST(dcg.dcg * 1000000 AS BIGINT) * 1000000
+               + CAST(idcg.idcg * 1000000 AS BIGINT) // 2)
+              // nullif(CAST(idcg.idcg * 1000000 AS BIGINT), 0)) / 1000000.0 AS ndcg,
            n_relevant, hits,
-           ROUND(hits / nullif(n_relevant, 0), 6) AS recall
+           ((hits * 1000000 + n_relevant // 2) // nullif(n_relevant, 0)) / 1000000.0 AS recall
     FROM dcg JOIN idcg USING (source) JOIN per_source USING (source)
     """,
 )
@@ -492,7 +494,9 @@ def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ideal = topk.select("source", "rel", F.row_number().over(wi).alias("irnk"))
 
     def contrib(rel, pos):
-        return F.round((F.pow(F.lit(2.0), rel) - 1) / F.log2(pos + 1), 6).cast("decimal(18,6)")
+        return round6_det(
+            (F.pow(F.lit(2.0), rel) - 1) / F.log2(pos + 1)
+        ).cast("decimal(18,6)")
 
     dcg = topk.groupBy("source").agg(F.sum(contrib(F.col("rel"), F.col("rnk"))).alias("dcg"))
     idcg = ideal.groupBy("source").agg(F.sum(contrib(F.col("rel"), F.col("irnk"))).alias("idcg"))
@@ -508,14 +512,23 @@ def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("dcg").cast("double").alias("dcg"),
             F.col("idcg").cast("double").alias("idcg"),
-            F.round(
-                F.col("dcg").cast("double")
-                / F.nullif(F.col("idcg").cast("double"), F.lit(0.0)),
-                6,
+            # NDCG/recall in exact integer micro-units: both quotients
+            # have exact inputs (DECIMAL sums, integer counts) and can
+            # land on 6-decimal halves where engine ROUND rules differ.
+            (
+                F.expr(
+                    "(CAST(dcg * 1000000 AS BIGINT) * 1000000"
+                    " + CAST(idcg * 1000000 AS BIGINT) div 2)"
+                    " div nullif(CAST(idcg * 1000000 AS BIGINT), 0)"
+                )
+                / F.lit(1000000.0)
             ).alias("ndcg"),
             "n_relevant",
             "hits",
-            F.round(F.col("hits") / F.nullif(F.col("n_relevant"), F.lit(0)), 6).alias("recall"),
+            (
+                F.expr("(hits * 1000000 + n_relevant div 2) div nullif(n_relevant, 0)")
+                / F.lit(1000000.0)
+            ).alias("recall"),
         )
     )
 
@@ -554,7 +567,7 @@ _FIELD_CONTRIB_SQL = f"""
     df AS (SELECT field, token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY field, token),
     contrib AS (
       SELECT tf.doc_id, tf.token,
-        CAST(ROUND(
+        CAST({round6_det_sql(f'''
           (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["boost"]}
                          ELSE {FIELD_SPECS["body"]["boost"]} END)
           * ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
@@ -563,7 +576,7 @@ _FIELD_CONTRIB_SQL = f"""
                                                 ELSE {FIELD_SPECS["body"]["b"]} END)
                              + (CASE tf.field WHEN 'title' THEN {FIELD_SPECS["title"]["b"]}
                                               ELSE {FIELD_SPECS["body"]["b"]} END)
-                               * doclen.dl / corpus.avgdl)), 6)
+                               * doclen.dl / corpus.avgdl))''')}
         AS DECIMAL(18,6)) AS c
       FROM tf
       JOIN df ON tf.field = df.field AND tf.token = df.token
@@ -614,12 +627,11 @@ def _field_contribs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "token",
-            F.round(
+            round6_det(
                 boost
                 * F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * (K1 + 1))
-                / (F.col("tf") + K1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
-                6,
+                / (F.col("tf") + K1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
             )
             .cast("decimal(18,6)")
             .alias("c"),
@@ -724,10 +736,10 @@ def multifield_bm25_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
     contrib AS (
       SELECT tf.doc_id,
-        CAST(ROUND(
+        CAST({round6_det_sql(f'''
           ln(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
           * (tf.tf * ({K1} + 1))
-          / (tf.tf + {K1} * (1 - {B} + {B} * doclen.dl / corpus.avgdl)), 6)
+          / (tf.tf + {K1} * (1 - {B} + {B} * doclen.dl / corpus.avgdl))''')}
         AS DECIMAL(18,6)) AS c
       FROM tf
       JOIN df ON tf.token = df.token
@@ -777,11 +789,10 @@ def stemmed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",
-            F.round(
+            round6_det(
                 F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
                 * (F.col("tf") * (K1 + 1))
-                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
-                6,
+                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
             )
             .cast("decimal(18,6)")
             .alias("c"),

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from namegraph_collections_spark.functions.det_round import round6_det, round6_det_sql
 from namegraph_collections_spark.queries.registry import register, spread, tbl
 
 N_QUERY_VECS = 8
@@ -68,9 +69,11 @@ _DOT_SQL = (
     c AS (SELECT vec_id AS c_id, embedding AS c_emb, label AS c_label FROM embeddings),
     scored AS (
       SELECT q_id, c_id, c_label,
-        ROUND({_DOT_SQL.format(dim=DIM, a='q_emb', b='c_emb')}
-              / (sqrt({_DOT_SQL.format(dim=DIM, a='q_emb', b='q_emb')})
-                 * sqrt({_DOT_SQL.format(dim=DIM, a='c_emb', b='c_emb')})), 6) AS cosine
+        {round6_det_sql(
+            f"{_DOT_SQL.format(dim=DIM, a='q_emb', b='c_emb')}"
+            f" / (sqrt({_DOT_SQL.format(dim=DIM, a='q_emb', b='q_emb')})"
+            f" * sqrt({_DOT_SQL.format(dim=DIM, a='c_emb', b='c_emb')}))"
+        )} AS cosine
       FROM q CROSS JOIN c
       WHERE q_id <> c_id
     )
@@ -109,8 +112,8 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "c_id",
             "c_label",
-            F.round(
-                _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6
+            round6_det(
+                _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cosine"),
         )
     )
@@ -152,7 +155,7 @@ def _assign_sql(cent_cte: str, name: str) -> str:
       SELECT vec_id, embedding, cluster FROM (
         SELECT e.vec_id, e.embedding, c.cluster,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                 ROUND({_DOT_SQL.format(dim=DIM, a="e.embedding", b="c.centroid")}, 6) DESC,
+                 {round6_det_sql(_DOT_SQL.format(dim=DIM, a="e.embedding", b="c.centroid"))} DESC,
                  c.cluster ASC) AS rn
         FROM embeddings e CROSS JOIN {cent_cte} c
       ) WHERE rn = 1
@@ -174,17 +177,18 @@ def _assign_sql(cent_cte: str, name: str) -> str:
       SELECT q_id, q_emb, cluster FROM (
         SELECT q.q_id, q.q_emb, c.cluster,
                ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-                 ROUND({_DOT_SQL.format(dim=DIM, a="q.q_emb", b="c.centroid")}, 6) DESC,
+                 {round6_det_sql(_DOT_SQL.format(dim=DIM, a="q.q_emb", b="c.centroid"))} DESC,
                  c.cluster ASC) AS prnk
         FROM q CROSS JOIN c2 c
       ) WHERE prnk <= {N_PROBE}
     ),
     scored AS (
       SELECT p.q_id, e.vec_id AS c_id, e.cluster AS c_cluster,
-        ROUND({_DOT_SQL.format(dim=DIM, a="p.q_emb", b="e.embedding")}
-              / (sqrt({_DOT_SQL.format(dim=DIM, a="p.q_emb", b="p.q_emb")})
-                 * sqrt({_DOT_SQL.format(dim=DIM, a="e.embedding", b="e.embedding")})),
-              6) AS cosine
+        {round6_det_sql(
+            f"{_DOT_SQL.format(dim=DIM, a='p.q_emb', b='e.embedding')}"
+            f" / (sqrt({_DOT_SQL.format(dim=DIM, a='p.q_emb', b='p.q_emb')})"
+            f" * sqrt({_DOT_SQL.format(dim=DIM, a='e.embedding', b='e.embedding')}))"
+        )} AS cosine
       FROM probes p JOIN a2 e ON e.cluster = p.cluster
       WHERE e.vec_id <> p.q_id
     )
@@ -250,7 +254,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "embedding",
                 "cluster",
-                F.round(_dot(F.col("embedding"), F.col("centroid")), 6).alias("d"),
+                round6_det(_dot(F.col("embedding"), F.col("centroid"))).alias("d"),
             )
         )
         w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cluster").asc())
@@ -280,7 +284,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     w_probe = Window.partitionBy("q_id").orderBy(
-        F.round(_dot(F.col("q_emb"), F.col("centroid")), 6).desc(), F.col("cluster").asc()
+        round6_det(_dot(F.col("q_emb"), F.col("centroid"))).desc(), F.col("cluster").asc()
     )
     probes = (
         q.crossJoin(F.broadcast(final_cents))
@@ -301,7 +305,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "c_id",
             F.col("cluster").alias("c_cluster"),
-            F.round(cos, 6).alias("cosine"),
+            round6_det(cos).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from namegraph_collections_spark.functions.det_round import round6_det, round6_det_sql
 from namegraph_collections_spark.queries.registry import register, spread, tbl
 from namegraph_collections_spark.queries.similarity import (
     DIM,
@@ -279,10 +280,11 @@ def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exact AS (
       SELECT s.q_id, s.c_id,
-             ROUND({_DOT_SQL.format(dim=DIM, a="qe.embedding", b="ce.embedding")}
-                   / (sqrt({_DOT_SQL.format(dim=DIM, a="qe.embedding", b="qe.embedding")})
-                      * sqrt({_DOT_SQL.format(dim=DIM, a="ce.embedding", b="ce.embedding")})),
-                   6) AS cosine
+             {round6_det_sql(
+                 f"{_DOT_SQL.format(dim=DIM, a='qe.embedding', b='ce.embedding')}"
+                 f" / (sqrt({_DOT_SQL.format(dim=DIM, a='qe.embedding', b='qe.embedding')})"
+                 f" * sqrt({_DOT_SQL.format(dim=DIM, a='ce.embedding', b='ce.embedding')}))"
+             )} AS cosine
       FROM shortlist s
       JOIN embeddings qe ON qe.vec_id = s.q_id
       JOIN embeddings ce ON ce.vec_id = s.c_id
@@ -329,8 +331,8 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ce, "c_id")
         .select(
             "q_id", "c_id",
-            F.round(
-                _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+            round6_det(
+                _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
             ).alias("cosine"),
         )
     )

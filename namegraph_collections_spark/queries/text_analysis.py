@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from namegraph_collections_spark.functions.det_round import round6_det
 from namegraph_collections_spark.queries.registry import (
     ranked_topk,
     register,
@@ -62,22 +63,26 @@ BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
              len(list_distinct(tokens)) AS n_unique_tokens,
              len(list_filter(tokens, t -> t IN ('the', 'a'))) AS en_markers,
              CASE WHEN len(tokens) >= 3 THEN
-               ROUND(1.0 - CAST(len(list_distinct(
+               floor((1.0 - CAST(len(list_distinct(
                  list_transform(range(1, len(tokens) - 2 + 1),
                                 i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
-               )) AS DOUBLE) / (len(tokens) - 2), 6)
+               )) AS DOUBLE) / (len(tokens) - 2)) * 1000000 + 0.5) / 1000000.0
              ELSE 0.0e0 END AS dup_trigram_ratio
       FROM feat
     )
     SELECT doc_id, lang, n_tokens, n_unique_tokens, n_stopwords,
-      ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-      ROUND(CAST(n_unique_tokens AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
-      ROUND(CAST(text_len AS DOUBLE) / n_tokens, 6) AS avg_token_span,
+      floor((CAST(n_stopwords AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000.0
+        AS stopword_ratio,
+      floor((CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000.0
+        AS type_token_ratio,
+      floor((CAST(text_len AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000.0
+        AS avg_token_span,
       CASE WHEN n_tokens >= 50 AND CAST(n_unique_tokens AS DOUBLE) / n_tokens >= 0.3
            THEN 'high' WHEN n_tokens >= 20 THEN 'medium' ELSE 'low' END AS quality_bucket,
       CASE WHEN CAST(en_markers AS DOUBLE) / n_tokens > 0.05 THEN 'en' ELSE 'other' END
         AS predicted_lang,
-      ROUND(CAST(en_markers AS DOUBLE) / n_tokens, 6) AS marker_ratio,
+      floor((CAST(en_markers AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000.0
+        AS marker_ratio,
       dup_trigram_ratio,
       md5(lower(trim(text))) AS fingerprint,
       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
@@ -160,11 +165,13 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_unique_tokens",
         "n_stopwords",
-        F.round(F.col("n_stopwords").cast("double") / F.col("n_tokens"), 6).alias("stopword_ratio"),
-        F.round(F.col("n_unique_tokens").cast("double") / F.col("n_tokens"), 6).alias(
+        round6_det(F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+        round6_det(F.col("n_unique_tokens").cast("double") / F.col("n_tokens")).alias(
             "type_token_ratio"
         ),
-        F.round(F.col("text_len").cast("double") / F.col("n_tokens"), 6).alias("avg_token_span"),
+        round6_det(F.col("text_len").cast("double") / F.col("n_tokens")).alias("avg_token_span"),
         F.when(
             (F.col("n_tokens") >= 50)
             & (F.col("n_unique_tokens").cast("double") / F.col("n_tokens") >= 0.3),
@@ -174,14 +181,13 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("quality_bucket"),
         F.when(marker_ratio > 0.05, "en").otherwise("other").alias("predicted_lang"),
-        F.round(marker_ratio, 6).alias("marker_ratio"),
+        round6_det(marker_ratio).alias("marker_ratio"),
         F.when(
             F.col("n_tokens") >= 3,
-            F.round(
+            round6_det(
                 1.0
                 - F.size(F.array_distinct(F.col("trigrams"))).cast("double")
-                / (F.col("n_tokens") - 2),
-                6,
+                / (F.col("n_tokens") - 2)
             ),
         )
         .otherwise(F.lit(0.0))
@@ -246,7 +252,8 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
     tot AS (SELECT SUM(c) AS n FROM cnt),
     lp AS (
-      SELECT token, CAST(ROUND(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS logp
+      SELECT token, CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000000 + 0.5) / 1000000.0
+                         AS DECIMAL(18,6)) AS logp
       FROM cnt CROSS JOIN tot
     )
     SELECT doc_id, CAST(SUM(logp) AS DOUBLE) AS name_log_probability
@@ -272,7 +279,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cnt.agg(F.sum("c").alias("n"))
     lp = cnt.crossJoin(F.broadcast(tot)).select(
         "token",
-        F.round(F.log(F.col("c").cast("double") / F.col("n")), 6)
+        round6_det(F.log(F.col("c").cast("double") / F.col("n")))
         .cast("decimal(18,6)")
         .alias("logp"),
     )
@@ -305,8 +312,9 @@ PMI_TOP = 50
     ),
     scored AS (
       SELECT pc.a, pc.b, pc.n_pair,
-             ROUND(ln((CAST(pc.n_pair AS DOUBLE) * n_toks * n_toks)
-                      / (CAST(t_pairs AS DOUBLE) * ua.n_tok * ub.n_tok)), 6) AS pmi
+             floor(ln((CAST(pc.n_pair AS DOUBLE) * n_toks * n_toks)
+                      / (CAST(t_pairs AS DOUBLE) * ua.n_tok * ub.n_tok))
+                   * 1000000 + 0.5) / 1000000.0 AS pmi
       FROM pc
       JOIN uc ua ON ua.token = pc.a
       JOIN uc ub ON ub.token = pc.b
@@ -372,12 +380,11 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tots))
         .select(
             "a", "b", "n_pair",
-            F.round(
+            round6_det(
                 F.log(
                     (F.col("n_pair").cast("double") * F.col("n_toks") * F.col("n_toks"))
                     / (F.col("t_pairs").cast("double") * F.col("n_a") * F.col("n_b"))
-                ),
-                6,
+                )
             ).alias("pmi"),
         )
     )
@@ -447,7 +454,7 @@ _LM_IS_TRAIN_SQL = (
     ),
     scored AS (
       SELECT p.doc_id, p.is_train,
-        CAST(round(-ln(
+        CAST(floor(-ln(
           CASE
             WHEN b.cab IS NOT NULL THEN
               (b.cab + {LM_ALPHA_NUM}/{LM_ALPHA_DEN}.0)
@@ -456,7 +463,7 @@ _LM_IS_TRAIN_SQL = (
               ({LM_ALPHA_NUM}/{LM_ALPHA_DEN}.0)
               / (u.ca + {LM_ALPHA_NUM} * v.vocab / {LM_ALPHA_DEN}.0)
             ELSE 1.0 / v.vocab
-          END), 6) AS DECIMAL(18,6)) AS nllp
+          END) * 1000000 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS nllp
       FROM pairs p
       LEFT JOIN bi b ON b.pair = p.pair
       LEFT JOIN uni u ON u.a = split_part(p.pair, ' ', 1)
@@ -534,7 +541,7 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "is_train",
-            F.round(-F.log(prob), 6).cast("decimal(18,6)").alias("nllp"),
+            round6_det(-F.log(prob)).cast("decimal(18,6)").alias("nllp"),
         )
     )
     agg = scored.groupBy("doc_id").agg(

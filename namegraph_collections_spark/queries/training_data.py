@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from namegraph_collections_spark.functions.det_round import round6_det
 from namegraph_collections_spark.queries.dedup import HOT_SHINGLE_DF_CAP, _shingles, _SHINGLES_SQL
 from namegraph_collections_spark.queries.registry import (
     ranked_topk,
@@ -176,7 +177,8 @@ _MIX_PLAN_SQL = f"""
     counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
     weights AS (
       SELECT source, n_docs,
-             CAST(round(pow(n_docs, {MIX_ALPHA_SQL}), 6) AS DECIMAL(18, 6)) AS weight
+             CAST(floor(pow(n_docs, {MIX_ALPHA_SQL}) * 1000000 + 0.5) / 1000000.0
+                  AS DECIMAL(18, 6)) AS weight
       FROM counts
     ),
     totals AS (
@@ -186,8 +188,10 @@ _MIX_PLAN_SQL = f"""
     ),
     plan AS (
       SELECT w.source, w.n_docs,
-             CAST(round(w.weight / t.total_weight, 6) AS DECIMAL(18, 6)) AS share,
-             CAST(FLOOR(CAST(round(w.weight / t.total_weight, 6) AS DECIMAL(18, 6))
+             CAST(floor((CAST(w.weight AS DOUBLE) / CAST(t.total_weight AS DOUBLE))
+                        * 1000000 + 0.5) / 1000000.0 AS DECIMAL(18, 6)) AS share,
+             CAST(FLOOR(CAST(floor((CAST(w.weight AS DOUBLE) / CAST(t.total_weight AS DOUBLE))
+                                   * 1000000 + 0.5) / 1000000.0 AS DECIMAL(18, 6))
                         * t.budget) AS BIGINT) AS expected_docs
       FROM weights w CROSS JOIN totals t
     )
@@ -216,13 +220,15 @@ def domain_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     weights = counts.withColumn(
-        "weight", F.round(F.pow(F.col("n_docs"), F.lit(0.5)), 6).cast("decimal(18,6)")
+        "weight", round6_det(F.pow(F.col("n_docs"), F.lit(0.5))).cast("decimal(18,6)")
     )
     totals = weights.agg(
         F.sum("weight").alias("total_weight"),
         ((F.sum("n_docs") * MIX_BUDGET_NUM) / MIX_BUDGET_DEN).cast("long").alias("budget"),
     )
-    share = F.round(F.col("weight") / F.col("total_weight"), 6).cast("decimal(18,6)")
+    share = round6_det(
+        F.col("weight").cast("double") / F.col("total_weight").cast("double")
+    ).cast("decimal(18,6)")
     return (
         weights.crossJoin(F.broadcast(totals))
         .withColumn("share", share)
@@ -285,9 +291,9 @@ _WS_RANGE = float(1 << 60)
     WITH keyed AS (
       SELECT doc_id,
              CAST(greatest(length(text), 1) AS BIGINT) AS w,
-             ROUND(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
-                      / {_WS_RANGE!r})
-                   / greatest(length(text), 1), 9) AS skey
+             floor((ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+                       / {_WS_RANGE!r})
+                    / greatest(length(text), 1)) * 1000000000 + 0.5) / 1000000000.0 AS skey
       FROM documents
     )
     SELECT doc_id, w, skey, rnk FROM (
@@ -321,7 +327,12 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         "doc_id",
         w_col.alias("w"),
-        F.round(F.log(u) / w_col, 9).alias("skey"),
+        # 9-digit floor-form rounding (det_round convention at 1e9 scale):
+        # same IEEE op sequence on both engines, no engine ROUND half rule.
+        (
+            F.floor((F.log(u) / w_col) * F.lit(1000000000.0) + F.lit(0.5))
+            / F.lit(1000000000.0)
+        ).alias("skey"),
     )
     return ranked_topk(
         keyed, WSAMPLE_K, F.col("skey").desc(), F.col("doc_id").asc()

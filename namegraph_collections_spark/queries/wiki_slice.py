@@ -43,6 +43,7 @@ from namegraph_collections_spark.plans.collections_core import (
     subclass_reachability,
     validate_members,
 )
+from namegraph_collections_spark.functions.det_round import round6_det
 from namegraph_collections_spark.queries.registry import register, tbl
 from namegraph_collections_spark.sources.ntriples import assemble_entities
 
@@ -57,6 +58,14 @@ def _seg_col():
 
 
 def _q(base: int, off):
+    # QID namespaces must stay DISJOINT for any key domain: customers
+    # live at Q(100000+k); categories/specials/types/lists occupy the
+    # fixed ranges Q300000+/Q370000+/Q400000–Q500004/Q600000+. The
+    # engine joins a constructed qrank table on qid while the oracle
+    # derives ranks arithmetically — equivalent only under this
+    # invariant (a colliding qid fans the join out). Synthetic scale
+    # generators must shift c_custkey far enough to clear the fixed
+    # ranges (tools/gen_scale.py shifts by 10M per copy).
     return F.concat(F.lit("Q"), (F.lit(base) + off).cast("string"))
 
 
@@ -947,27 +956,34 @@ SELECT c.item AS id, c.name AS collection_name,
   COALESCE(s.cnt, 0) AS members_count,
   greatest(c.rank, 1) AS collection_rank,
   c.vc AS valid_members_count, c.ic AS invalid_members_count,
-  round(CASE WHEN c.vc + c.ic > 0 THEN c.vc / (c.vc + c.ic) ELSE 0.0e0 END, 6)
+  floor((CASE WHEN c.vc + c.ic > 0 THEN c.vc / (c.vc + c.ic) ELSE 0.0e0 END)
+        * 1000000 + 0.5) / 1000000.0
     AS valid_members_ratio,
   CAST(COALESCE(s.tk, 0) + COALESCE(s.osl, 0) + COALESCE(s.rr, 0) AS BIGINT)
     AS nonavailable_members_count,
-  round(CASE WHEN COALESCE(s.cnt, 0) > 0
-    THEN greatest((s.tk + s.osl + s.rr) / s.cnt, 1e-8) ELSE 1e-8 END, 6)
+  floor((CASE WHEN COALESCE(s.cnt, 0) > 0
+    THEN greatest((s.tk + s.osl + s.rr) / s.cnt, 1e-8) ELSE 1e-8 END)
+        * 1000000 + 0.5) / 1000000.0
     AS nonavailable_members_ratio,
   CAST(COALESCE(s.av, 0) AS BIGINT) AS available_count,
   CAST(COALESCE(s.tk, 0) AS BIGINT) AS taken_count,
   CAST(COALESCE(s.osl, 0) AS BIGINT) AS on_sale_count,
   CAST(COALESCE(s.rr, 0) AS BIGINT) AS recently_released_count,
   CAST(COALESCE(s.nvr, 0) AS BIGINT) AS never_registered_count,
-  round(CASE WHEN COALESCE(s.cnt, 0) > 0
-    THEN greatest(s.rank_sum / s.cnt, 1e-8) ELSE 1e-8 END, 6) AS members_rank_mean,
-  round(greatest(COALESCE(s.rank_med, 0.0e0), 1e-8), 6) AS members_rank_median,
-  round(CASE WHEN COALESCE(s.cnt, 0) > 0
-    THEN greatest(s.score_sum / s.cnt, 1e-8) ELSE 1e-8 END, 6) AS members_score_mean,
-  round(greatest(COALESCE(s.score_med, 0.0e0), 1e-8), 6) AS members_score_median,
-  round((SELECT SUM(COALESCE(u.lp, -2.5e0))
+  floor((CASE WHEN COALESCE(s.cnt, 0) > 0
+    THEN greatest(s.rank_sum / s.cnt, 1e-8) ELSE 1e-8 END)
+        * 1000000 + 0.5) / 1000000.0 AS members_rank_mean,
+  floor(greatest(COALESCE(s.rank_med, 0.0e0), 1e-8)
+        * 1000000 + 0.5) / 1000000.0 AS members_rank_median,
+  floor((CASE WHEN COALESCE(s.cnt, 0) > 0
+    THEN greatest(s.score_sum / s.cnt, 1e-8) ELSE 1e-8 END)
+        * 1000000 + 0.5) / 1000000.0 AS members_score_mean,
+  floor(greatest(COALESCE(s.score_med, 0.0e0), 1e-8)
+        * 1000000 + 0.5) / 1000000.0 AS members_score_median,
+  floor((SELECT SUM(COALESCE(u.lp, -2.5e0))
          FROM unnest(string_split(lower(c.name), ' ')) AS toks(tok)
-         LEFT JOIN uni u ON u.token = toks.tok), 6) AS name_log_probability,
+         LEFT JOIN uni u ON u.token = toks.tok)
+        * 1000000 + 0.5) / 1000000.0 AS name_log_probability,
   c.is_merged,
   COALESCE(p.top10_csv, '') AS top10_csv,
   ft.types_csv,
@@ -1012,18 +1028,18 @@ def wiki_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         c("template.collection_rank").alias("collection_rank"),
         c("template.valid_members_count").cast("long").alias("valid_members_count"),
         c("template.invalid_members_count").cast("long").alias("invalid_members_count"),
-        F.round("template.valid_members_ratio", 6).alias("valid_members_ratio"),
+        round6_det(c("template.valid_members_ratio")).alias("valid_members_ratio"),
         c("template.nonavailable_members_count").cast("long").alias("nonavailable_members_count"),
-        F.round("template.nonavailable_members_ratio", 6).alias("nonavailable_members_ratio"),
+        round6_det(c("template.nonavailable_members_ratio")).alias("nonavailable_members_ratio"),
         c("template.available_count").cast("long").alias("available_count"),
         c("template.taken_count").cast("long").alias("taken_count"),
         c("template.on_sale_count").cast("long").alias("on_sale_count"),
         c("template.recently_released_count").cast("long").alias("recently_released_count"),
         c("template.never_registered_count").cast("long").alias("never_registered_count"),
-        F.round("template.members_rank_mean", 6).alias("members_rank_mean"),
-        F.round("template.members_rank_median", 6).alias("members_rank_median"),
-        F.round("template.members_system_interesting_score_mean", 6).alias("members_score_mean"),
-        F.round("template.members_system_interesting_score_median", 6).alias(
+        round6_det(c("template.members_rank_mean")).alias("members_rank_mean"),
+        round6_det(c("template.members_rank_median")).alias("members_rank_median"),
+        round6_det(c("template.members_system_interesting_score_mean")).alias("members_score_mean"),
+        round6_det(c("template.members_system_interesting_score_median")).alias(
             "members_score_median"
         ),
         c("metadata.collection_name_log_probability").alias("name_log_probability"),
