@@ -51,7 +51,22 @@ COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 
 # Key offsets per copy (all multiples of 10; comfortably above the
 # sf0.1 max of each key domain).
-CUST_BASE = 100_000
+#
+# CUST_BASE must ALSO clear the wiki fixture's QID namespaces: the
+# wiki-slice queries derive customer QIDs as Q(100000 + c_custkey)
+# (queries/wiki_slice.py), and the fixture packs its non-customer
+# entities into fixed numeric ranges (categories Q300000+, specials
+# Q370000+, types Q400000–Q500004, lists Q600000+, plus the Wikidata
+# constants Q4167836/Q13406463). With the original 100_000 offset,
+# copy ≥ 2 customers produced QIDs inside the category range
+# (custkey 200031 → Q300031), fanning out the engine's qrank join
+# where the oracle's arithmetic rank derivation has no join — the
+# four wiki/rollup mismatches in the first sf1 sweep. 10_000_000 puts
+# every shifted customer QID (≥ Q10,100,001) above every fixed
+# namespace for any copy count, and copy-0 keys (≤ 15000) stay below
+# them, so the fixture's namespace-disjointness invariant holds at
+# every scale.
+CUST_BASE = 10_000_000
 SUPP_BASE = 100_000
 PART_BASE = 100_000
 ORDER_BASE = 1_000_000
