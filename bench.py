@@ -116,6 +116,9 @@ HEADLINE = [
     "doc_quality_signals",
     "winnowing_fingerprints",
     "bpe_encode_tokens",
+    "semdedup_keep_list",
+    "neardup_representatives",
+    "pii_scan_redact",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

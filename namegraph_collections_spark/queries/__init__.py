@@ -58,6 +58,9 @@ from namegraph_collections_spark.queries import ann_eval  # noqa: E402,F401
 from namegraph_collections_spark.queries import bpe  # noqa: E402,F401
 from namegraph_collections_spark.queries import profiling  # noqa: E402,F401
 from namegraph_collections_spark.queries import quality_signals  # noqa: E402,F401
+from namegraph_collections_spark.queries import semantic_dedup  # noqa: E402,F401
+from namegraph_collections_spark.queries import dedup_select  # noqa: E402,F401  (after quality_signals: embeds its oracle)
+from namegraph_collections_spark.queries import pii  # noqa: E402,F401
 from namegraph_collections_spark.queries import batteries  # noqa: E402,F401  (must import last: wraps other modules' oracles)
 
 #: The 50 rows the external driver value-hashes, in check order.

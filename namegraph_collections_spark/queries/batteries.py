@@ -32,6 +32,7 @@ from namegraph_collections_spark.queries.event_analytics import (
 from namegraph_collections_spark.queries.ann_eval import recall_eval_from
 from namegraph_collections_spark.queries.quality_signals import doc_quality_signals
 from namegraph_collections_spark.queries.registry import REGISTRY, register
+from namegraph_collections_spark.queries.semantic_dedup import semdedup_keep_list
 from namegraph_collections_spark.queries.similarity import (
     cosine_topk_bruteforce,
     ivf_topk,
@@ -228,28 +229,36 @@ def event_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cos' AS op, q_id, c_id, CAST(c_label AS BIGINT) AS c_label,
            CAST(NULL AS VARCHAR) AS labels,
            CAST(NULL AS INTEGER) AS grp, cosine, rnk,
-           CAST(NULL AS BIGINT) AS n_vecs
+           CAST(NULL AS BIGINT) AS n_vecs, CAST(NULL AS BOOLEAN) AS keep
     FROM ({_oracle("cosine_topk_bruteforce")})
     UNION ALL
     SELECT 'ivf' AS op, q_id, c_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-           c_cluster, cosine, rnk, CAST(NULL AS BIGINT)
+           c_cluster, cosine, rnk, CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
     FROM ({_oracle("ivf_topk")})
     UNION ALL
     SELECT 'lsh' AS op, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), labels,
-           bucket, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), n_vecs
+           bucket, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), n_vecs,
+           CAST(NULL AS BOOLEAN)
     FROM ({_oracle("lsh_bucket_neighbors")})
     UNION ALL
     SELECT 'recall' AS op, q_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           method, CAST(NULL AS INTEGER), recall, CAST(NULL AS BIGINT), hits
+           method, CAST(NULL AS INTEGER), recall, CAST(NULL AS BIGINT), hits,
+           CAST(NULL AS BOOLEAN)
     FROM ({_oracle("ann_recall_eval")})
+    UNION ALL
+    SELECT 'semdedup' AS op, vec_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), cluster, max_earlier_cosine,
+           CAST(NULL AS BIGINT), n_dups, keep
+    FROM ({_oracle("semdedup_keep_list")})
     """,
 )
 def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k + IVF (learned lists) top-k + LSH
     bucket census + the ANN recall@k evaluation (per-query and macro
-    rows) in one tagged result. Components unchanged:
-    queries/similarity.py, ann_eval.py.
+    rows) + the SemDeDup keep/drop list (which shares the IVF k-means
+    codebook) in one tagged result. Components unchanged:
+    queries/similarity.py, ann_eval.py, semantic_dedup.py.
 
     The cosine and IVF results are localCheckpointed and feed BOTH
     their battery leg and the recall eval: the eval re-references the
@@ -273,6 +282,7 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rnk",
         _NULL_L().alias("n_vecs"),
+        _NULL_B().alias("keep"),
     )
     ivf = ivf_full.select(
         F.lit("ivf").alias("op"),
@@ -284,6 +294,7 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rnk",
         _NULL_L().alias("n_vecs"),
+        _NULL_B().alias("keep"),
     )
     lsh = lsh_bucket_neighbors(spark, sf_dir).select(
         F.lit("lsh").alias("op"),
@@ -295,6 +306,7 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_D().alias("cosine"),
         _NULL_I().alias("rnk"),
         "n_vecs",
+        _NULL_B().alias("keep"),
     )
     recall = recall_eval_from(
         cos_full, ivf_full, pq_rerank_topk(spark, sf_dir)
@@ -308,8 +320,26 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("recall").alias("cosine"),
         _NULL_I().alias("rnk"),
         F.col("hits").alias("n_vecs"),
+        _NULL_B().alias("keep"),
     )
-    return cos.unionByName(ivf).unionByName(lsh).unionByName(recall)
+    semd = semdedup_keep_list(spark, sf_dir).select(
+        F.lit("semdedup").alias("op"),
+        F.col("vec_id").alias("q_id"),
+        _NULL_L().alias("c_id"),
+        _NULL_L().alias("c_label"),
+        _NULL_S().alias("labels"),
+        F.col("cluster").cast("int").alias("grp"),
+        F.col("max_earlier_cosine").alias("cosine"),
+        _NULL_I().alias("rnk"),
+        F.col("n_dups").alias("n_vecs"),
+        "keep",
+    )
+    return (
+        cos.unionByName(ivf)
+        .unionByName(lsh)
+        .unionByName(recall)
+        .unionByName(semd)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -444,6 +474,9 @@ from namegraph_collections_spark.queries.dedup import (  # noqa: E402
     passage_dedup,
     tfidf_cosine_pairs,
     winnowing_fingerprints,
+)
+from namegraph_collections_spark.queries.dedup_select import (  # noqa: E402
+    neardup_representatives,
 )
 from namegraph_collections_spark.queries.relational import (  # noqa: E402
     hourly_event_rollup,
@@ -613,35 +646,43 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'exact' AS op, fingerprint AS fp, CAST(NULL AS VARCHAR) AS s,
            canonical_doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
            dup_count AS cnt, CAST(NULL AS BIGINT) AS nd,
-           CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS BOOLEAN) AS is_dup
+           CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS BOOLEAN) AS is_dup,
+           CAST(NULL AS BIGINT) AS n_keep, CAST(NULL AS BIGINT) AS rep_words
     FROM ({_oracle("exact_dedup_groups")})
     UNION ALL
     SELECT 'passage' AS op, passage_hash, passage, first_doc_id,
            CAST(NULL AS BIGINT), n_occurrences, n_docs, CAST(NULL AS DOUBLE),
-           CAST(NULL AS BOOLEAN)
+           CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("passage_dedup")})
     UNION ALL
     SELECT 'tfidf' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            doc_a, doc_b, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), cosine,
-           CAST(NULL AS BOOLEAN)
+           CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("tfidf_cosine_pairs")})
     UNION ALL
     SELECT 'incremental' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            new_doc, old_doc, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           jaccard, is_dup
+           jaccard, is_dup, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("incremental_minhash_dedup")})
     UNION ALL
     SELECT 'winnow' AS op, CAST(fp AS VARCHAR), CAST(NULL AS VARCHAR),
            doc_id, fp_pos, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("winnowing_fingerprints")})
+    UNION ALL
+    SELECT 'rep' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           cluster_id, rep_doc_id, cluster_size, n_dropped,
+           CAST(NULL AS DOUBLE), rep_keep, n_quality_keep, rep_n_words
+    FROM ({_oracle("neardup_representatives")})
     """,
 )
 def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fingerprint groups + cross-document passage dedup +
     idf-weighted cosine pairs + incremental (batch-vs-corpus) MinHash
-    dedup + winnowing local fingerprints in one tagged result.
-    Components unchanged: queries/dedup.py.
+    dedup + winnowing local fingerprints + per-cluster representative
+    selection in one tagged result. Components unchanged:
+    queries/dedup.py, dedup_select.py.
     """
     exact = exact_dedup_groups(spark, sf_dir).select(
         F.lit("exact").alias("op"),
@@ -653,6 +694,8 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("nd"),
         _NULL_D().alias("cosine"),
         _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
     )
     passage = passage_dedup(spark, sf_dir).select(
         F.lit("passage").alias("op"),
@@ -664,6 +707,8 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("nd"),
         _NULL_D().alias("cosine"),
         _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
     )
     tfidf = tfidf_cosine_pairs(spark, sf_dir).select(
         F.lit("tfidf").alias("op"),
@@ -675,6 +720,8 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("nd"),
         "cosine",
         _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
     )
     inc = incremental_minhash_dedup(spark, sf_dir).select(
         F.lit("incremental").alias("op"),
@@ -686,6 +733,8 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("nd"),
         F.col("jaccard").alias("cosine"),
         "is_dup",
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
     )
     winnow = winnowing_fingerprints(spark, sf_dir).select(
         F.lit("winnow").alias("op"),
@@ -697,12 +746,28 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("nd"),
         _NULL_D().alias("cosine"),
         _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
+    rep = neardup_representatives(spark, sf_dir).select(
+        F.lit("rep").alias("op"),
+        _NULL_S().alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("cluster_id").alias("id_a"),
+        F.col("rep_doc_id").alias("id_b"),
+        F.col("cluster_size").alias("cnt"),
+        F.col("n_dropped").alias("nd"),
+        _NULL_D().alias("cosine"),
+        F.col("rep_keep").alias("is_dup"),
+        F.col("n_quality_keep").alias("n_keep"),
+        F.col("rep_n_words").alias("rep_words"),
     )
     return (
         exact.unionByName(passage)
         .unionByName(tfidf)
         .unionByName(inc)
         .unionByName(winnow)
+        .unionByName(rep)
     )
 
 

@@ -162,15 +162,89 @@ def _assign_sql(cent_cte: str, name: str) -> str:
     )"""
 
 
-@register(
-    "ivf_topk",
-    oracle=f"""
-    WITH a0 AS (SELECT vec_id, embedding, CAST(vec_id % {KMEANS_K} AS INT) AS cluster
+#: The deterministic k-means CTE prefix (init assignment a0 → two
+#: Lloyd rounds → final assignment ``a2`` + final centroids ``c2``),
+#: shared by the ivf_topk oracle and semantic_dedup's oracle so both
+#: engines — and both QUERIES — agree on one clustering.
+KMEANS_CTES_SQL = f"""a0 AS (SELECT vec_id, embedding, CAST(vec_id % {KMEANS_K} AS INT) AS cluster
                 FROM embeddings),
     {_centroid_sql("a0", "c1")},
     {_assign_sql("c1", "a1")},
     {_centroid_sql("a1", "c2")},
-    {_assign_sql("c2", "a2")},
+    {_assign_sql("c2", "a2")}"""
+
+
+def kmeans_centroids_of(assigned: DataFrame) -> DataFrame:
+    """Per-cluster per-dimension decimal-exact means → centroid arrays.
+
+    ONE explode+groupBy whose shuffle carries k × DIM partial sums
+    (map-side combined — never vectors); see ivf_topk's docstring for
+    the quantization determinism argument.
+    """
+    dims = assigned.select(
+        "cluster", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "cluster", "pos0",
+        F.floor(F.col("v").cast("double") * F.lit(float(QUANT))).alias("val"),
+    )
+    return (
+        dims.groupBy("cluster", "pos0")
+        .agg(
+            (F.sum("val").cast("double") / (F.count(F.lit(1)) * F.lit(QUANT))).alias("m")
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def kmeans_assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Re-assign every vector to its best-dot centroid (broadcast
+    cross join + max-dot window over k rows per vector)."""
+    # project the rounded dot ONCE per (vec, cluster) row, then
+    # rank the k rows by the materialized column — keeping the
+    # 64-term dot out of the window comparator
+    scored_rows = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cluster",
+            round6_det(_dot(F.col("embedding"), F.col("centroid"))).alias("d"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cluster").asc())
+    return (
+        scored_rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster")
+    )
+
+
+def kmeans_lists(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic k-means (init ``vec_id % k``, KMEANS_ROUNDS Lloyd
+    rounds) → (final assignment, final centroids). The SQL twin is
+    :data:`KMEANS_CTES_SQL` (assignment CTE ``a2``). Callers decide
+    caching: the centroid table is tiny (k rows) and is re-derived per
+    reference unless persisted."""
+    assigned = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % KMEANS_K).cast("int").alias("cluster")
+    )
+    cents = None
+    for _ in range(KMEANS_ROUNDS):
+        cents = kmeans_centroids_of(assigned)
+        assigned = kmeans_assign_to(emb, cents)
+    return assigned, cents
+
+
+@register(
+    "ivf_topk",
+    oracle=f"""
+    WITH {KMEANS_CTES_SQL},
     q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
           WHERE vec_id < {N_QUERY_VECS}),
     probes AS (
@@ -222,55 +296,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts.
     """
     emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
-
-    def centroids_of(assigned: DataFrame) -> DataFrame:
-        dims = assigned.select(
-            "cluster", F.posexplode("embedding").alias("pos0", "v")
-        ).select(
-            "cluster", "pos0",
-            F.floor(F.col("v").cast("double") * F.lit(float(QUANT))).alias("val"),
-        )
-        return (
-            dims.groupBy("cluster", "pos0")
-            .agg(
-                (F.sum("val").cast("double") / (F.count(F.lit(1)) * F.lit(QUANT))).alias("m")
-            )
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos0", "m"))), lambda s: s["m"]
-                ).alias("centroid")
-            )
-        )
-
-    def assign_to(cents: DataFrame) -> DataFrame:
-        # project the rounded dot ONCE per (vec, cluster) row, then
-        # rank the k rows by the materialized column — keeping the
-        # 64-term dot out of the window comparator
-        scored_rows = (
-            emb.select("vec_id", "embedding")
-            .crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "embedding",
-                "cluster",
-                round6_det(_dot(F.col("embedding"), F.col("centroid"))).alias("d"),
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cluster").asc())
-        return (
-            scored_rows.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cluster")
-        )
-
-    assigned = emb.select(
-        "vec_id", "embedding", (F.col("vec_id") % KMEANS_K).cast("int").alias("cluster")
-    )
-    cents = None
-    for _ in range(KMEANS_ROUNDS):
-        cents = centroids_of(assigned)
-        assigned = assign_to(cents)
+    assigned, cents = kmeans_lists(emb)
     # probes search the LAST ROUND's centroids — the ones the final
     # assignment was built against (tiny table, broadcast below).
     # persist(), NOT localCheckpoint: the returned plan reads this, so

@@ -157,36 +157,66 @@ def strip_suffix_and_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # three single-operator forms stay registered after the window for the
 # local sweep, bench continuity, and direct use.
 # ---------------------------------------------------------------------------
+# The PII scan/redaction leg (queries/pii.py) joins this battery: it
+# is the same regex-operator family over a different table, and the
+# battery is its one driver-hashed surface. Importing the module here
+# registers it before this oracle is built.
+from namegraph_collections_spark.queries.pii import pii_scan_redact  # noqa: E402
+from namegraph_collections_spark.queries.registry import REGISTRY as _REG  # noqa: E402
+
+
 @register(
     "string_ops_battery",
     oracle=f"""
     SELECT 'curate' AS op, p_partkey, curated_name AS s,
            n_tokens, first_token,
-           CAST(NULL AS INTEGER) AS brand_num, CAST(NULL AS VARCHAR) AS type_lc
+           CAST(NULL AS INTEGER) AS brand_num, CAST(NULL AS VARCHAR) AS type_lc,
+           CAST(NULL AS BIGINT) AS n_emails, CAST(NULL AS BIGINT) AS n_phones,
+           CAST(NULL AS BIGINT) AS n_ips, CAST(NULL AS BOOLEAN) AS has_pii,
+           CAST(NULL AS VARCHAR) AS masked_phone
     FROM ({_CURATE_ORACLE})
     UNION ALL
     SELECT 'filter' AS op, p_partkey, name AS s,
            CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS first_token,
-           CAST(NULL AS INTEGER) AS brand_num, CAST(NULL AS VARCHAR) AS type_lc
+           CAST(NULL AS INTEGER) AS brand_num, CAST(NULL AS VARCHAR) AS type_lc,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
     FROM ({_FILTER_ORACLE})
     UNION ALL
     SELECT 'strip' AS op, p_partkey, stripped AS s,
            CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS first_token,
-           brand_num, type_lc
+           brand_num, type_lc,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
     FROM ({_STRIP_ORACLE})
+    UNION ALL
+    SELECT 'pii' AS op, c_custkey, redacted AS s,
+           pii_total, CAST(NULL AS VARCHAR) AS first_token,
+           CAST(NULL AS INTEGER) AS brand_num, CAST(NULL AS VARCHAR) AS type_lc,
+           n_emails, n_phones, n_ips, has_pii, masked_phone
+    FROM ({_REG["pii_scan_redact"].oracle})
     """,
 )
 def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """curate_name + the filter-regex battery + strip/extract scalars
-    in one tagged result (SURVEY §2.7 C3/C6, §2.2 F9/F10 ★).
+    + the PII scan/redaction leg in one tagged result (SURVEY §2.7
+    C3/C6, §2.2 F9/F10 ★; queries/pii.py).
 
     Each part is the unchanged single-operator query, null-padded to
     the common schema and unioned with an ``op`` tag — so the one
-    driver row value-hashes all three operators' full outputs.
+    driver row value-hashes all four operators' full outputs.
     """
     null_i = F.lit(None).cast("int")
     null_l = F.lit(None).cast("long")
     null_s = F.lit(None).cast("string")
+    null_b = F.lit(None).cast("boolean")
+    pii_pads = [
+        null_l.alias("n_emails"),
+        null_l.alias("n_phones"),
+        null_l.alias("n_ips"),
+        null_b.alias("has_pii"),
+        null_s.alias("masked_phone"),
+    ]
     curate = curate_names(spark, sf_dir).select(
         F.lit("curate").alias("op"),
         "p_partkey",
@@ -195,6 +225,7 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_token",
         null_i.alias("brand_num"),
         null_s.alias("type_lc"),
+        *pii_pads,
     )
     filt = name_regex_filters(spark, sf_dir).select(
         F.lit("filter").alias("op"),
@@ -204,6 +235,7 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_s.alias("first_token"),
         null_i.alias("brand_num"),
         null_s.alias("type_lc"),
+        *pii_pads,
     )
     strip = strip_suffix_and_extract(spark, sf_dir).select(
         F.lit("strip").alias("op"),
@@ -213,5 +245,20 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_s.alias("first_token"),
         "brand_num",
         "type_lc",
+        *pii_pads,
     )
-    return curate.unionByName(filt).unionByName(strip)
+    pii_leg = pii_scan_redact(spark, sf_dir).select(
+        F.lit("pii").alias("op"),
+        F.col("c_custkey").alias("p_partkey"),
+        F.col("redacted").alias("s"),
+        F.col("pii_total").alias("n_tokens"),
+        null_s.alias("first_token"),
+        null_i.alias("brand_num"),
+        null_s.alias("type_lc"),
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        "has_pii",
+        "masked_phone",
+    )
+    return curate.unionByName(filt).unionByName(strip).unionByName(pii_leg)

@@ -29,6 +29,8 @@ BATTERIES = {
         "ivf_topk",
         "lsh_bucket_neighbors",
         "ann_recall_eval",
+        # round 7: SemDeDup keep/drop list (shares the IVF codebook)
+        "semdedup_keep_list",
     ],
     "unigram_text_battery": [
         "token_frequencies",
@@ -55,8 +57,17 @@ BATTERIES = {
         "incremental_minhash_dedup",
         # round 7: winnowing local fingerprints
         "winnowing_fingerprints",
+        # round 7: per-cluster representative selection
+        "neardup_representatives",
     ],
     "pq_battery": ["pq_adc_topk", "pq_rerank_topk"],
+    "string_ops_battery": [
+        "curate_names",
+        "name_regex_filters",
+        "strip_suffix_and_extract",
+        # round 7: the PII scan/redaction leg
+        "pii_scan_redact",
+    ],
     "sketch_stats_battery": [
         "cms_heavy_hitters",
         "histogram_quantiles",

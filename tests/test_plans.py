@@ -103,6 +103,9 @@ def test_semi_and_anti_join_physical(spark):
         # round 7 additions
         "winnowing_fingerprints",
         "bpe_encode_tokens",
+        "semdedup_keep_list",
+        "neardup_representatives",
+        "pii_scan_redact",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):

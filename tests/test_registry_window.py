@@ -129,6 +129,9 @@ R7_COMPOSITED = [
     "doc_quality_signals",  # rides unigram_text_battery
     "winnowing_fingerprints",  # rides lexical_dedup_battery
     "bpe_encode_tokens",  # rides text_mining_battery
+    "semdedup_keep_list",  # rides similarity_battery
+    "neardup_representatives",  # rides lexical_dedup_battery
+    "pii_scan_redact",  # rides string_ops_battery
 ]
 
 
