@@ -31,11 +31,16 @@ from namegraph_collections_spark.queries.event_analytics import (
 )
 from namegraph_collections_spark.queries.ann_eval import recall_eval_from
 from namegraph_collections_spark.queries.quality_signals import doc_quality_signals
-from namegraph_collections_spark.queries.registry import REGISTRY, register
-from namegraph_collections_spark.queries.semantic_dedup import semdedup_keep_list
+from namegraph_collections_spark.queries.registry import REGISTRY, register, spread, tbl
+from namegraph_collections_spark.queries.semantic_dedup import (
+    semdedup_from,
+    semdedup_keep_list,  # noqa: F401  (oracle parity; battery uses the _from seam)
+)
 from namegraph_collections_spark.queries.similarity import (
     cosine_topk_bruteforce,
-    ivf_topk,
+    ivf_topk,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    ivf_topk_from,
+    kmeans_lists,
     lsh_bucket_neighbors,
 )
 from namegraph_collections_spark.queries.temporal import (
@@ -269,9 +274,19 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples each, warmed): plain 2.51/2.36/2.35/2.36s vs checkpointed
     1.58/1.71/1.56/1.66s — ~1.5x. pq_rerank is referenced once (its
     battery leg lives in pq_battery), so it is not checkpointed here.
+
+    The round-7 SemDeDup leg shares ONE k-means build with the IVF
+    leg: `kmeans_lists` runs once, the assignment is localCheckpointed
+    (tiny: one row per vector), and both `ivf_topk_from` and
+    `semdedup_from` consume it — the singles each build their own
+    codebook, but inside the battery that would be the same
+    double-execution this docstring's first paragraph removed.
     """
+    emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
+    assigned, cents = kmeans_lists(emb)
+    assigned = assigned.localCheckpoint(eager=False)
     cos_full = cosine_topk_bruteforce(spark, sf_dir).localCheckpoint(eager=False)
-    ivf_full = ivf_topk(spark, sf_dir).localCheckpoint(eager=False)
+    ivf_full = ivf_topk_from(emb, assigned, cents).localCheckpoint(eager=False)
     cos = cos_full.select(
         F.lit("cos").alias("op"),
         "q_id",
@@ -322,7 +337,7 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hits").alias("n_vecs"),
         _NULL_B().alias("keep"),
     )
-    semd = semdedup_keep_list(spark, sf_dir).select(
+    semd = semdedup_from(emb, assigned).select(
         F.lit("semdedup").alias("op"),
         F.col("vec_id").alias("q_id"),
         _NULL_L().alias("c_id"),

@@ -115,6 +115,14 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
     assigned, _ = kmeans_lists(emb)
+    return semdedup_from(emb, assigned)
+
+
+def semdedup_from(emb: DataFrame, assigned: DataFrame) -> DataFrame:
+    """SemDeDup over an ALREADY-BUILT cluster assignment — the sharing
+    seam that lets similarity_battery feed IVF search and this pass
+    from ONE `kmeans_lists` build (the `recall_eval_from` precedent).
+    """
     slim = assigned.select("vec_id", "cluster")
     w = Window.partitionBy("cluster").orderBy("vec_id")
     ranked = slim.withColumn("rnk", F.row_number().over(w))

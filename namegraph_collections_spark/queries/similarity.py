@@ -297,6 +297,15 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
     assigned, cents = kmeans_lists(emb)
+    return ivf_topk_from(emb, assigned, cents)
+
+
+def ivf_topk_from(emb: DataFrame, assigned: DataFrame, cents: DataFrame) -> DataFrame:
+    """IVF search over an ALREADY-BUILT codebook — the sharing seam
+    for composites that reuse one k-means build across several
+    consumers (similarity_battery feeds ivf search AND the SemDeDup
+    leg from one `kmeans_lists` call, the `recall_eval_from`
+    precedent)."""
     # probes search the LAST ROUND's centroids — the ones the final
     # assignment was built against (tiny table, broadcast below).
     # persist(), NOT localCheckpoint: the returned plan reads this, so
