@@ -119,6 +119,7 @@ HEADLINE = [
     "semdedup_keep_list",
     "neardup_representatives",
     "pii_scan_redact",
+    "training_pipeline_e2e",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -106,6 +106,7 @@ def test_semi_and_anti_join_physical(spark):
         "semdedup_keep_list",
         "neardup_representatives",
         "pii_scan_redact",
+        "training_pipeline_e2e",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
