@@ -1,0 +1,115 @@
+"""Semantic property tests for the round-7 pipeline operators —
+invariants the DuckDB parity sweep cannot express (it proves both
+engines agree; these prove the agreed answer has the claimed shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _run(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# semdedup_keep_list
+# ---------------------------------------------------------------------------
+def test_semdedup_keep_iff_no_earlier_dup(spark):
+    rows = _run(spark, "semdedup_keep_list").collect()
+    assert rows
+    for r in rows:
+        assert r.keep == (r.n_dups == 0)
+        if r.n_dups > 0:
+            assert r.max_earlier_cosine is not None
+
+
+def test_semdedup_every_cluster_keeps_its_first_vector(spark):
+    """The minimum vec_id of each cluster has no earlier neighbor, so
+    SemDeDup can never empty a cluster."""
+    df = _run(spark, "semdedup_keep_list")
+    firsts = (
+        df.groupBy("cluster")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .join(df, ["cluster", "vec_id"])
+    )
+    assert firsts.filter(~F.col("keep")).count() == 0
+    # and the pass is a partition of the corpus: one row per vector
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert df.count() == n_vecs
+
+
+# ---------------------------------------------------------------------------
+# neardup_representatives
+# ---------------------------------------------------------------------------
+def test_representative_is_a_cluster_member_with_max_quality_order(spark):
+    reps = _run(spark, "neardup_representatives")
+    clusters = _run(spark, "neardup_clusters")
+    # the representative belongs to its own cluster
+    bad = (
+        reps.alias("r")
+        .join(
+            clusters.alias("c"),
+            (F.col("c.doc_id") == F.col("r.rep_doc_id"))
+            & (F.col("c.cluster_id") == F.col("r.cluster_id")),
+            "left_anti",
+        )
+        .count()
+    )
+    assert bad == 0
+    # sizes agree with the closure's own sizes
+    joined = reps.alias("r").join(
+        clusters.filter(F.col("is_canonical")).alias("c"),
+        F.col("r.cluster_id") == F.col("c.cluster_id"),
+    )
+    assert joined.filter(F.col("r.cluster_size") != F.col("c.cluster_size")).count() == 0
+    # if any member passes the quality gate, the representative must
+    assert reps.filter((F.col("n_quality_keep") > 0) & ~F.col("rep_keep")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pii_scan_redact
+# ---------------------------------------------------------------------------
+def test_pii_detection_and_redaction_shape(spark):
+    rows = _run(spark, "pii_scan_redact").collect()
+    assert rows
+    for r in rows:
+        # contact text always embeds exactly one email and one IP
+        assert r.n_emails == 1
+        assert r.n_ips == 1
+        # phones exist iff custkey % 3 != 0, and masking is
+        # format-preserving
+        if r.c_custkey % 3 != 0:
+            assert r.n_phones == 1
+            assert r.masked_phone == "XX-XXX-XXX-XXXX"
+            assert "[PHONE]" in r.redacted
+        else:
+            assert r.n_phones == 0
+            assert r.masked_phone == ""
+        assert r.has_pii
+        assert "[EMAIL]" in r.redacted and "[IP]" in r.redacted
+        # nothing that looks like the detected classes survives
+        assert "@example.com" not in r.redacted
+
+
+# ---------------------------------------------------------------------------
+# training_pipeline_e2e
+# ---------------------------------------------------------------------------
+def test_pipeline_funnel_is_monotone_and_split_partitions_survivors(spark):
+    rows = {(r.stage, r.detail): r for r in _run(spark, "training_pipeline_e2e").collect()}
+    funnel = [rows[(s, "")] for s in
+              ["00_input", "01_exact_dedup", "02_fuzzy_rep", "03_quality", "04_decontam"]]
+    for prev, cur in zip(funnel, funnel[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_words_total <= prev.n_words_total
+    final = funnel[-1]
+    splits = [r for (s, _), r in rows.items() if s == "05_split"]
+    assert sum(r.n_docs for r in splits) == final.n_docs
+    assert sum(r.doc_id_sum for r in splits) == final.doc_id_sum
+    # the pipeline must not be vacuous at the test scale: documents
+    # actually drop, and at least one train doc survives
+    assert final.n_docs < funnel[0].n_docs
+    assert any(r.detail == "train" and r.n_docs > 0 for r in splits)
