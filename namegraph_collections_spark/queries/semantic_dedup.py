@@ -125,7 +125,12 @@ def semdedup_from(emb: DataFrame, assigned: DataFrame) -> DataFrame:
     """
     slim = assigned.select("vec_id", "cluster")
     w = Window.partitionBy("cluster").orderBy("vec_id")
-    ranked = slim.withColumn("rnk", F.row_number().over(w))
+    # persist: `ranked` is referenced three times (blocker side, later
+    # side, final left join) and each reference would otherwise replay
+    # the whole k-means subtree — ReusedExchange does not dedup the
+    # repeated subtrees (the measured battery finding). Three ints per
+    # vector; persist (evictable) per the ivf_topk centroid rationale.
+    ranked = slim.withColumn("rnk", F.row_number().over(w)).persist()
 
     blockers = ranked.filter(F.col("rnk") <= SEMDEDUP_CAP).select(
         F.col("cluster").alias("b_cluster"), F.col("vec_id").alias("b_id")

@@ -44,6 +44,11 @@ QUERIES = [
     "rollup_battery",
     "cdc_battery",
     "embedding_neardup_pairs",
+    # round-7 pipeline additions (each owns a join/closure shape not
+    # already covered by the batteries above)
+    "semdedup_keep_list",
+    "neardup_representatives",
+    "training_pipeline_e2e",
 ]
 
 SCALES = {
