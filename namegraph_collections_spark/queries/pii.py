@@ -89,7 +89,15 @@ def pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     format-preserving phone masking (module docstring) — one
     codegen-friendly scan, no shuffle.
     """
-    contact = tbl(spark, sf_dir, "customer").select(
+    return pii_scan_of(tbl(spark, sf_dir, "customer"))
+
+
+def pii_scan_of(customers: DataFrame) -> DataFrame:
+    """The scan/redact/mask program as a pure DataFrame transformation
+    — batch/stream-agnostic (no shuffle), so the SAME regex program
+    runs at ingest on a streaming source (streaming/filter_stream.py)
+    and in the batch query above."""
+    contact = customers.select(
         "c_custkey", F.expr(_contact_sql("div", "STRING")).alias("txt")
     )
     scanned = contact.select(

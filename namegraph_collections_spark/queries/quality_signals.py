@@ -179,7 +179,16 @@ def doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Gopher/C4 quality signals + composite keep flag
     (module docstring) in one scan — no shuffle, no join, no Python.
     """
-    docs = tbl(spark, sf_dir, "documents").select(
+    return quality_signals_of(tbl(spark, sf_dir, "documents"))
+
+
+def quality_signals_of(docs: DataFrame) -> DataFrame:
+    """The signal computation as a pure DataFrame transformation —
+    batch/stream-agnostic (no shuffle, no join), so the SAME column
+    program runs at ingest on a streaming `documents` source
+    (streaming/filter_stream.py) and in the batch query above.
+    ``docs`` needs (doc_id, text)."""
+    docs = docs.select(
         "doc_id", F.expr(f"text || ({_TAIL_SQL})").alias("qtext")
     )
     arr = docs.select(

@@ -1,0 +1,78 @@
+"""Streaming ingest filters: quality signals + PII scan at the point
+of arrival.
+
+A production corpus build runs its per-row filter family (Gopher
+quality signals, PII redaction) as documents LAND, not as a nightly
+batch — and because both operators are pure scan+project column
+programs (no shuffle, no state), Spark's unified API runs the
+IDENTICAL transformation on a streaming source: `quality_signals_of`
+and `pii_scan_of` are the same functions the batch queries
+`doc_quality_signals` / `pii_scan_redact` call, applied to a
+`readStream` DataFrame. Append mode, zero state, per-microbatch cost
+proportional to the new files only — the cheapest possible streaming
+shape, and batch/stream parity holds by construction (pinned by
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from namegraph_collections_spark.queries.pii import pii_scan_of
+from namegraph_collections_spark.queries.quality_signals import quality_signals_of
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+CUSTOMER_SCHEMA = StructType(
+    [
+        StructField("c_custkey", LongType()),
+        StructField("c_name", StringType()),
+        StructField("c_nationkey", IntegerType()),
+        StructField("c_acctbal", DoubleType()),
+        StructField("c_mktsegment", StringType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+
+def read_customer_stream(spark: SparkSession, cust_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(CUSTOMER_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cust_dir)
+    )
+
+
+def quality_filter_stream(docs_stream: DataFrame) -> DataFrame:
+    """Per-document quality signals + keep flag on a streaming source —
+    the batch operator verbatim (queries/quality_signals.py)."""
+    return quality_signals_of(docs_stream)
+
+
+def pii_scan_stream(cust_stream: DataFrame) -> DataFrame:
+    """PII detection/redaction/masking on a streaming source — the
+    batch operator verbatim (queries/pii.py)."""
+    return pii_scan_of(cust_stream)

@@ -1,0 +1,63 @@
+"""Batch/stream parity for the ingest filter family
+(streaming/filter_stream.py): the quality-signal and PII programs are
+the SAME functions the batch queries run, so draining a two-file
+landing zone through them must reproduce the batch output exactly.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from namegraph_collections_spark.queries import REGISTRY
+from namegraph_collections_spark.streaming.events import run_available_now
+from namegraph_collections_spark.streaming.filter_stream import (
+    pii_scan_stream,
+    quality_filter_stream,
+    read_customer_stream,
+    read_documents_stream,
+)
+from tests.conftest import SF_DIR
+
+
+def _landing_zone(spark, tmp_path, table, key):
+    """Split the fixture table into two parquet files in a directory —
+    a landing zone the file-stream source drains one file per batch."""
+    src = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+    out = tmp_path / f"{table}_zone"
+    half = src.filter(f"{key} % 2 = 0")
+    rest = src.filter(f"{key} % 2 = 1")
+    for i, part in enumerate([half, rest]):
+        d = tmp_path / f"_{table}_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(d))
+        out.mkdir(exist_ok=True)
+        for f in d.glob("part-*.parquet"):
+            shutil.copy(f, out / f"file-{i}.parquet")
+    return str(out)
+
+
+def _rows(df, cols):
+    return sorted(tuple(map(repr, r)) for r in df.select(*cols).collect())
+
+
+def test_quality_filter_stream_matches_batch(spark, tmp_path):
+    zone = _landing_zone(spark, tmp_path, "documents", "doc_id")
+    got = run_available_now(
+        quality_filter_stream(read_documents_stream(spark, zone)),
+        str(tmp_path / "ckpt_q"),
+    )
+    want = REGISTRY["doc_quality_signals"].fn(spark, SF_DIR)
+    cols = want.columns
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+
+
+def test_pii_scan_stream_matches_batch(spark, tmp_path):
+    zone = _landing_zone(spark, tmp_path, "customer", "c_custkey")
+    got = run_available_now(
+        pii_scan_stream(read_customer_stream(spark, zone)),
+        str(tmp_path / "ckpt_p"),
+    )
+    want = REGISTRY["pii_scan_redact"].fn(spark, SF_DIR)
+    cols = want.columns
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
