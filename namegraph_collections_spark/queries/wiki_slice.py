@@ -669,7 +669,7 @@ merged_mem AS (
 merged_mem_agg AS (
   SELECT target_list,
     COUNT(*) AS n_members,
-    round(SUM(iscore), 6) AS score_sum,
+    floor(SUM(iscore) * 1000000 + 0.5) / 1000000.0 AS score_sum,
     array_to_string(list_slice(
       list(curated || '@' || mrank || '@' || coalesce(status, '-')
            ORDER BY mrank DESC, src_order, enr_pos, curated), 1, 15), '|') AS members_csv
@@ -678,7 +678,7 @@ merged_mem_agg AS (
 unm_mem_agg AS (
   SELECT item,
     COUNT(*) AS n_members,
-    round(SUM(iscore), 6) AS score_sum,
+    floor(SUM(iscore) * 1000000 + 0.5) / 1000000.0 AS score_sum,
     array_to_string(list_slice(
       list(curated || '@' || mrank || '@' || coalesce(status, '-')
            ORDER BY enr_pos), 1, 15), '|') AS members_csv
@@ -776,13 +776,12 @@ def wiki_all_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "|",
         ).alias("members_csv"),
-        F.round(
+        round6_det(
             F.aggregate(
                 F.transform(mem, lambda m: m["interesting_score"]),
                 F.lit(0.0),
                 lambda a, x: a + x,
-            ),
-            6,
+            )
         ).alias("score_sum"),
     )
 
