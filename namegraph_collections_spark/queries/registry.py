@@ -15,7 +15,11 @@ matches):
   ``functions/det_round.py``; bare ``ROUND(double, 6)`` is banned
   from hash surfaces (its half-way rule is engine-specific: the
   incremental-rollup mean diverged at sf1 on 13911.3/320 being an
-  exact 6-decimal half);
+  exact 6-decimal half). Documented exceptions where the true value
+  PROVABLY cannot land on a 6-decimal half, so every engine's half
+  rule agrees: ``ROUND(price*100, 0)`` cents (integer-valued
+  rational), medians of 2-decimal prices (≤3-decimal rational), and
+  no-op outer rounds over already-micro-rounded quotients;
 - arrays are always ``array_sort``-ed / ``list_sort``-ed;
 - timestamps are emitted as epoch microseconds (BIGINT);
 - every window/top-k has a total order (explicit tiebreakers).
