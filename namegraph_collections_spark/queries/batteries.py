@@ -484,14 +484,18 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-6 second wave (same construction rules as above).
 # ---------------------------------------------------------------------------
 from namegraph_collections_spark.queries.dedup import (  # noqa: E402
+    _minhash_bands,
+    _minhash_pairs_from,
     exact_dedup_groups,
-    incremental_minhash_dedup,
+    incremental_minhash_dedup,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    incremental_minhash_dedup_from,
     passage_dedup,
     tfidf_cosine_pairs,
     winnowing_fingerprints,
 )
 from namegraph_collections_spark.queries.dedup_select import (  # noqa: E402
-    neardup_representatives,
+    neardup_representatives,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    neardup_representatives_from,
 )
 from namegraph_collections_spark.queries.relational import (  # noqa: E402
     hourly_event_rollup,
@@ -699,6 +703,15 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection in one tagged result. Components unchanged:
     queries/dedup.py, dedup_select.py.
     """
+    from namegraph_collections_spark.queries.registry import tbl as _tbl
+
+    # ONE bands build feeds both the incremental probe (which itself
+    # references it twice: index side + batch side) and the
+    # representative closure's pair generation; localCheckpoint
+    # because ReusedExchange does not dedup the repeated subtrees
+    # (the measured battery finding; A/B in MEASUREMENTS.md).
+    docs = _tbl(spark, sf_dir, "documents")
+    bands = _minhash_bands(docs).localCheckpoint(eager=False)
     exact = exact_dedup_groups(spark, sf_dir).select(
         F.lit("exact").alias("op"),
         F.col("fingerprint").alias("fp"),
@@ -738,7 +751,7 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("n_keep"),
         _NULL_L().alias("rep_words"),
     )
-    inc = incremental_minhash_dedup(spark, sf_dir).select(
+    inc = incremental_minhash_dedup_from(docs, bands).select(
         F.lit("incremental").alias("op"),
         _NULL_S().alias("fp"),
         _NULL_S().alias("s"),
@@ -764,7 +777,9 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("n_keep"),
         _NULL_L().alias("rep_words"),
     )
-    rep = neardup_representatives(spark, sf_dir).select(
+    rep = neardup_representatives_from(
+        docs, _minhash_pairs_from(bands), doc_quality_signals(spark, sf_dir)
+    ).select(
         F.lit("rep").alias("op"),
         _NULL_S().alias("fp"),
         _NULL_S().alias("s"),

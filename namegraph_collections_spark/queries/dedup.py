@@ -656,7 +656,14 @@ def _minhash_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) via MinHash banding —
     the plan behind `minhash_lsh_candidates`, exposed for reuse by the
     cluster-closure query."""
-    bands = _minhash_bands(docs)
+    return _minhash_pairs_from(_minhash_bands(docs))
+
+
+def _minhash_pairs_from(bands: DataFrame) -> DataFrame:
+    """Pair generation over an ALREADY-BUILT bands table — the sharing
+    seam for composites that reuse one banding build across legs
+    (lexical_dedup_battery feeds the incremental probe and the
+    representative closure from one `_minhash_bands` call)."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1029,7 +1036,14 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership exactly.
     """
     docs = tbl(spark, sf_dir, "documents")
-    bands = _minhash_bands(docs)
+    return incremental_minhash_dedup_from(docs, _minhash_bands(docs))
+
+
+def incremental_minhash_dedup_from(docs: DataFrame, bands: DataFrame) -> DataFrame:
+    """The probe+verify over an ALREADY-BUILT bands table (sharing
+    seam — see `_minhash_pairs_from`). Note `bands` is referenced
+    twice below (index side, batch side); pass a checkpointed frame
+    when the build is expensive."""
     is_new = F.col("doc_id") % 10 == NEW_BATCH_MOD
     new_b = bands.filter(is_new).select(
         F.col("doc_id").alias("new_doc"), "band", "band_sig"

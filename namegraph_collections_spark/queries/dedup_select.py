@@ -84,13 +84,26 @@ def neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One surviving doc per near-dup cluster, chosen by quality
     (module docstring): keep flag DESC, n_words DESC, doc_id ASC.
     """
+    docs = tbl(spark, sf_dir, "documents")
+    return neardup_representatives_from(
+        docs,
+        _minhash_pairs(docs),
+        doc_quality_signals(spark, sf_dir),
+    )
+
+
+def neardup_representatives_from(
+    docs: DataFrame, pairs: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """Representative selection over ALREADY-BUILT candidate pairs and
+    quality signals — the sharing seam lexical_dedup_battery uses to
+    feed this leg and the incremental probe from one bands build."""
     from namegraph_collections_spark.operators.components import connected_components
 
-    docs = tbl(spark, sf_dir, "documents")
-    comp = connected_components(
-        _minhash_pairs(docs), vertices=docs.select("doc_id")
-    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
-    quality = doc_quality_signals(spark, sf_dir).select("doc_id", "n_words", "keep")
+    comp = connected_components(pairs, vertices=docs.select("doc_id")).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    quality = quality.select("doc_id", "n_words", "keep")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("keep").desc(), F.col("n_words").desc(), F.col("doc_id").asc()
     )
