@@ -120,6 +120,7 @@ HEADLINE = [
     "neardup_representatives",
     "pii_scan_redact",
     "training_pipeline_e2e",
+    "multimodal_decode_battery",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from namegraph_collections_spark.functions.multimodal import (
     N_HIST_BINS,
     byte_histogram_features,
+    decode_media_meta,
+    frame_sample,
     synthesize_media,
 )
 from namegraph_collections_spark.queries.registry import register, spread, tbl
@@ -48,3 +50,77 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.array_join(F.transform("hist", lambda v: v.cast("string")), ",").alias("hist"),
     )
+
+
+@register(
+    "multimodal_decode_battery",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS media_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             CAST(n_chars % 640 AS INT) AS width,
+             CAST(n_chars % 480 AS INT) AS height,
+             CAST(8 + length(text) AS BIGINT) AS n_bytes,
+             text
+      FROM documents
+    )
+    SELECT 'meta' AS op, media_id, kind, width, height, n_bytes,
+           'fake' AS format, CAST(NULL AS INTEGER) AS frame_idx,
+           CAST(NULL AS VARCHAR) AS frame_md5
+    FROM base
+    UNION ALL
+    SELECT 'frame' AS op, media_id, CAST(NULL AS VARCHAR),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(i AS INT) AS frame_idx,
+           md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+    FROM base, unnest(range(0, length(text) // 64, 2)) AS u(i)
+    WHERE kind = 'video'
+    """,
+)
+def multimodal_decode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + frame-sample plumbing end-to-end (driver brief's
+    multimodal decode/frame-sample stages): documents → synthesized
+    binary payloads → `decode_media_meta` (Arrow mapInPandas header
+    parse into typed metadata) unioned with `frame_sample` (the
+    row-exploding one-row→many-frames mapInPandas shape, every 2nd
+    {FRAME_SIZE}-byte frame of video payload bodies, emitted as an
+    md5 so the driver canonicalizer can hash it).
+
+    The oracle sees through the stub because the corpus is ASCII:
+    payload body bytes == text character codes, so header fields
+    derive from (doc_id, n_chars) arithmetic and each frame is a
+    64-char substr. The Python stages are the genuine library
+    boundary (real codecs would slot into `_decode_real`), Arrow-
+    batched and partition-parallel; everything around them is
+    columnar.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    media = synthesize_media(docs)
+    null_i = F.lit(None).cast("int")
+    null_s = F.lit(None).cast("string")
+    meta = decode_media_meta(media).select(
+        F.lit("meta").alias("op"),
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_bytes",
+        "format",
+        null_i.alias("frame_idx"),
+        null_s.alias("frame_md5"),
+    )
+    frames = frame_sample(media, every_n=2).select(
+        F.lit("frame").alias("op"),
+        "media_id",
+        null_s.alias("kind"),
+        null_i.alias("width"),
+        null_i.alias("height"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        null_s.alias("format"),
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+    )
+    return meta.unionByName(frames)
