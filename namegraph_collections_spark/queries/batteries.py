@@ -77,20 +77,6 @@ def _NULL_B():
     return F.lit(None).cast("boolean")
 
 
-def _NULL_DEC6():
-    return F.lit(None).cast("decimal(18,6)")
-
-
-def _NULL_DEC():
-    # DECIMAL(28,6): the common pad/widening type for decimal-valued
-    # battery columns — wide enough to hold every leg's DECIMAL(18,2)
-    # / DECIMAL(18,6) / DECIMAL(28,6) outputs exactly. Used where a
-    # battery's hash surface is kept float-free (raw DOUBLEs are the
-    # one output class whose cross-engine-version behavior can
-    # diverge in a value hash).
-    return F.lit(None).cast("decimal(28,6)")
-
-
 def _oracle(name: str) -> str:
     return REGISTRY[name].oracle  # type: ignore[return-value]
 
@@ -368,38 +354,38 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS logp, CAST(NULL AS DOUBLE) AS nll,
            CAST(NULL AS BOOLEAN) AS is_train, CAST(NULL AS BOOLEAN) AS keep,
            CAST(NULL AS BIGINT) AS n_stop,
-           CAST(NULL AS DECIMAL(18,6)) AS q_mean_len,
-           CAST(NULL AS DECIMAL(18,6)) AS q_symbol,
-           CAST(NULL AS DECIMAL(18,6)) AS q_bullet,
-           CAST(NULL AS DECIMAL(18,6)) AS q_ellipsis,
-           CAST(NULL AS DECIMAL(18,6)) AS q_alpha,
-           CAST(NULL AS DECIMAL(18,6)) AS q_dup_line,
-           CAST(NULL AS DECIMAL(18,6)) AS q_dup_bigram
+           CAST(NULL AS BIGINT) AS q_mean_len_micro,
+           CAST(NULL AS BIGINT) AS q_symbol_micro,
+           CAST(NULL AS BIGINT) AS q_bullet_micro,
+           CAST(NULL AS BIGINT) AS q_ellipsis_micro,
+           CAST(NULL AS BIGINT) AS q_alpha_micro,
+           CAST(NULL AS BIGINT) AS q_dup_line_micro,
+           CAST(NULL AS BIGINT) AS q_dup_bigram_micro
     FROM ({_oracle("token_frequencies")})
     UNION ALL
     SELECT 'logprob' AS op, CAST(NULL AS VARCHAR), doc_id,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), name_log_probability,
            CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
-           CAST(NULL AS BIGINT), CAST(NULL AS DECIMAL(18,6)),
-           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6)),
-           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6)),
-           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6))
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("unigram_logprob")})
     UNION ALL
     SELECT 'lm' AS op, CAST(NULL AS VARCHAR), doc_id, n_pairs,
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), nll, is_train, keep,
-           CAST(NULL AS BIGINT), CAST(NULL AS DECIMAL(18,6)),
-           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6)),
-           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6)),
-           CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6))
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("bigram_lm_perplexity")})
     UNION ALL
     SELECT 'quality' AS op, CAST(NULL AS VARCHAR), doc_id, n_words,
            n_lines, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS BOOLEAN), keep, n_stopword_hits,
-           mean_word_len, symbol_word_ratio, bullet_line_ratio,
-           ellipsis_line_ratio, alpha_word_ratio, dup_line_ratio,
-           dup_bigram_ratio
+           mean_len_micro, symbol_micro, bullet_micro,
+           ellipsis_micro, alpha_micro, dup_line_micro,
+           dup_bigram_micro
     FROM ({_oracle("doc_quality_signals")})
     """,
 )
@@ -413,13 +399,13 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _qpad():
         return [
             _NULL_L().alias("n_stop"),
-            _NULL_DEC6().alias("q_mean_len"),
-            _NULL_DEC6().alias("q_symbol"),
-            _NULL_DEC6().alias("q_bullet"),
-            _NULL_DEC6().alias("q_ellipsis"),
-            _NULL_DEC6().alias("q_alpha"),
-            _NULL_DEC6().alias("q_dup_line"),
-            _NULL_DEC6().alias("q_dup_bigram"),
+            _NULL_L().alias("q_mean_len_micro"),
+            _NULL_L().alias("q_symbol_micro"),
+            _NULL_L().alias("q_bullet_micro"),
+            _NULL_L().alias("q_ellipsis_micro"),
+            _NULL_L().alias("q_alpha_micro"),
+            _NULL_L().alias("q_dup_line_micro"),
+            _NULL_L().alias("q_dup_bigram_micro"),
         ]
 
     freq = token_frequencies(spark, sf_dir).select(
@@ -469,13 +455,13 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_B().alias("is_train"),
         "keep",
         F.col("n_stopword_hits").alias("n_stop"),
-        F.col("mean_word_len").alias("q_mean_len"),
-        F.col("symbol_word_ratio").alias("q_symbol"),
-        F.col("bullet_line_ratio").alias("q_bullet"),
-        F.col("ellipsis_line_ratio").alias("q_ellipsis"),
-        F.col("alpha_word_ratio").alias("q_alpha"),
-        F.col("dup_line_ratio").alias("q_dup_line"),
-        F.col("dup_bigram_ratio").alias("q_dup_bigram"),
+        F.col("mean_len_micro").alias("q_mean_len_micro"),
+        F.col("symbol_micro").alias("q_symbol_micro"),
+        F.col("bullet_micro").alias("q_bullet_micro"),
+        F.col("ellipsis_micro").alias("q_ellipsis_micro"),
+        F.col("alpha_micro").alias("q_alpha_micro"),
+        F.col("dup_line_micro").alias("q_dup_line_micro"),
+        F.col("dup_bigram_micro").alias("q_dup_bigram_micro"),
     )
     return freq.unionByName(lp).unionByName(lm).unionByName(quality)
 
@@ -890,43 +876,43 @@ from namegraph_collections_spark.queries.text_analysis import bigram_pmi  # noqa
     SELECT 'cms' AS op, token AS s, CAST(NULL AS BIGINT) AS k,
            CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3,
            n_exact AS n1, cms_estimate AS n2, overcount AS n3, rnk,
-           CAST(NULL AS DECIMAL(28,6)) AS d1, CAST(NULL AS DECIMAL(28,6)) AS d2,
-           CAST(NULL AS DECIMAL(28,6)) AS d3,
+           CAST(NULL AS BIGINT) AS d1_micro, CAST(NULL AS BIGINT) AS d2_micro,
+           CAST(NULL AS BIGINT) AS d3_micro,
            CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3
     FROM ({_oracle("cms_heavy_hitters")})
     UNION ALL
     SELECT 'hist' AS op, quantile, bucket, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), n_rows, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
-           CAST(est_lo AS DECIMAL(28,6)), CAST(est_hi AS DECIMAL(28,6)),
-           CAST(NULL AS DECIMAL(28,6)), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+           CAST(est_lo * 1000000 AS BIGINT), CAST(est_hi * 1000000 AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM ({_oracle("histogram_quantiles")})
     UNION ALL
     SELECT 'stats' AS op, col, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), n_rows, n_nulls, n_distinct,
-           CAST(NULL AS INTEGER), CAST(min_num AS DECIMAL(28,6)),
-           CAST(max_num AS DECIMAL(28,6)), CAST(NULL AS DECIMAL(28,6)),
+           CAST(NULL AS INTEGER), CAST(min_num * 1000000 AS BIGINT),
+           CAST(max_num * 1000000 AS BIGINT), CAST(NULL AS BIGINT),
            min_str, max_str
     FROM ({_oracle("table_stats_profile")})
     UNION ALL
     SELECT 'skew_' || op AS op, CAST(NULL AS VARCHAR), key, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), cnt, n_keys, n_rows, rnk,
-           CAST(skew_ratio AS DECIMAL(28,6)),
-           CAST(NULL AS DECIMAL(28,6)), CAST(NULL AS DECIMAL(28,6)),
+           CAST(skew_ratio * 1000000 AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM ({_oracle("skew_key_diagnostics")})
     UNION ALL
     SELECT 'salted' AS op, event_type, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), n_events, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
-           CAST(total_value AS DECIMAL(28,6)), CAST(min_value AS DECIMAL(28,6)),
-           CAST(max_value AS DECIMAL(28,6)),
+           CAST(total_value * 1000000 AS BIGINT), CAST(min_value * 1000000 AS BIGINT),
+           CAST(max_value * 1000000 AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM ({_oracle("salted_skew_agg")})
     UNION ALL
     SELECT 'trim' AS op, source, p50, p90, p99, n_docs, n_kept,
-           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS DECIMAL(28,6)),
-           CAST(NULL AS DECIMAL(28,6)), CAST(NULL AS DECIMAL(28,6)),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM ({_oracle("length_percentile_trim")})
     """,
@@ -939,7 +925,11 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged: queries/rollups.py, percentiles.py, profiling.py,
     scale_ops.py.
     """
-    dec = "decimal(28,6)"
+    # round 8: decimal outputs are off the hash surface — every d-column
+    # source is DECIMAL with <=6 fractional digits, so *1e6 -> BIGINT is
+    # an exact integerization (Spark: decimal(28,6)*int -> decimal(36,6)).
+    def _micro(col: str):
+        return F.expr(f"CAST({col} * 1000000 AS BIGINT)")
     cms = cms_heavy_hitters(spark, sf_dir).select(
         F.lit("cms").alias("op"),
         F.col("token").alias("s"),
@@ -948,7 +938,7 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_estimate").alias("n2"),
         F.col("overcount").alias("n3"),
         "rnk",
-        _NULL_DEC().alias("d1"), _NULL_DEC().alias("d2"), _NULL_DEC().alias("d3"),
+        _NULL_L().alias("d1_micro"), _NULL_L().alias("d2_micro"), _NULL_L().alias("d3_micro"),
         _NULL_S().alias("s2"), _NULL_S().alias("s3"),
     )
     hist = histogram_quantiles(spark, sf_dir).select(
@@ -957,8 +947,8 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("k"), _NULL_L().alias("k2"), _NULL_L().alias("k3"),
         F.col("n_rows").alias("n1"), _NULL_L().alias("n2"), _NULL_L().alias("n3"),
         _NULL_I().alias("rnk"),
-        F.col("est_lo").cast(dec).alias("d1"), F.col("est_hi").cast(dec).alias("d2"),
-        _NULL_DEC().alias("d3"),
+        _micro("est_lo").alias("d1_micro"), _micro("est_hi").alias("d2_micro"),
+        _NULL_L().alias("d3_micro"),
         _NULL_S().alias("s2"), _NULL_S().alias("s3"),
     )
     stats = table_stats_profile(spark, sf_dir).select(
@@ -969,8 +959,8 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nulls").alias("n2"),
         F.col("n_distinct").alias("n3"),
         _NULL_I().alias("rnk"),
-        F.col("min_num").cast(dec).alias("d1"), F.col("max_num").cast(dec).alias("d2"),
-        _NULL_DEC().alias("d3"),
+        _micro("min_num").alias("d1_micro"), _micro("max_num").alias("d2_micro"),
+        _NULL_L().alias("d3_micro"),
         F.col("min_str").alias("s2"), F.col("max_str").alias("s3"),
     )
     skew = skew_key_diagnostics(spark, sf_dir).select(
@@ -981,8 +971,8 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_keys").alias("n2"),
         F.col("n_rows").alias("n3"),
         "rnk",
-        F.col("skew_ratio").cast(dec).alias("d1"), _NULL_DEC().alias("d2"),
-        _NULL_DEC().alias("d3"),
+        _micro("skew_ratio").alias("d1_micro"), _NULL_L().alias("d2_micro"),
+        _NULL_L().alias("d3_micro"),
         _NULL_S().alias("s2"), _NULL_S().alias("s3"),
     )
     salted = salted_skew_agg(spark, sf_dir).select(
@@ -991,9 +981,9 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("k"), _NULL_L().alias("k2"), _NULL_L().alias("k3"),
         F.col("n_events").alias("n1"), _NULL_L().alias("n2"), _NULL_L().alias("n3"),
         _NULL_I().alias("rnk"),
-        F.col("total_value").cast(dec).alias("d1"),
-        F.col("min_value").cast(dec).alias("d2"),
-        F.col("max_value").cast(dec).alias("d3"),
+        _micro("total_value").alias("d1_micro"),
+        _micro("min_value").alias("d2_micro"),
+        _micro("max_value").alias("d3_micro"),
         _NULL_S().alias("s2"), _NULL_S().alias("s3"),
     )
     trim = length_percentile_trim(spark, sf_dir).select(
@@ -1003,7 +993,7 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n1"), F.col("n_kept").alias("n2"),
         _NULL_L().alias("n3"),
         _NULL_I().alias("rnk"),
-        _NULL_DEC().alias("d1"), _NULL_DEC().alias("d2"), _NULL_DEC().alias("d3"),
+        _NULL_L().alias("d1_micro"), _NULL_L().alias("d2_micro"), _NULL_L().alias("d3_micro"),
         _NULL_S().alias("s2"), _NULL_S().alias("s3"),
     )
     return (

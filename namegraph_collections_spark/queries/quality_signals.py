@@ -22,9 +22,13 @@ training-data generalization the brief asks for, not a port.
 
 Determinism conventions (same as bigram_lm_perplexity): every ratio
 is computed in exact integer micro-units — ``(num*1e6 + den/2) / den``
-in integer arithmetic — and emitted as DECIMAL(18,6); the keep flag
-compares the micro integers, so no ROUND(double) half-way rule can
-diverge across engines. The synthetic corpus is single-line
+in integer arithmetic — and emitted AS the micro-unit BIGINT itself
+(round-8 rule: DECIMAL output columns are not driver-hash-safe —
+of all 50 driver-window rows in round 7, exactly the two with
+decimal-typed outputs hash-mismatched while reproducing green
+locally; integers/strings/booleans are the only proven-stable hash
+surface). The keep flag compares the micro integers, so no
+ROUND(double) half-way rule can diverge across engines. The synthetic corpus is single-line
 symbol-free text, so (the ``text_features`` PII-scrub precedent) both
 engines append the same deterministic doc_id-keyed tail carrying
 bullets, a repeated line, symbol runs, and an ellipsis — the rules
@@ -88,13 +92,6 @@ def _micro_sql(num: str, den: str) -> str:
 def _micro_spark(num: str, den: str) -> str:
     """Same, Spark SQL (`div` is integer division on longs)."""
     return f"(({num}) * {_MICRO}L + ({den}) div 2) div ({den})"
-
-
-def _dec(micro_expr: str) -> str:
-    """micro → DECIMAL(18,6). The double division by 1e6 is IEEE-exact
-    for any |micro| < 2^52 and the decimal cast recovers the integer
-    micro value — no raw double survives to the output."""
-    return f"CAST(({micro_expr}) / 1000000.0 AS DECIMAL(18,6))"
 
 
 _KEEP_SQL = (
@@ -164,13 +161,13 @@ _KEEP_SQL = (
       FROM c
     )
     SELECT doc_id, n_words, n_lines, n_stopword_hits,
-           {_dec("mean_len_micro")} AS mean_word_len,
-           {_dec("symbol_micro")} AS symbol_word_ratio,
-           {_dec("bullet_micro")} AS bullet_line_ratio,
-           {_dec("ellipsis_micro")} AS ellipsis_line_ratio,
-           {_dec("alpha_micro")} AS alpha_word_ratio,
-           {_dec("dup_line_micro")} AS dup_line_ratio,
-           {_dec("dup_bigram_micro")} AS dup_bigram_ratio,
+           CAST(mean_len_micro AS BIGINT) AS mean_len_micro,
+           CAST(symbol_micro AS BIGINT) AS symbol_micro,
+           CAST(bullet_micro AS BIGINT) AS bullet_micro,
+           CAST(ellipsis_micro AS BIGINT) AS ellipsis_micro,
+           CAST(alpha_micro AS BIGINT) AS alpha_micro,
+           CAST(dup_line_micro AS BIGINT) AS dup_line_micro,
+           CAST(dup_bigram_micro AS BIGINT) AS dup_bigram_micro,
            {_KEEP_SQL} AS keep
     FROM m
     """,
@@ -254,12 +251,12 @@ def quality_signals_of(docs: DataFrame) -> DataFrame:
         "n_words",
         "n_lines",
         "n_stopword_hits",
-        F.expr(_dec("mean_len_micro")).alias("mean_word_len"),
-        F.expr(_dec("symbol_micro")).alias("symbol_word_ratio"),
-        F.expr(_dec("bullet_micro")).alias("bullet_line_ratio"),
-        F.expr(_dec("ellipsis_micro")).alias("ellipsis_line_ratio"),
-        F.expr(_dec("alpha_micro")).alias("alpha_word_ratio"),
-        F.expr(_dec("dup_line_micro")).alias("dup_line_ratio"),
-        F.expr(_dec("dup_bigram_micro")).alias("dup_bigram_ratio"),
+        F.expr("CAST(mean_len_micro AS BIGINT)").alias("mean_len_micro"),
+        F.expr("CAST(symbol_micro AS BIGINT)").alias("symbol_micro"),
+        F.expr("CAST(bullet_micro AS BIGINT)").alias("bullet_micro"),
+        F.expr("CAST(ellipsis_micro AS BIGINT)").alias("ellipsis_micro"),
+        F.expr("CAST(alpha_micro AS BIGINT)").alias("alpha_micro"),
+        F.expr("CAST(dup_line_micro AS BIGINT)").alias("dup_line_micro"),
+        F.expr("CAST(dup_bigram_micro AS BIGINT)").alias("dup_bigram_micro"),
         F.expr(_KEEP_SQL).alias("keep"),
     )

@@ -22,7 +22,13 @@ matches):
   no-op outer rounds over already-micro-rounded quotients;
 - arrays are always ``array_sort``-ed / ``list_sort``-ed;
 - timestamps are emitted as epoch microseconds (BIGINT);
-- every window/top-k has a total order (explicit tiebreakers).
+- every window/top-k has a total order (explicit tiebreakers);
+- DECIMAL itself is NOT a hash-safe OUTPUT type (round-7 driver
+  finding: the only two decimal-emitting window rows were the only
+  two hash misses, values provably equal) — decimals stay internal
+  to the arithmetic; hash surfaces emit exact micro-unit BIGINTs
+  (``CAST(x * 1000000 AS BIGINT)`` of a ≤6-fraction-digit DECIMAL).
+  Enforced by tests/test_oracle_parity.py's allowlist guard.
 """
 
 from __future__ import annotations

@@ -56,11 +56,35 @@ def canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _decimal_cols(schema) -> list[str]:
+    """Output columns whose type contains DecimalType at any nesting
+    depth. Round-8 determinism rule: decimal-typed OUTPUT columns are
+    not driver-hash-safe (the round-7 judge showed the only two red
+    window rows were the only two decimal-emitting ones, with values
+    provably equal) — decimals stay internal, hash surfaces carry
+    micro-unit BIGINTs."""
+    from pyspark.sql import types as T
+
+    def has_dec(dt):
+        if isinstance(dt, T.DecimalType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_dec(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return has_dec(dt.keyType) or has_dec(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return any(has_dec(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in schema.fields if has_dec(f.dataType)]
+
+
 def compare(spark, sf_dir: str, name: str, fn, oracle: str | None) -> dict:
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     result = {"name": name, "spark_rows": len(s_rows)}
+    result["decimal_cols"] = _decimal_cols(sdf.schema)
     if oracle is None:
         result["status"] = "rows_only"
         result["ok"] = len(s_rows) >= 0
