@@ -483,6 +483,10 @@ from namegraph_collections_spark.queries.dedup_select import (  # noqa: E402
     neardup_representatives,  # noqa: F401  (oracle parity; battery uses the _from seam)
     neardup_representatives_from,
 )
+from namegraph_collections_spark.queries.pipeline_e2e import (  # noqa: E402
+    training_pipeline_e2e,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    training_pipeline_e2e_from,
+)
 from namegraph_collections_spark.queries.relational import (  # noqa: E402
     hourly_event_rollup,
 )
@@ -680,14 +684,21 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            cluster_id, rep_doc_id, cluster_size, n_dropped,
            CAST(NULL AS DOUBLE), rep_keep, n_quality_keep, rep_n_words
     FROM ({_oracle("neardup_representatives")})
+    UNION ALL
+    SELECT 'funnel' AS op, stage, detail, doc_id_sum,
+           CAST(NULL AS BIGINT), n_docs, n_words_total,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_oracle("training_pipeline_e2e")})
     """,
 )
 def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fingerprint groups + cross-document passage dedup +
     idf-weighted cosine pairs + incremental (batch-vs-corpus) MinHash
     dedup + winnowing local fingerprints + per-cluster representative
-    selection in one tagged result. Components unchanged:
-    queries/dedup.py, dedup_select.py.
+    selection + the end-to-end training-pipeline funnel in one tagged
+    result. Components unchanged: queries/dedup.py, dedup_select.py,
+    pipeline_e2e.py.
     """
     from namegraph_collections_spark.queries.registry import tbl as _tbl
 
@@ -695,9 +706,16 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references it twice: index side + batch side) and the
     # representative closure's pair generation; localCheckpoint
     # because ReusedExchange does not dedup the repeated subtrees
-    # (the measured battery finding; A/B in MEASUREMENTS.md).
+    # (the measured battery finding; A/B in MEASUREMENTS.md). The
+    # round-8 funnel leg extends the sharing one level further: ONE
+    # quality frame and ONE components closure (rep_full) feed both
+    # the rep leg and the funnel's fuzzy stage.
     docs = _tbl(spark, sf_dir, "documents")
     bands = _minhash_bands(docs).localCheckpoint(eager=False)
+    quality = doc_quality_signals(spark, sf_dir).localCheckpoint(eager=False)
+    rep_full = neardup_representatives_from(
+        docs, _minhash_pairs_from(bands), quality
+    ).localCheckpoint(eager=False)
     exact = exact_dedup_groups(spark, sf_dir).select(
         F.lit("exact").alias("op"),
         F.col("fingerprint").alias("fp"),
@@ -763,9 +781,7 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("n_keep"),
         _NULL_L().alias("rep_words"),
     )
-    rep = neardup_representatives_from(
-        docs, _minhash_pairs_from(bands), doc_quality_signals(spark, sf_dir)
-    ).select(
+    rep = rep_full.select(
         F.lit("rep").alias("op"),
         _NULL_S().alias("fp"),
         _NULL_S().alias("s"),
@@ -778,12 +794,26 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_quality_keep").alias("n_keep"),
         F.col("rep_n_words").alias("rep_words"),
     )
+    funnel = training_pipeline_e2e_from(docs, rep_full, quality).select(
+        F.lit("funnel").alias("op"),
+        F.col("stage").alias("fp"),
+        F.col("detail").alias("s"),
+        F.col("doc_id_sum").alias("id_a"),
+        _NULL_L().alias("id_b"),
+        F.col("n_docs").alias("cnt"),
+        F.col("n_words_total").alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
     return (
         exact.unionByName(passage)
         .unionByName(tfidf)
         .unionByName(inc)
         .unionByName(winnow)
         .unionByName(rep)
+        .unionByName(funnel)
     )
 
 

@@ -1,7 +1,8 @@
-"""Multimodal feature-extraction query (driver brief): binary payload
-→ Arrow-batched mapInPandas histogram features, value-checked against
-a char-code oracle (the documents are ASCII, so utf-8 payload bytes
-and character codes coincide — the oracle can see through the stub).
+"""Multimodal feature-extraction queries (driver brief): binary payload
+→ Arrow-batched mapInPandas decode / histogram / frame-sample, each
+value-checked against a char-code oracle (the documents are ASCII, so
+utf-8 payload bytes and character codes coincide — the oracle can see
+through the stub).
 """
 
 from __future__ import annotations
@@ -17,10 +18,7 @@ from namegraph_collections_spark.functions.multimodal import (
 )
 from namegraph_collections_spark.queries.registry import register, spread, tbl
 
-
-@register(
-    "multimodal_byte_histogram",
-    oracle=f"""
+_HIST_ORACLE = f"""
     SELECT doc_id AS media_id,
            array_to_string(list_transform(range({N_HIST_BINS}),
              b -> CAST(len(list_filter(
@@ -28,33 +26,9 @@ from namegraph_collections_spark.queries.registry import register, spread, tbl
                                    i -> ascii(substr(text, CAST(i AS INT), 1))),
                     c -> c // 16 = b)) AS BIGINT)), ',') AS hist
     FROM documents
-    """,
-)
-def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction end-to-end: documents →
-    synthesized media payloads (FAKE header + utf-8 body) →
-    mapInPandas 16-bin byte histogram (driver brief).
+"""
 
-    The Python stage is Arrow-batched and partition-parallel
-    (spread()); at scale this is the exact shape of an embedding
-    model over image bytes — fixed-width vectors out, one pass.
-    """
-    from pyspark.sql import functions as F
-
-    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
-    media = synthesize_media(docs)
-    feats = byte_histogram_features(media)
-    # hist serialized to a CSV string so the driver's canonicalizer
-    # (which cannot hash list cells) can value-check it.
-    return feats.select(
-        "media_id",
-        F.array_join(F.transform("hist", lambda v: v.cast("string")), ",").alias("hist"),
-    )
-
-
-@register(
-    "multimodal_decode_battery",
-    oracle="""
+_DECODE_ORACLE = """
     WITH base AS (
       SELECT doc_id AS media_id,
              ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -76,29 +50,30 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
     FROM base, unnest(range(0, length(text) // 64, 2)) AS u(i)
     WHERE kind = 'video'
-    """,
-)
-def multimodal_decode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + frame-sample plumbing end-to-end (driver brief's
-    multimodal decode/frame-sample stages): documents → synthesized
-    binary payloads → `decode_media_meta` (Arrow mapInPandas header
-    parse into typed metadata) unioned with `frame_sample` (the
-    row-exploding one-row→many-frames mapInPandas shape, every 2nd
-    {FRAME_SIZE}-byte frame of video payload bodies, emitted as an
-    md5 so the driver canonicalizer can hash it).
+"""
 
-    The oracle sees through the stub because the corpus is ASCII:
-    payload body bytes == text character codes, so header fields
-    derive from (doc_id, n_chars) arithmetic and each frame is a
-    64-char substr. The Python stages are the genuine library
-    boundary (real codecs would slot into `_decode_real`), Arrow-
-    batched and partition-parallel; everything around them is
-    columnar.
-    """
+
+def _hist_leg(media: DataFrame) -> DataFrame:
+    """mapInPandas 16-bin byte histogram, serialized to a CSV string
+    so the driver's canonicalizer (which cannot hash list cells) can
+    value-check it."""
     from pyspark.sql import functions as F
 
-    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
-    media = synthesize_media(docs)
+    feats = byte_histogram_features(media)
+    return feats.select(
+        "media_id",
+        F.array_join(F.transform("hist", lambda v: v.cast("string")), ",").alias("hist"),
+    )
+
+
+def _decode_legs(media: DataFrame) -> DataFrame:
+    """`decode_media_meta` (Arrow mapInPandas header parse into typed
+    metadata) unioned with `frame_sample` (the row-exploding
+    one-row→many-frames mapInPandas shape, every 2nd 64-byte frame of
+    video payload bodies, emitted as an md5 so the driver
+    canonicalizer can hash it)."""
+    from pyspark.sql import functions as F
+
     null_i = F.lit(None).cast("int")
     null_s = F.lit(None).cast("string")
     meta = decode_media_meta(media).select(
@@ -124,3 +99,84 @@ def multimodal_decode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("frame").alias("frame_md5"),
     )
     return meta.unionByName(frames)
+
+
+@register(
+    "multimodal_byte_histogram",
+    oracle=f"""
+    SELECT 'hist' AS op, media_id, hist, CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS VARCHAR) AS format,
+           CAST(NULL AS INTEGER) AS frame_idx, CAST(NULL AS VARCHAR) AS frame_md5
+    FROM ({_HIST_ORACLE})
+    UNION ALL
+    SELECT op, media_id, CAST(NULL AS VARCHAR) AS hist, kind, width,
+           height, n_bytes, format, frame_idx, frame_md5
+    FROM ({_DECODE_ORACLE})
+    """,
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload processing end-to-end, in one tagged result
+    (round-8 widening: the decode + frame-sample legs now ride this
+    driver-window row): documents → synthesized media payloads (FAKE
+    header + utf-8 body) → mapInPandas 16-bin byte histogram, unioned
+    with `decode_media_meta` typed-metadata rows and `frame_sample`
+    frame rows (see `multimodal_decode_battery`, whose oracle this
+    one embeds verbatim).
+
+    The Python stages are Arrow-batched and partition-parallel
+    (spread()); at scale this is the exact shape of an embedding
+    model / codec farm over image bytes — one pass, fixed-width
+    output. ONE synthesized-media frame feeds all three map-only
+    legs (no shuffle anywhere, so sharing is free — no checkpoint
+    needed).
+    """
+    from pyspark.sql import functions as F
+
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    media = synthesize_media(docs)
+    null_i = F.lit(None).cast("int")
+    null_s = F.lit(None).cast("string")
+    hist = _hist_leg(media).select(
+        F.lit("hist").alias("op"),
+        "media_id",
+        "hist",
+        null_s.alias("kind"),
+        null_i.alias("width"),
+        null_i.alias("height"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        null_s.alias("format"),
+        null_i.alias("frame_idx"),
+        null_s.alias("frame_md5"),
+    )
+    decode = _decode_legs(media).select(
+        "op",
+        "media_id",
+        null_s.alias("hist"),
+        "kind",
+        "width",
+        "height",
+        "n_bytes",
+        "format",
+        "frame_idx",
+        "frame_md5",
+    )
+    return hist.unionByName(decode)
+
+
+@register("multimodal_decode_battery", oracle=_DECODE_ORACLE)
+def multimodal_decode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + frame-sample plumbing end-to-end (driver brief's
+    multimodal decode/frame-sample stages): documents → synthesized
+    binary payloads → `_decode_legs` (module docstring).
+
+    The oracle sees through the stub because the corpus is ASCII:
+    payload body bytes == text character codes, so header fields
+    derive from (doc_id, n_chars) arithmetic and each frame is a
+    64-char substr. The Python stages are the genuine library
+    boundary (real codecs would slot into `_decode_real`), Arrow-
+    batched and partition-parallel; everything around them is
+    columnar.
+    """
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    return _decode_legs(synthesize_media(docs))

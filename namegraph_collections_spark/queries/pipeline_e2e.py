@@ -43,8 +43,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from namegraph_collections_spark.queries.dedup import HOT_SHINGLE_DF_CAP, _shingles, _SHINGLES_SQL
-from namegraph_collections_spark.queries.dedup_select import neardup_representatives
+from namegraph_collections_spark.queries.dedup import (
+    HOT_SHINGLE_DF_CAP,
+    _minhash_pairs,
+    _shingles,
+    _SHINGLES_SQL,
+)
+from namegraph_collections_spark.queries.dedup_select import (
+    neardup_representatives,  # noqa: F401  (oracle parity; plan uses the _from seam)
+    neardup_representatives_from,
+)
 from namegraph_collections_spark.queries.quality_signals import doc_quality_signals
 from namegraph_collections_spark.queries.registry import REGISTRY, register, tbl
 from namegraph_collections_spark.queries.training_data import (
@@ -141,14 +149,30 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, one conditional-sum funnel aggregation, one split manifest.
     """
     docs = tbl(spark, sf_dir, "documents")
+    quality = doc_quality_signals(spark, sf_dir)
+    reps = neardup_representatives_from(docs, _minhash_pairs(docs), quality)
+    return training_pipeline_e2e_from(docs, reps, quality)
+
+
+def training_pipeline_e2e_from(
+    docs: DataFrame, reps: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """The funnel over an ALREADY-BUILT representatives frame and
+    quality signals — the sharing seam lexical_dedup_battery uses to
+    feed its funnel leg from the battery's one bands build, one
+    components closure, and one quality frame (the same `_from`
+    pattern as the representatives leg; `reps` is passed post-closure
+    because connected_components runs a driver-side convergence loop
+    that must not execute twice). ``reps`` needs rep_doc_id;
+    ``quality`` needs (doc_id, n_words, keep)."""
     w_fp = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
     canon = docs.select(
         "doc_id", (F.col("doc_id") == F.min("doc_id").over(w_fp)).alias("p_exact")
     )
-    reps = neardup_representatives(spark, sf_dir).select(
+    reps = reps.select(
         F.col("rep_doc_id").alias("doc_id"), F.lit(True).alias("p_rep0")
     )
-    quality = doc_quality_signals(spark, sf_dir).select(
+    quality = quality.select(
         "doc_id", "n_words", F.col("keep").alias("p_quality")
     )
 

@@ -59,6 +59,8 @@ BATTERIES = {
         "winnowing_fingerprints",
         # round 7: per-cluster representative selection
         "neardup_representatives",
+        # round 8: the end-to-end training-pipeline funnel
+        "training_pipeline_e2e",
     ],
     "pq_battery": ["pq_adc_topk", "pq_rerank_topk"],
     "string_ops_battery": [
@@ -91,6 +93,9 @@ BATTERIES = {
     ],
     "cdc_battery": ["cdc_three_way_ops", "cdc_driven_rollup"],
     "set_prune_battery": ["customer_key_set_algebra", "bloom_pruned_semi_join"],
+    # round 8: the decode/frame-sample battery rides the widened
+    # byte-histogram composite (the multimodal driver-window row)
+    "multimodal_byte_histogram": ["multimodal_decode_battery"],
 }
 
 

@@ -133,6 +133,12 @@ R7_COMPOSITED = [
     "neardup_representatives",  # rides lexical_dedup_battery
     "pii_scan_redact",  # rides string_ops_battery
 ]
+# round 8: singles composited into an existing window battery
+# (window membership unchanged — only battery legs grew)
+R8_COMPOSITED = [
+    "training_pipeline_e2e",  # rides lexical_dedup_battery
+    "multimodal_decode_battery",  # rides the widened multimodal_byte_histogram
+]
 
 
 def _r5_window() -> list[str]:
@@ -181,7 +187,7 @@ def test_window_is_the_r5_set_plus_the_deliberate_r6_delta():
 
 def test_composited_singles_stay_registered_after_the_window():
     tail = list(REGISTRY)[WINDOW_SIZE:]
-    for name in R5_COMPOSITED + R5_DEMOTED + R6_COMPOSITED + R7_COMPOSITED:
+    for name in R5_COMPOSITED + R5_DEMOTED + R6_COMPOSITED + R7_COMPOSITED + R8_COMPOSITED:
         assert name in tail, f"{name} lost its local-sweep parity check"
 
 
