@@ -121,6 +121,8 @@ HEADLINE = [
     "pii_scan_redact",
     "training_pipeline_e2e",
     "multimodal_decode_battery",
+    # Round 8 additions (append-only).
+    "language_id",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

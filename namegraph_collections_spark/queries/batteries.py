@@ -897,7 +897,10 @@ from namegraph_collections_spark.queries.scale_ops import (  # noqa: E402
     salted_skew_agg,
     skew_key_diagnostics,
 )
-from namegraph_collections_spark.queries.text_analysis import bigram_pmi  # noqa: E402
+from namegraph_collections_spark.queries.text_analysis import (  # noqa: E402
+    bigram_pmi,
+    language_id,
+)
 
 
 @register(
@@ -1052,11 +1055,17 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR), total_count, n_words,
            CAST(NULL AS DOUBLE), token_len
     FROM ({_oracle("bpe_encode_tokens")})
+    UNION ALL
+    SELECT 'langid' AS op, lang, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), hits, doc_id,
+           CAST(n_words AS DOUBLE), rnk
+    FROM ({_oracle("language_id")})
     """,
 )
 def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix mining + bigram PMI collocations + BPE merge learning +
-    BPE corpus encoding in one tagged result. Components unchanged:
+    BPE corpus encoding + multi-profile language identification in
+    one tagged result. Components unchanged:
     queries/collections_ops.py, text_analysis.py, bpe.py.
     """
     suf = suffix_mining(spark, sf_dir).select(
@@ -1106,7 +1115,19 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_D().alias("d"),
         F.col("token_len").alias("rnk"),
     )
-    return suf.unionByName(pmi).unionByName(bpe).unionByName(enc)
+    langid = language_id(spark, sf_dir).select(
+        F.lit("langid").alias("op"),
+        F.col("lang").alias("s1"),
+        _NULL_S().alias("s2"),
+        _NULL_S().alias("s3"),
+        F.col("hits").alias("n"),
+        F.col("doc_id").alias("n2"),
+        F.col("n_words").cast("double").alias("d"),
+        "rnk",
+    )
+    return (
+        suf.unionByName(pmi).unionByName(bpe).unionByName(enc).unionByName(langid)
+    )
 
 
 @register(

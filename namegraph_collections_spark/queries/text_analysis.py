@@ -563,3 +563,142 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nll_micro / F.lit(1000000.0)).alias("nll"),
         (nll_micro <= LM_NLL_KEEP_MICRO).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-profile language identification (driver brief: "language-ID
+# (n-gram heuristic)" as a first-class operator — text_features'
+# binary en/other marker is a quality signal, not a classifier).
+# ---------------------------------------------------------------------------
+
+#: Marker-word profiles: the top-frequency function words per language
+#: (the word-level reduction of Cavnar & Trenkle 1994's n-gram-rank
+#: LID — public frequency lists, ASCII-only so no collation quirk can
+#: reach the hash surface). Overlapping markers (e.g. 'per' es/it)
+#: are intentional: real profiles overlap and the argmax resolves.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "ich"],
+    "en": ["the", "and", "of", "to", "is", "that", "you", "in"],
+    "es": ["que", "los", "las", "una", "por", "con", "para", "como"],
+    "fr": ["les", "des", "est", "vous", "dans", "pour", "une", "avec"],
+    "it": ["che", "della", "sono", "anche", "come", "degli", "non", "per"],
+}
+
+#: Deterministic doc_id-keyed foreign-language tail (the text_features
+#: PII-scrub / quality-signals precedent: the synthetic corpus is
+#: English-ish, so both engines append the same marker-word phrase to
+#: a doc_id-selected subset — the classifier then flips on a real,
+#: length-dependent subset instead of answering 'en' vacuously). The
+#: repeat count scales with n_chars so tail marker mass outgrows the
+#: document's own English stopword mass.
+_LANG_TAIL_PHRASES = {k: " " + " ".join(v) for k, v in LANG_PROFILES.items() if k != "en"}
+
+
+def _lang_tail_sql(idiv: str) -> str:
+    reps = f"CAST(1 + n_chars {idiv} 40 AS INT)"
+    cases = []
+    for i, lang in enumerate(["de", "es", "fr", "it"], start=1):
+        cases.append(
+            f"WHEN doc_id % 5 = {i} THEN repeat('{_LANG_TAIL_PHRASES[lang]}', {reps})"
+        )
+    return "CASE " + " ".join(cases) + " ELSE '' END"
+
+
+def _lang_rnk_sql(lang: str) -> str:
+    """Shuffle-free per-language rank: 1 + #(profiles strictly ahead),
+    total order (hits DESC, lang ASC) — pure row-local arithmetic, so
+    the argmax costs no window shuffle. Identical text runs on both
+    engines."""
+    others = [m for m in LANG_PROFILES if m != lang]
+    terms = " + ".join(
+        f"(CASE WHEN h_{m} > h_{lang}"
+        f" OR (h_{m} = h_{lang} AND '{m}' < '{lang}') THEN 1 ELSE 0 END)"
+        for m in others
+    )
+    return f"CAST(1 + {terms} AS INT) AS rnk_{lang}"
+
+
+def _lang_hits_duck(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter(words, w -> list_contains("
+        f"{LANG_PROFILES[lang]!r}, w))) AS BIGINT) AS h_{lang}"
+    )
+
+
+def _lang_hits_spark(lang: str) -> str:
+    arr = "array(" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + ")"
+    return (
+        f"CAST(size(filter(words, w -> array_contains({arr}, w)))"
+        f" AS BIGINT) AS h_{lang}"
+    )
+
+
+@register(
+    "language_id",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id, text || ({_lang_tail_sql("//")}) AS ltext
+      FROM documents
+    ),
+    arr AS (
+      SELECT doc_id,
+             list_filter(string_split(replace(ltext, chr(10), ' '), ' '),
+                         w -> w <> '') AS words
+      FROM l
+    ),
+    hits AS (
+      SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+             {", ".join(_lang_hits_duck(g) for g in LANG_PROFILES)}
+      FROM arr
+    ),
+    ranked AS (
+      SELECT *, {", ".join(_lang_rnk_sql(g) for g in LANG_PROFILES)}
+      FROM hits
+    )
+    {" UNION ALL ".join(
+        f"SELECT doc_id, '{g}' AS lang, h_{g} AS hits, n_words, rnk_{g} AS rnk FROM ranked"
+        for g in LANG_PROFILES
+    )}
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language identification over the marker profiles:
+    one row per (doc, language) carrying the profile hit count and its
+    dense per-doc rank (hits DESC, lang ASC) — rnk=1 is the predicted
+    language; the full score vector is emitted so downstream mixing
+    policies (e.g. per-language sampling rates) see calibration, not
+    just an argmax.
+
+    Scale shape: ONE scan, zero shuffles, zero joins, no Python — the
+    profiles are literal arrays in the plan (a broadcast join only
+    becomes necessary when profiles outgrow plan-literal size), the
+    rank is row-local comparison arithmetic instead of a window, and
+    the 5x row explosion happens AFTER the per-doc reduction to five
+    counters. At 100 TB this is scan-bandwidth-bound, the cheapest
+    possible plan shape.
+    """
+    return language_id_of(tbl(spark, sf_dir, "documents"))
+
+
+def language_id_of(docs: DataFrame) -> DataFrame:
+    """The classifier as a pure DataFrame transformation (needs
+    doc_id, text, n_chars) — batch/stream-agnostic like
+    quality_signals_of, so the same column program can run at ingest.
+    """
+    l = docs.selectExpr("doc_id", f"text || ({_lang_tail_sql('div')}) AS ltext")
+    arr = l.selectExpr(
+        "doc_id",
+        "filter(split(replace(ltext, chr(10), ' '), ' '), w -> w != '') AS words",
+    )
+    hits = arr.selectExpr(
+        "doc_id",
+        "CAST(size(words) AS BIGINT) AS n_words",
+        *[_lang_hits_spark(g) for g in LANG_PROFILES],
+    )
+    ranked = hits.selectExpr("*", *[_lang_rnk_sql(g) for g in LANG_PROFILES])
+    stack = ", ".join(f"'{g}', h_{g}, rnk_{g}" for g in LANG_PROFILES)
+    return ranked.selectExpr(
+        "doc_id",
+        "n_words",
+        f"stack({len(LANG_PROFILES)}, {stack}) AS (lang, hits, rnk)",
+    ).select("doc_id", "lang", "hits", "n_words", "rnk")

@@ -84,6 +84,8 @@ BATTERIES = {
         "bpe_merge_table",
         # round 7: the BPE apply/encode half
         "bpe_encode_tokens",
+        # round 8: multi-profile language identification
+        "language_id",
     ],
     "graph_battery": ["transitive_closure_reachability", "neardup_triangles"],
     "revenue_olap_battery": [

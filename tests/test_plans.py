@@ -107,6 +107,8 @@ def test_semi_and_anti_join_physical(spark):
         "neardup_representatives",
         "pii_scan_redact",
         "training_pipeline_e2e",
+        # round 8 additions
+        "language_id",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
