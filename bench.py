@@ -123,6 +123,7 @@ HEADLINE = [
     "multimodal_decode_battery",
     # Round 8 additions (append-only).
     "language_id",
+    "epoch_shuffle_plan",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -500,6 +500,7 @@ from namegraph_collections_spark.queries.scale_ops import (  # noqa: E402
 from namegraph_collections_spark.queries.training_data import (  # noqa: E402
     deterministic_mix_sample,
     deterministic_split,
+    epoch_shuffle_plan,
     weighted_sample_topk,
 )
 
@@ -581,13 +582,20 @@ def rollup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            CAST(NULL AS INTEGER), n_docs, min_doc_id, max_doc_id, doc_id_sum
     FROM ({_oracle("deterministic_split")})
+    UNION ALL
+    SELECT 'epoch_' || op AS op, doc_id, skey8, CAST(epoch AS VARCHAR),
+           shard, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), n_docs, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), doc_id_sum
+    FROM ({_oracle("epoch_shuffle_plan")})
     """,
 )
 def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The four deterministic selection policies in one tagged result:
-    temperature-mix sampling, per-group hash-order sampling, weighted
-    reservoir (A-Res) top-k, and the content-addressed train/val/test
-    split. Components unchanged: queries/training_data.py,
+    """The five deterministic selection/ordering policies in one
+    tagged result: temperature-mix sampling, per-group hash-order
+    sampling, weighted reservoir (A-Res) top-k, the content-addressed
+    train/val/test split, and (round 8) the fixed-seed epoch-shuffle
+    shard plan. Components unchanged: queries/training_data.py,
     queries/scale_ops.py.
     """
     mix = deterministic_mix_sample(spark, sf_dir).select(
@@ -646,7 +654,26 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_doc_id",
         "doc_id_sum",
     )
-    return mix.unionByName(grouped).unionByName(weighted).unionByName(split)
+    epoch = epoch_shuffle_plan(spark, sf_dir).select(
+        F.concat(F.lit("epoch_"), "op").alias("op"),
+        "doc_id",
+        F.col("skey8").alias("source"),
+        F.col("epoch").cast("string").alias("split"),
+        F.col("shard").alias("rk"),
+        _NULL_L().alias("w"),
+        _NULL_D().alias("skey"),
+        _NULL_I().alias("rnk"),
+        "n_docs",
+        _NULL_L().alias("min_doc_id"),
+        _NULL_L().alias("max_doc_id"),
+        "doc_id_sum",
+    )
+    return (
+        mix.unionByName(grouped)
+        .unionByName(weighted)
+        .unionByName(split)
+        .unionByName(epoch)
+    )
 
 
 @register(

@@ -402,3 +402,112 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         F.sum("doc_id").cast("long").alias("doc_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (round 8): the fixed-seed training-order
+# step every large-scale run needs — each epoch is a content-addressed
+# pseudorandom permutation of the corpus into fixed shards, fully
+# reproducible from (epoch, doc_id) alone (the Megatron/GPT-3-style
+# seeded shuffle, expressed content-addressed instead of via an RNG
+# state so any subset of shards can be rebuilt independently).
+# ---------------------------------------------------------------------------
+
+#: Epochs materialized by the plan (two, so the hash witnesses that
+#: the permutation actually CHANGES across epochs).
+N_SHUFFLE_EPOCHS = 2
+#: Shards per epoch. At 100 TB this is the write parallelism knob
+#: (shard count scales with corpus size; the ORDER inside a shard
+#: comes from sort-within-partition on skey at write time — no global
+#: sort, no window; the skey VALUES are what this query value-hashes).
+N_SHUFFLE_SHARDS = 8
+
+def _epoch_key_sql(str_t: str) -> str:
+    """The shuffle key expression; ``str_t`` is the engine's string
+    type name (VARCHAR on DuckDB, STRING on Spark)."""
+    return (
+        f"concat('e', CAST(epoch AS {str_t}), ':', CAST(doc_id AS {str_t}))"
+    )
+
+
+@register(
+    "epoch_shuffle_plan",
+    oracle=f"""
+    WITH e AS (
+      SELECT d.doc_id, ep.epoch,
+             md5({_epoch_key_sql("VARCHAR")}) AS h
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(range({N_SHUFFLE_EPOCHS})) AS epoch) ep
+    ),
+    a AS (
+      SELECT CAST(epoch AS INT) AS epoch, doc_id,
+             CAST(CAST('0x' || substr(h, 1, 4) AS BIGINT)
+                  % {N_SHUFFLE_SHARDS} AS INT) AS shard,
+             substr(h, 1, 8) AS skey8
+      FROM e
+    )
+    SELECT 'assign' AS op, epoch, doc_id, shard, skey8,
+           CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS doc_id_sum
+    FROM a
+    UNION ALL
+    SELECT 'shard' AS op, epoch, CAST(NULL AS BIGINT), shard,
+           CAST(NULL AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM a
+    GROUP BY epoch, shard
+    """,
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(epoch, doc) shard assignment + ordering key, plus the
+    per-shard manifest (count + doc_id_sum membership fingerprint).
+
+    The permutation is the pair (shard, skey8): writing a shard is
+    ``filter(shard = s).repartition(1).sortWithinPartitions(skey8)``
+    — shard-local sorts, no global ordering structure. Emitting skey8
+    as a COLUMN pins the full permutation in the value hash without
+    materializing a rank (a per-shard row_number would tie shard size
+    to window memory; the sort-at-write formulation never does).
+
+    Scale shape: scan × {N_SHUFFLE_EPOCHS} epochs (a row-multiplying
+    projection, no shuffle), one partial-aggregated groupBy for the
+    manifest. All arithmetic is md5-hex — identical on both engines.
+    """
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id").select("doc_id")
+    epochs = ", ".join(str(i) for i in range(N_SHUFFLE_EPOCHS))
+    e = docs.selectExpr("doc_id", f"explode(array({epochs})) AS epoch").selectExpr(
+        "doc_id",
+        "CAST(epoch AS INT) AS epoch",
+        f"md5({_epoch_key_sql('STRING')}) AS h",
+    )
+    a = e.selectExpr(
+        "epoch",
+        "doc_id",
+        f"CAST(conv(substr(h, 1, 4), 16, 10) % {N_SHUFFLE_SHARDS} AS INT) AS shard",
+        "substr(h, 1, 8) AS skey8",
+    )
+    assign = a.select(
+        F.lit("assign").alias("op"),
+        "epoch",
+        "doc_id",
+        "shard",
+        "skey8",
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("doc_id_sum"),
+    )
+    manifest = (
+        a.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+        .select(
+            F.lit("shard").alias("op"),
+            "epoch",
+            F.lit(None).cast("long").alias("doc_id"),
+            "shard",
+            F.lit(None).cast("string").alias("skey8"),
+            "n_docs",
+            "doc_id_sum",
+        )
+    )
+    return assign.unionByName(manifest)

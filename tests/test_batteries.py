@@ -49,6 +49,8 @@ BATTERIES = {
         "grouped_deterministic_sample",
         "weighted_sample_topk",
         "deterministic_split",
+        # round 8: the fixed-seed epoch-shuffle shard plan
+        "epoch_shuffle_plan",
     ],
     "lexical_dedup_battery": [
         "exact_dedup_groups",

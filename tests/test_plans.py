@@ -109,6 +109,7 @@ def test_semi_and_anti_join_physical(spark):
         "training_pipeline_e2e",
         # round 8 additions
         "language_id",
+        "epoch_shuffle_plan",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):

@@ -139,6 +139,7 @@ R8_COMPOSITED = [
     "training_pipeline_e2e",  # rides lexical_dedup_battery
     "multimodal_decode_battery",  # rides the widened multimodal_byte_histogram
     "language_id",  # rides text_mining_battery
+    "epoch_shuffle_plan",  # rides sampling_battery
 ]
 
 
