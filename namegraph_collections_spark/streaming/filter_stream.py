@@ -28,6 +28,7 @@ from pyspark.sql.types import (
 
 from namegraph_collections_spark.queries.pii import pii_scan_of
 from namegraph_collections_spark.queries.quality_signals import quality_signals_of
+from namegraph_collections_spark.queries.text_analysis import language_id_of
 
 DOCUMENTS_SCHEMA = StructType(
     [
@@ -76,3 +77,11 @@ def pii_scan_stream(cust_stream: DataFrame) -> DataFrame:
     """PII detection/redaction/masking on a streaming source — the
     batch operator verbatim (queries/pii.py)."""
     return pii_scan_of(cust_stream)
+
+
+def language_id_stream(docs_stream: DataFrame) -> DataFrame:
+    """Per-document language identification on a streaming source —
+    the batch operator verbatim (queries/text_analysis.py). Like the
+    other two, a pure scan+project column program: zero state, append
+    mode, per-microbatch cost proportional to the new files."""
+    return language_id_of(docs_stream)

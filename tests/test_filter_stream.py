@@ -11,6 +11,7 @@ import shutil
 from namegraph_collections_spark.queries import REGISTRY
 from namegraph_collections_spark.streaming.events import run_available_now
 from namegraph_collections_spark.streaming.filter_stream import (
+    language_id_stream,
     pii_scan_stream,
     quality_filter_stream,
     read_customer_stream,
@@ -58,6 +59,18 @@ def test_pii_scan_stream_matches_batch(spark, tmp_path):
         str(tmp_path / "ckpt_p"),
     )
     want = REGISTRY["pii_scan_redact"].fn(spark, SF_DIR)
+    cols = want.columns
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+
+
+def test_language_id_stream_matches_batch(spark, tmp_path):
+    zone = _landing_zone(spark, tmp_path, "documents", "doc_id")
+    got = run_available_now(
+        language_id_stream(read_documents_stream(spark, zone)),
+        str(tmp_path / "ckpt_l"),
+    )
+    want = REGISTRY["language_id"].fn(spark, SF_DIR)
     cols = want.columns
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0

@@ -70,3 +70,47 @@ def test_mix_sample_is_reproducible_subset(spark, sf_dir):
     assert a == b and len(a) > 0
     # shares sum to ~1
     assert abs(sum(p["share"] for p in plan.values()) - 1.0) < 1e-4
+
+
+def test_epoch_shuffle_is_a_per_epoch_partition(spark, sf_dir):
+    """Each epoch assigns every doc exactly once; the manifest agrees
+    with the assignments; and the two epochs' orderings genuinely
+    differ (the whole point of reshuffling per epoch)."""
+    from namegraph_collections_spark.queries.training_data import (
+        N_SHUFFLE_EPOCHS,
+        N_SHUFFLE_SHARDS,
+    )
+
+    out = REGISTRY["epoch_shuffle_plan"].fn(spark, sf_dir)
+    n_docs = tbl(spark, sf_dir, "documents").count()
+    assign = out.filter("op = 'assign'")
+    # exactly one assignment per (epoch, doc); shards in range
+    assert assign.count() == n_docs * N_SHUFFLE_EPOCHS
+    assert assign.select("epoch", "doc_id").distinct().count() == assign.count()
+    assert assign.filter(
+        (F.col("shard") < 0) | (F.col("shard") >= N_SHUFFLE_SHARDS)
+    ).count() == 0
+    # manifest rows reproduce the assignment aggregation
+    manifest = {
+        (r["epoch"], r["shard"]): (r["n_docs"], r["doc_id_sum"])
+        for r in out.filter("op = 'shard'").collect()
+    }
+    recomputed = {
+        (r["epoch"], r["shard"]): (r["n"], r["s"])
+        for r in assign.groupBy("epoch", "shard")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").cast("long").alias("s"))
+        .collect()
+    }
+    assert manifest == recomputed
+    # epochs produce different orders: same doc, different skey
+    same = (
+        assign.filter("epoch = 0")
+        .select("doc_id", F.col("skey8").alias("k0"))
+        .join(
+            assign.filter("epoch = 1").select("doc_id", F.col("skey8").alias("k1")),
+            "doc_id",
+        )
+        .filter("k0 = k1")
+        .count()
+    )
+    assert same < n_docs / 100
