@@ -124,6 +124,7 @@ HEADLINE = [
     # Round 8 additions (append-only).
     "language_id",
     "epoch_shuffle_plan",
+    "repetition_signals",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

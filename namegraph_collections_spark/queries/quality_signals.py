@@ -83,6 +83,32 @@ _TAIL_SQL = (
 
 _MICRO = "1000000"
 
+#: Gopher §A1.1 repetition thresholds (published figures): fraction of
+#: characters covered by the most frequent word n-gram must be ≤ 0.20
+#: (n=2) / 0.18 (n=3) / 0.16 (n=4), and the fraction of characters in
+#: duplicated n-grams ≤ 0.15 (n=5) / 0.12 (n=8).
+TOP2_MAX_MICRO = 200_000
+TOP3_MAX_MICRO = 180_000
+TOP4_MAX_MICRO = 160_000
+DUP5_MAX_MICRO = 150_000
+DUP8_MAX_MICRO = 120_000
+
+#: n values computed: top-gram coverage for 2/3/4, duplicated-gram
+#: char fraction for 5/8 (one low and one high representative of
+#: Gopher's 5..10 band — the plan shape is identical for the rest).
+_REP_NS = (2, 3, 4, 5, 8)
+
+#: The base tail's only repeat is a 3-word line, so the ≥5-gram dup
+#: rules would pass vacuously; this query's variant appends a
+#: twice-repeated 10-word line for doc_id % 7 == 0 (72/500 docs at
+#: sf0.001), making every repetition rule fire on a real subset.
+_REP_TAIL_SQL = (
+    _TAIL_SQL
+    + " || CASE WHEN doc_id % 7 = 0 THEN chr(10)"
+    " || 'the quick brown fox jumps over the lazy dog again' || chr(10)"
+    " || 'the quick brown fox jumps over the lazy dog again' ELSE '' END"
+)
+
 
 def _micro_sql(num: str, den: str) -> str:
     """Round-half-up ratio in integer micro-units (DuckDB `//`)."""
@@ -259,4 +285,169 @@ def quality_signals_of(docs: DataFrame) -> DataFrame:
         F.expr("CAST(dup_line_micro AS BIGINT)").alias("dup_line_micro"),
         F.expr("CAST(dup_bigram_micro AS BIGINT)").alias("dup_bigram_micro"),
         F.expr(_KEEP_SQL).alias("keep"),
+    )
+
+
+_REP_KEEP_SQL = (
+    f"top2_micro <= {TOP2_MAX_MICRO}"
+    f" AND top3_micro <= {TOP3_MAX_MICRO}"
+    f" AND top4_micro <= {TOP4_MAX_MICRO}"
+    f" AND dup5_micro <= {DUP5_MAX_MICRO}"
+    f" AND dup8_micro <= {DUP8_MAX_MICRO}"
+)
+
+
+@register(
+    "repetition_signals",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text || ({_REP_TAIL_SQL}) AS qtext FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             list_filter(string_split(replace(qtext, chr(10), ' '), ' '),
+                         x -> x <> '') AS words
+      FROM q
+    ),
+    base AS (
+      SELECT doc_id, words,
+             CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+               AS total_chars
+      FROM w
+    ),
+    grams AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, len(words) - n + 2),
+                    i -> array_to_string(list_slice(words, i, i + n - 1), ' ')))
+               AS gram
+      FROM base CROSS JOIN (VALUES (2), (3), (4), (5), (8)) AS nn(n)
+    ),
+    gc AS (
+      SELECT doc_id, n, gram, COUNT(*) AS c,
+             CAST(length(gram) - (n - 1) AS BIGINT) AS glen
+      FROM grams GROUP BY doc_id, n, gram
+    ),
+    agg AS (
+      SELECT doc_id, n, MAX(c * glen) AS top_chars,
+             COALESCE(SUM(CASE WHEN c > 1 THEN c * glen END), 0) AS dup_chars
+      FROM gc GROUP BY doc_id, n
+    ),
+    piv AS (
+      SELECT b.doc_id, b.total_chars,
+             COALESCE(MAX(CASE WHEN a.n = 2 THEN a.top_chars END), 0) AS top2_chars,
+             COALESCE(MAX(CASE WHEN a.n = 3 THEN a.top_chars END), 0) AS top3_chars,
+             COALESCE(MAX(CASE WHEN a.n = 4 THEN a.top_chars END), 0) AS top4_chars,
+             COALESCE(MAX(CASE WHEN a.n = 5 THEN a.dup_chars END), 0) AS dup5_chars,
+             COALESCE(MAX(CASE WHEN a.n = 8 THEN a.dup_chars END), 0) AS dup8_chars
+      FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+      GROUP BY b.doc_id, b.total_chars
+    ),
+    m AS (
+      SELECT doc_id, total_chars,
+             CAST({_micro_sql("top2_chars", "total_chars")} AS BIGINT) AS top2_micro,
+             CAST({_micro_sql("top3_chars", "total_chars")} AS BIGINT) AS top3_micro,
+             CAST({_micro_sql("top4_chars", "total_chars")} AS BIGINT) AS top4_micro,
+             CAST({_micro_sql("dup5_chars", "total_chars")} AS BIGINT) AS dup5_micro,
+             CAST({_micro_sql("dup8_chars", "total_chars")} AS BIGINT) AS dup8_micro
+      FROM piv
+    )
+    SELECT doc_id, total_chars, top2_micro, top3_micro, top4_micro,
+           dup5_micro, dup8_micro, {_REP_KEEP_SQL} AS rep_keep
+    FROM m
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 repetition signals (Rae et al. 2021): per document,
+    the fraction of characters covered by the most frequent word
+    n-gram (n = 2, 3, 4) and the fraction of characters inside
+    duplicated n-grams (n = 5, 8; overlapping occurrences each count,
+    so the fraction can exceed 1.0 — Gopher's own caveat), plus a
+    composite ``rep_keep`` flag AND-ing the published thresholds.
+    Complements ``doc_quality_signals``' line/bigram repetition rules
+    with the full n-gram band.
+
+    Character coverage is measured over word characters (spaces
+    excluded): a space-joined n-gram of string length L contributes
+    L - (n-1) characters per occurrence.
+
+    Scale shape: explode word n-grams → two partial-aggregated
+    groupBys ((doc, n, gram) count, then (doc, n) max/sum) → one
+    conditional-aggregation pivot to columns → join back to the
+    per-doc char total. Linear in corpus size — deliberately NOT the
+    shuffle-free per-doc ``aggregate(array_distinct(...))`` form,
+    which is quadratic in document length and falls over on the long
+    documents a 100 TB corpus is full of. All counts/ratios are exact
+    integer micro-units (BIGINT on the hash surface, decimals-internal
+    rule).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    q = docs.select("doc_id", F.expr(f"text || ({_REP_TAIL_SQL})").alias("qtext"))
+    w = q.select(
+        "doc_id",
+        F.expr("filter(split(replace(qtext, chr(10), ' '), ' '), x -> x != '')")
+        .alias("words"),
+    )
+    base = w.select(
+        "doc_id",
+        "words",
+        F.expr("aggregate(words, cast(0 AS BIGINT), (acc, x) -> acc + length(x))")
+        .alias("total_chars"),
+    )
+    gram_arrays = ", ".join(
+        f"IF(size(words) >= {n},"
+        f" transform(sequence(1, size(words) - {n} + 1),"
+        f" i -> named_struct('n', {n}, 'gram', array_join(slice(words, i, {n}), ' '))),"
+        f" array_repeat(named_struct('n', {n}, 'gram', ''), 0))"
+        for n in _REP_NS
+    )
+    pairs = base.select(
+        "doc_id", F.explode(F.expr(f"concat({gram_arrays})")).alias("s")
+    ).select("doc_id", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+    gc = (
+        pairs.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("c"))
+        .withColumn("glen", F.expr("CAST(length(gram) - (n - 1) AS BIGINT)"))
+    )
+    agg = gc.groupBy("doc_id", "n").agg(
+        F.max(F.expr("c * glen")).alias("top_chars"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN c > 1 THEN c * glen END")),
+            F.lit(0).cast("bigint"),
+        ).alias("dup_chars"),
+    )
+    piv = agg.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.expr(f"CASE WHEN n = {n} THEN {col}_chars END")),
+                F.lit(0).cast("bigint"),
+            ).alias(f"{col}{n}_chars")
+            for n, col in [(2, "top"), (3, "top"), (4, "top"), (5, "dup"), (8, "dup")]
+        ]
+    )
+    m = (
+        base.select("doc_id", "total_chars")
+        .join(piv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_chars",
+            *[
+                F.expr(
+                    f"CAST({_micro_spark(f'coalesce({col}{n}_chars, 0L)', 'total_chars')}"
+                    " AS BIGINT)"
+                ).alias(f"{col}{n}_micro")
+                for n, col in [
+                    (2, "top"), (3, "top"), (4, "top"), (5, "dup"), (8, "dup"),
+                ]
+            ],
+        )
+    )
+    return m.select(
+        "doc_id",
+        "total_chars",
+        "top2_micro",
+        "top3_micro",
+        "top4_micro",
+        "dup5_micro",
+        "dup8_micro",
+        F.expr(_REP_KEEP_SQL).alias("rep_keep"),
     )

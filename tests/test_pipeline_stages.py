@@ -113,3 +113,45 @@ def test_pipeline_funnel_is_monotone_and_split_partitions_survivors(spark):
     # actually drop, and at least one train doc survives
     assert final.n_docs < funnel[0].n_docs
     assert any(r.detail == "train" and r.n_docs > 0 for r in splits)
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals
+# ---------------------------------------------------------------------------
+def test_repetition_dup_rules_fire_exactly_on_the_seeded_docs(spark):
+    """The synthetic base corpus has no duplicated ≥5-gram, so the
+    dup5/dup8 char mass must be nonzero exactly on the doc_id % 7 == 0
+    docs that get the twice-repeated 10-word tail line."""
+    rows = _run(spark, "repetition_signals").collect()
+    assert rows
+    for r in rows:
+        seeded = r.doc_id % 7 == 0
+        assert (r.dup5_micro > 0) == seeded
+        assert (r.dup8_micro > 0) == seeded
+        # every doc covers some chars with its most frequent bigram
+        assert r.top2_micro > 0 and r.total_chars > 0
+
+
+def test_repetition_keep_flag_is_the_threshold_conjunction(spark):
+    from namegraph_collections_spark.queries.quality_signals import (
+        DUP5_MAX_MICRO,
+        DUP8_MAX_MICRO,
+        TOP2_MAX_MICRO,
+        TOP3_MAX_MICRO,
+        TOP4_MAX_MICRO,
+    )
+
+    rows = _run(spark, "repetition_signals").collect()
+    kept = 0
+    for r in rows:
+        want = (
+            r.top2_micro <= TOP2_MAX_MICRO
+            and r.top3_micro <= TOP3_MAX_MICRO
+            and r.top4_micro <= TOP4_MAX_MICRO
+            and r.dup5_micro <= DUP5_MAX_MICRO
+            and r.dup8_micro <= DUP8_MAX_MICRO
+        )
+        assert r.rep_keep == want
+        kept += want
+    # non-vacuous both ways at every test scale
+    assert 0 < kept < len(rows)

@@ -110,6 +110,7 @@ def test_semi_and_anti_join_physical(spark):
         # round 8 additions
         "language_id",
         "epoch_shuffle_plan",
+        "repetition_signals",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
