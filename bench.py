@@ -125,6 +125,7 @@ HEADLINE = [
     "language_id",
     "epoch_shuffle_plan",
     "repetition_signals",
+    "url_canonical_dedup",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

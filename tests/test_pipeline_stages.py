@@ -155,3 +155,27 @@ def test_repetition_keep_flag_is_the_threshold_conjunction(spark):
         kept += want
     # non-vacuous both ways at every test scale
     assert 0 < kept < len(rows)
+
+
+# ---------------------------------------------------------------------------
+# url_canonical_dedup
+# ---------------------------------------------------------------------------
+def test_url_canonicalization_and_first_wins_dedup(spark):
+    rows = _run(spark, "url_canonical_dedup").collect()
+    assert rows
+    by_norm = {}
+    for r in rows:
+        u = r.norm_url
+        assert u == u.lower()
+        assert "#" not in u and "www." not in u and ":80" not in u
+        assert "utm" not in u and not u.split("?")[0].endswith("/")
+        assert u.startswith("http://docs.src")
+        assert r.domain.startswith("src") and r.domain.endswith(".com")
+        by_norm.setdefault(u, []).append(r)
+    # keep is first-wins and dup_count is the group size
+    assert any(len(g) > 1 for g in by_norm.values())  # dedup non-vacuous
+    for grp in by_norm.values():
+        first = min(r.doc_id for r in grp)
+        for r in grp:
+            assert r.dup_count == len(grp)
+            assert r.url_keep == (r.doc_id == first)

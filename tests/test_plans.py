@@ -111,6 +111,7 @@ def test_semi_and_anti_join_physical(spark):
         "language_id",
         "epoch_shuffle_plan",
         "repetition_signals",
+        "url_canonical_dedup",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
