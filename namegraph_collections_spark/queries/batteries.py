@@ -30,7 +30,10 @@ from namegraph_collections_spark.queries.event_analytics import (
     funnel_conversion,
 )
 from namegraph_collections_spark.queries.ann_eval import recall_eval_from
-from namegraph_collections_spark.queries.quality_signals import doc_quality_signals
+from namegraph_collections_spark.queries.quality_signals import (
+    doc_quality_signals,
+    repetition_signals,
+)
 from namegraph_collections_spark.queries.registry import REGISTRY, register, spread, tbl
 from namegraph_collections_spark.queries.semantic_dedup import (
     semdedup_from,
@@ -1087,13 +1090,30 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR), hits, doc_id,
            CAST(n_words AS DOUBLE), rnk
     FROM ({_oracle("language_id")})
+    UNION ALL
+    SELECT 'rep' AS op, m.metric, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), r.doc_id,
+           CASE m.metric
+             WHEN 'top2' THEN r.top2_micro
+             WHEN 'top3' THEN r.top3_micro
+             WHEN 'top4' THEN r.top4_micro
+             WHEN 'dup5' THEN r.dup5_micro
+             WHEN 'dup8' THEN r.dup8_micro
+             WHEN 'chars' THEN r.total_chars
+             ELSE CASE WHEN r.rep_keep THEN 1 ELSE 0 END
+           END,
+           CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER)
+    FROM ({_oracle("repetition_signals")}) r
+    CROSS JOIN (VALUES ('top2'), ('top3'), ('top4'), ('dup5'), ('dup8'),
+                       ('chars'), ('keep')) m(metric)
     """,
 )
 def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix mining + bigram PMI collocations + BPE merge learning +
-    BPE corpus encoding + multi-profile language identification in
-    one tagged result. Components unchanged:
-    queries/collections_ops.py, text_analysis.py, bpe.py.
+    BPE corpus encoding + multi-profile language identification +
+    Gopher n-gram repetition signals in one tagged result. Components
+    unchanged: queries/collections_ops.py, text_analysis.py, bpe.py,
+    quality_signals.py.
     """
     suf = suffix_mining(spark, sf_dir).select(
         F.lit("suffix").alias("op"),
@@ -1152,8 +1172,28 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").cast("double").alias("d"),
         "rnk",
     )
+    # Round-8 repetition leg, melted long-form so the battery schema
+    # needs no widening: one stack() row per (doc, metric) — the same
+    # values the wide single emits, including the keep flag as 0/1.
+    rep = repetition_signals(spark, sf_dir).selectExpr(
+        "doc_id",
+        "stack(7,"
+        " 'top2', top2_micro, 'top3', top3_micro, 'top4', top4_micro,"
+        " 'dup5', dup5_micro, 'dup8', dup8_micro, 'chars', total_chars,"
+        " 'keep', CAST(IF(rep_keep, 1, 0) AS BIGINT)) AS (metric, val)",
+    ).select(
+        F.lit("rep").alias("op"),
+        F.col("metric").alias("s1"),
+        _NULL_S().alias("s2"),
+        _NULL_S().alias("s3"),
+        F.col("doc_id").alias("n"),
+        F.col("val").alias("n2"),
+        _NULL_D().alias("d"),
+        _NULL_I().alias("rnk"),
+    )
     return (
-        suf.unionByName(pmi).unionByName(bpe).unionByName(enc).unionByName(langid)
+        suf.unionByName(pmi).unionByName(bpe).unionByName(enc)
+        .unionByName(langid).unionByName(rep)
     )
 
 

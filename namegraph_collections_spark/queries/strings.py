@@ -164,6 +164,11 @@ def strip_suffix_and_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 from namegraph_collections_spark.queries.pii import pii_scan_redact  # noqa: E402
 from namegraph_collections_spark.queries.registry import REGISTRY as _REG  # noqa: E402
 
+# The URL canonicalization/dedup leg (queries/url_ops.py) also rides
+# this battery — string canonicalization over a different table, with
+# the battery as its one driver-hashed surface (round-8 addition).
+from namegraph_collections_spark.queries.url_ops import url_canonical_dedup  # noqa: E402
+
 
 @register(
     "string_ops_battery",
@@ -195,6 +200,13 @@ from namegraph_collections_spark.queries.registry import REGISTRY as _REG  # noq
            CAST(NULL AS INTEGER) AS brand_num, CAST(NULL AS VARCHAR) AS type_lc,
            n_emails, n_phones, n_ips, has_pii, masked_phone
     FROM ({_REG["pii_scan_redact"].oracle})
+    UNION ALL
+    SELECT 'url' AS op, doc_id, norm_url AS s,
+           dup_count, raw_url AS first_token,
+           CAST(NULL AS INTEGER) AS brand_num, domain AS type_lc,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           url_keep, CAST(NULL AS VARCHAR)
+    FROM ({_REG["url_canonical_dedup"].oracle})
     """,
 )
 def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +216,10 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each part is the unchanged single-operator query, null-padded to
     the common schema and unioned with an ``op`` tag — so the one
-    driver row value-hashes all four operators' full outputs.
+    driver row value-hashes all five operators' full outputs (the
+    round-8 URL canonicalization/dedup leg rides the same schema:
+    norm_url→s, raw_url→first_token, domain→type_lc,
+    dup_count→n_tokens, url_keep→has_pii).
     """
     null_i = F.lit(None).cast("int")
     null_l = F.lit(None).cast("long")
@@ -261,4 +276,21 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_pii",
         "masked_phone",
     )
-    return curate.unionByName(filt).unionByName(strip).unionByName(pii_leg)
+    url_leg = url_canonical_dedup(spark, sf_dir).select(
+        F.lit("url").alias("op"),
+        F.col("doc_id").alias("p_partkey"),
+        F.col("norm_url").alias("s"),
+        F.col("dup_count").alias("n_tokens"),
+        F.col("raw_url").alias("first_token"),
+        null_i.alias("brand_num"),
+        F.col("domain").alias("type_lc"),
+        null_l.alias("n_emails"),
+        null_l.alias("n_phones"),
+        null_l.alias("n_ips"),
+        F.col("url_keep").alias("has_pii"),
+        null_s.alias("masked_phone"),
+    )
+    return (
+        curate.unionByName(filt).unionByName(strip)
+        .unionByName(pii_leg).unionByName(url_leg)
+    )

@@ -71,6 +71,8 @@ BATTERIES = {
         "strip_suffix_and_extract",
         # round 7: the PII scan/redaction leg
         "pii_scan_redact",
+        # round 8: URL canonicalization + canonical-URL dedup
+        "url_canonical_dedup",
     ],
     "sketch_stats_battery": [
         "cms_heavy_hitters",
@@ -88,6 +90,8 @@ BATTERIES = {
         "bpe_encode_tokens",
         # round 8: multi-profile language identification
         "language_id",
+        # round 8: Gopher n-gram repetition signals (melted long-form)
+        "repetition_signals",
     ],
     "graph_battery": ["transitive_closure_reachability", "neardup_triangles"],
     "revenue_olap_battery": [

@@ -140,6 +140,8 @@ R8_COMPOSITED = [
     "multimodal_decode_battery",  # rides the widened multimodal_byte_histogram
     "language_id",  # rides text_mining_battery
     "epoch_shuffle_plan",  # rides sampling_battery
+    "repetition_signals",  # rides text_mining_battery (melted long-form)
+    "url_canonical_dedup",  # rides string_ops_battery
 ]
 
 
