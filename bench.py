@@ -126,6 +126,7 @@ HEADLINE = [
     "epoch_shuffle_plan",
     "repetition_signals",
     "url_canonical_dedup",
+    "c4_line_filter",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

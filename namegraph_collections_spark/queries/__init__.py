@@ -62,6 +62,7 @@ from namegraph_collections_spark.queries import semantic_dedup  # noqa: E402,F40
 from namegraph_collections_spark.queries import dedup_select  # noqa: E402,F401  (after quality_signals: embeds its oracle)
 from namegraph_collections_spark.queries import pii  # noqa: E402,F401
 from namegraph_collections_spark.queries import url_ops  # noqa: E402,F401
+from namegraph_collections_spark.queries import c4_clean  # noqa: E402,F401
 from namegraph_collections_spark.queries import pipeline_e2e  # noqa: E402,F401  (after dedup_select/quality_signals: embeds their oracles)
 from namegraph_collections_spark.queries import batteries  # noqa: E402,F401  (must import last: wraps other modules' oracles)
 

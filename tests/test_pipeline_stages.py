@@ -179,3 +179,31 @@ def test_url_canonicalization_and_first_wins_dedup(spark):
         for r in grp:
             assert r.dup_count == len(grp)
             assert r.url_keep == (r.doc_id == first)
+
+
+# ---------------------------------------------------------------------------
+# c4_line_filter
+# ---------------------------------------------------------------------------
+def test_c4_line_buckets_partition_and_page_gates_fire(spark):
+    rows = _run(spark, "c4_line_filter").collect()
+    assert rows
+    js_docs = punct_docs = dropped_pages = 0
+    for r in rows:
+        # precedence buckets partition the page's lines exactly
+        assert r.n_lines == r.n_kept + r.n_drop_punct + r.n_drop_short + r.n_drop_js
+        assert r.n_kept >= 1  # the first 8-word sentence always survives
+        assert len(r.cleaned_hash) == 32
+        # the %9 javascript tail line lands in the js bucket
+        if r.doc_id % 9 == 0:
+            assert r.n_drop_js >= 1
+        # the %3 no-terminal-punctuation tail line lands in punct
+        if r.doc_id % 3 == 0:
+            assert r.n_drop_punct >= 1
+        # lorem-ipsum / curly-brace pages are always dropped
+        if r.doc_id % 11 == 0 or r.doc_id % 13 == 0:
+            assert not r.page_keep
+        js_docs += r.n_drop_js > 0
+        punct_docs += r.n_drop_punct > 0
+        dropped_pages += not r.page_keep
+    assert js_docs and punct_docs
+    assert 0 < dropped_pages < len(rows)

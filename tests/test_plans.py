@@ -112,6 +112,7 @@ def test_semi_and_anti_join_physical(spark):
         "epoch_shuffle_plan",
         "repetition_signals",
         "url_canonical_dedup",
+        "c4_line_filter",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
