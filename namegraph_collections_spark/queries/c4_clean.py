@@ -150,7 +150,14 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-line page (module docstring): per-doc bucket counts, the
     cleaned page's md5 + char count, and the composite page flag.
     """
-    docs = tbl(spark, sf_dir, "documents")
+    return c4_clean_of(tbl(spark, sf_dir, "documents"))
+
+
+def c4_clean_of(docs: DataFrame) -> DataFrame:
+    """The cleaning as a pure DataFrame transformation — zero shuffle,
+    zero state, so the SAME column program runs at ingest on a
+    streaming ``documents`` source (streaming/filter_stream.py) and in
+    the batch query above. ``docs`` needs (doc_id, text)."""
     w = docs.select(
         "doc_id",
         F.expr("filter(split(text, ' '), x -> x != '')").alias("words"),

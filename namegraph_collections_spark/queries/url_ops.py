@@ -108,20 +108,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy per canonical URL (module docstring). One scan+project, one
     ``norm_url``-keyed window for the group min/count.
     """
-    docs = tbl(spark, sf_dir, "documents")
-    raw = docs.select("doc_id", F.expr(_RAW_URL_SQL).alias("raw_url"))
-    steps = raw.select(
-        "doc_id",
-        "raw_url",
-        F.expr(_BASE_URL_SQL).alias("base_url"),
-        F.expr(_ID_VAL_SQL).alias("id_val"),
-    )
-    norm = steps.select(
-        "doc_id",
-        "raw_url",
-        F.expr(_NORM_URL_SQL).alias("norm_url"),
-        F.expr(_DOMAIN_SQL).alias("domain"),
-    )
+    norm = url_canonicalize_of(tbl(spark, sf_dir, "documents"))
     return norm.select(
         "doc_id",
         "raw_url",
@@ -133,4 +120,28 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("doc_id = MIN(doc_id) OVER (PARTITION BY norm_url)").alias(
             "url_keep"
         ),
+    )
+
+
+def url_canonicalize_of(docs: DataFrame) -> DataFrame:
+    """The canonicalization half as a pure DataFrame transformation —
+    zero shuffle, zero state, so the SAME column program runs at
+    ingest on a streaming ``documents`` source
+    (streaming/filter_stream.py); only the first-wins dedup window
+    (inherently stateful — it compares against ALL prior arrivals)
+    stays batch-side, where the standing dedup-index pattern
+    (operators/dedup_index.py) covers the streaming case.
+    ``docs`` needs (doc_id, source)."""
+    raw = docs.select("doc_id", F.expr(_RAW_URL_SQL).alias("raw_url"))
+    steps = raw.select(
+        "doc_id",
+        "raw_url",
+        F.expr(_BASE_URL_SQL).alias("base_url"),
+        F.expr(_ID_VAL_SQL).alias("id_val"),
+    )
+    return steps.select(
+        "doc_id",
+        "raw_url",
+        F.expr(_NORM_URL_SQL).alias("norm_url"),
+        F.expr(_DOMAIN_SQL).alias("domain"),
     )

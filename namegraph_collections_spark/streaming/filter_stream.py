@@ -26,9 +26,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from namegraph_collections_spark.queries.c4_clean import c4_clean_of
 from namegraph_collections_spark.queries.pii import pii_scan_of
 from namegraph_collections_spark.queries.quality_signals import quality_signals_of
 from namegraph_collections_spark.queries.text_analysis import language_id_of
+from namegraph_collections_spark.queries.url_ops import url_canonicalize_of
 
 DOCUMENTS_SCHEMA = StructType(
     [
@@ -85,3 +87,18 @@ def language_id_stream(docs_stream: DataFrame) -> DataFrame:
     other two, a pure scan+project column program: zero state, append
     mode, per-microbatch cost proportional to the new files."""
     return language_id_of(docs_stream)
+
+
+def c4_clean_stream(docs_stream: DataFrame) -> DataFrame:
+    """C4 line-level cleaning on a streaming source — the batch
+    operator verbatim (queries/c4_clean.py): bucket counts, cleaned
+    md5 + char count, page gate, all per arriving document."""
+    return c4_clean_of(docs_stream)
+
+
+def url_canonicalize_stream(docs_stream: DataFrame) -> DataFrame:
+    """URL canonicalization on a streaming source — the batch
+    operator's canonicalization half verbatim (queries/url_ops.py).
+    The first-wins dedup window is inherently stateful and stays
+    batch-side (or probes the standing dedup index)."""
+    return url_canonicalize_of(docs_stream)

@@ -11,11 +11,13 @@ import shutil
 from namegraph_collections_spark.queries import REGISTRY
 from namegraph_collections_spark.streaming.events import run_available_now
 from namegraph_collections_spark.streaming.filter_stream import (
+    c4_clean_stream,
     language_id_stream,
     pii_scan_stream,
     quality_filter_stream,
     read_customer_stream,
     read_documents_stream,
+    url_canonicalize_stream,
 )
 from tests.conftest import SF_DIR
 
@@ -71,6 +73,32 @@ def test_language_id_stream_matches_batch(spark, tmp_path):
         str(tmp_path / "ckpt_l"),
     )
     want = REGISTRY["language_id"].fn(spark, SF_DIR)
+    cols = want.columns
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+
+
+def test_c4_clean_stream_matches_batch(spark, tmp_path):
+    zone = _landing_zone(spark, tmp_path, "documents", "doc_id")
+    got = run_available_now(
+        c4_clean_stream(read_documents_stream(spark, zone)),
+        str(tmp_path / "ckpt_c4"),
+    )
+    want = REGISTRY["c4_line_filter"].fn(spark, SF_DIR)
+    cols = want.columns
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+
+
+def test_url_canonicalize_stream_matches_batch(spark, tmp_path):
+    from namegraph_collections_spark.queries.url_ops import url_canonicalize_of
+
+    zone = _landing_zone(spark, tmp_path, "documents", "doc_id")
+    got = run_available_now(
+        url_canonicalize_stream(read_documents_stream(spark, zone)),
+        str(tmp_path / "ckpt_u"),
+    )
+    want = url_canonicalize_of(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
     cols = want.columns
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
