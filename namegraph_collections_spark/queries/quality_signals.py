@@ -380,7 +380,14 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units (BIGINT on the hash surface, decimals-internal
     rule).
     """
-    docs = tbl(spark, sf_dir, "documents")
+    return repetition_signals_of(tbl(spark, sf_dir, "documents"))
+
+
+def repetition_signals_of(docs: DataFrame) -> DataFrame:
+    """The repetition computation over any (doc_id, text) frame —
+    split out so property tests can drive it with handcrafted
+    documents whose exact metric values are known in closed form
+    (tests/test_properties.py)."""
     q = docs.select("doc_id", F.expr(f"text || ({_REP_TAIL_SQL})").alias("qtext"))
     w = q.select(
         "doc_id",

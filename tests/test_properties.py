@@ -295,3 +295,53 @@ def test_tfidf_cosine_bounded(spark):
 
     for r in REGISTRY["tfidf_cosine_pairs"].fn(spark, SF).collect():
         assert 0.0 < r["cosine"] <= 1.000001
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals: closed-form values on handcrafted documents
+# ---------------------------------------------------------------------------
+def test_repetition_closed_form_on_pure_alternation(spark):
+    """doc_id=1 triggers none of the synthetic tail clauses, so the
+    metrics are computable by hand: for text 'x y x y x y x y'
+    (8 words, 8 chars), the most frequent bigram 'x y' occurs 4 times
+    covering 4*2 = 8 chars → top2 coverage is exactly 1.0; every
+    distinct 5-gram and 8-gram recurs or not in closed form."""
+    from namegraph_collections_spark.queries.quality_signals import (
+        repetition_signals_of,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y x y")], "doc_id long, text string"
+    )
+    r = repetition_signals_of(docs).collect()[0]
+    assert r.total_chars == 8
+    assert r.top2_micro == 1_000_000  # 'x y' ×4 → 8/8 chars
+    # 3-grams: 'x y x' ×3 (3 chars each) and 'y x y' ×3 → max 9/8
+    assert r.top3_micro == 1_125_000
+    # 5-grams: 'x y x y x' ×2, 'y x y x y' ×2, 5 word-chars each →
+    # dup chars 2*5 + 2*5 = 20 over 8 total (overlap can exceed 1.0)
+    assert r.dup5_micro == 2_500_000
+    # 8-grams: exactly one ('x y x y x y x y'), count 1 → no dup
+    assert r.dup8_micro == 0
+    assert not r.rep_keep  # top2 1.0 > 0.20 threshold
+
+
+def test_repetition_all_distinct_words_have_no_dups(spark):
+    """A document of all-distinct words (doc_id=1: no tail) has zero
+    duplicated n-grams and top-n coverage = n_chars(gram)/total."""
+    from namegraph_collections_spark.queries.quality_signals import (
+        repetition_signals_of,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    r = repetition_signals_of(docs).collect()[0]
+    assert r.dup5_micro == 0 and r.dup8_micro == 0
+    total = sum(len(w) for w in "alpha beta gamma delta epsilon zeta eta theta".split())
+    assert r.total_chars == total
+    # every bigram unique → top2 = max pair char length / total
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    best2 = max(len(a) + len(b) for a, b in zip(words, words[1:]))
+    assert r.top2_micro == round(best2 * 1_000_000 / total)
