@@ -127,6 +127,9 @@ HEADLINE = [
     "repetition_signals",
     "url_canonical_dedup",
     "c4_line_filter",
+    "host_quality_rollup",
+    "language_id_eval",
+    "dedup_cluster_stats",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

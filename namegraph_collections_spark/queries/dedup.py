@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from namegraph_collections_spark.queries.registry import register, spread, tbl
+from namegraph_collections_spark.queries.registry import REGISTRY, register, spread, tbl
 
 NUM_MINHASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
@@ -744,6 +744,61 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster-size statistics: the corpus-health histogram every
+# dedup run reports (how many pairs/clusters, how much would be
+# removed) — computed from the cluster table, one row per observed
+# cluster size.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_stats",
+    # REGISTRY lookup is safe here: neardup_clusters registers above
+    # in this module (component oracle embedded verbatim).
+    oracle=f"""
+    WITH nc AS ({REGISTRY["neardup_clusters"].oracle}),
+    canon AS (SELECT cluster_size FROM nc WHERE is_canonical)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM canon GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components: per
+    observed cluster size, how many clusters exist, how many documents
+    they hold, and how many a keep-one-per-cluster policy would remove
+    (`n_removable` summed over rows IS the dedup ratio's numerator —
+    the number every dedup run reports).
+
+    Scale shape: one canonical row per cluster feeds a partial-
+    aggregated groupBy on the (tiny) size key — negligible on top of
+    the components build it summarizes. The battery form shares the
+    already-built cluster frame via ``dedup_cluster_stats_from``.
+    """
+    return dedup_cluster_stats_from(neardup_clusters(spark, sf_dir))
+
+
+def dedup_cluster_stats_from(clusters: DataFrame) -> DataFrame:
+    """The histogram over an ALREADY-BUILT cluster table
+    ((doc_id, cluster_id, cluster_size, is_canonical)) — the sharing
+    seam for composites that reuse one components closure across legs.
+    """
+    return (
+        clusters.filter(F.col("is_canonical"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            F.expr("CAST(cluster_size * n_clusters AS BIGINT)").alias("n_docs"),
+            F.expr("CAST((cluster_size - 1) * n_clusters AS BIGINT)").alias(
+                "n_removable"
+            ),
+        )
     )
 
 

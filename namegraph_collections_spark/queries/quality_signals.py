@@ -205,17 +205,21 @@ def doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_signals_of(tbl(spark, sf_dir, "documents"))
 
 
-def quality_signals_of(docs: DataFrame) -> DataFrame:
+def quality_signals_of(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The signal computation as a pure DataFrame transformation —
     batch/stream-agnostic (no shuffle, no join), so the SAME column
     program runs at ingest on a streaming `documents` source
     (streaming/filter_stream.py) and in the batch query above.
-    ``docs`` needs (doc_id, text)."""
+    ``docs`` needs (doc_id, text). ``carry`` names extra input columns
+    passed through unchanged — the single-scan fusion seam that lets
+    composites (host_quality_rollup) attach the signals without a
+    second scan or a doc_id self-join."""
     docs = docs.select(
-        "doc_id", F.expr(f"text || ({_TAIL_SQL})").alias("qtext")
+        "doc_id", *carry, F.expr(f"text || ({_TAIL_SQL})").alias("qtext")
     )
     arr = docs.select(
         "doc_id",
+        *carry,
         F.expr("filter(split(replace(qtext, chr(10), ' '), ' '), w -> w != '')")
         .alias("words"),
         F.expr("split(qtext, chr(10))").alias("lines"),
@@ -224,6 +228,7 @@ def quality_signals_of(docs: DataFrame) -> DataFrame:
     stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
     c = arr.select(
         "doc_id",
+        *carry,
         F.expr("cast(size(words) AS BIGINT)").alias("n_words"),
         F.expr("cast(size(lines) AS BIGINT)").alias("n_lines"),
         F.expr(
@@ -261,6 +266,7 @@ def quality_signals_of(docs: DataFrame) -> DataFrame:
     )
     m = c.select(
         "doc_id",
+        *carry,
         "n_words",
         "n_lines",
         "n_stopword_hits",
@@ -274,6 +280,7 @@ def quality_signals_of(docs: DataFrame) -> DataFrame:
     )
     return m.select(
         "doc_id",
+        *carry,
         "n_words",
         "n_lines",
         "n_stopword_hits",

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from namegraph_collections_spark.functions.det_round import round6_det
 from namegraph_collections_spark.queries.registry import (
+    REGISTRY,
     ranked_topk,
     register,
     spread,
@@ -702,3 +703,84 @@ def language_id_of(docs: DataFrame) -> DataFrame:
         "n_words",
         f"stack({len(LANG_PROFILES)}, {stack}) AS (lang, hits, rnk)",
     ).select("doc_id", "lang", "hits", "n_words", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix against the constructed
+# ground truth (the tail a doc received IS its dominant language by
+# construction), the same eval-the-operator pattern as
+# ann_recall_eval. A pipeline tunes its LID stage from exactly this
+# table: which languages leak into which, and each label's recall.
+# ---------------------------------------------------------------------------
+
+#: Ground truth by construction: _lang_tail_sql keys the appended
+#: marker phrase on doc_id % 5 (0 → no tail → the corpus's own
+#: English-ish text).
+_LANG_TRUTH_SQL = (
+    "CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 'de' WHEN 2 THEN 'es'"
+    " WHEN 3 THEN 'fr' WHEN 4 THEN 'it' ELSE 'en' END"
+)
+
+
+@register(
+    "language_id_eval",
+    # REGISTRY["language_id"].oracle is set above in this module —
+    # embedded verbatim (battery construction rule).
+    oracle=f"""
+    WITH li AS ({REGISTRY["language_id"].oracle}),
+    preds AS (
+      SELECT doc_id, lang AS pred_lang, {_LANG_TRUTH_SQL} AS label_lang
+      FROM li WHERE rnk = 1
+    ),
+    cells AS (
+      SELECT label_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM preds GROUP BY label_lang, pred_lang
+    ),
+    tot AS (
+      SELECT *, SUM(n_docs) OVER (PARTITION BY label_lang) AS label_total
+      FROM cells
+    )
+    SELECT label_lang, pred_lang, n_docs,
+           CAST(label_total AS BIGINT) AS label_total,
+           (n_docs * 1000000 + label_total // 2) // label_total AS share_micro
+    FROM tot
+    """,
+)
+def language_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: per (true language, predicted
+    language) cell, the doc count, the label's total mass, and the
+    cell's exact micro-unit share of it (the diagonal's share IS the
+    label's recall). Truth is by construction — the deterministic
+    marker tail a document received (doc_id % 5) is its dominant
+    language.
+
+    Scale shape: rides the classifier's one scan, then a tiny
+    (label, pred)-keyed partial aggregation (≤ |langs|² cells) and a
+    label-partitioned window over those cells — the shuffled data
+    AFTER the per-doc reduction is a handful of rows regardless of
+    corpus size.
+    """
+    li = language_id(spark, sf_dir)
+    preds = li.filter(F.col("rnk") == 1).select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        F.expr(_LANG_TRUTH_SQL).alias("label_lang"),
+    )
+    cells = preds.groupBy("label_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = cells.select(
+        "*",
+        F.expr(
+            "CAST(SUM(n_docs) OVER (PARTITION BY label_lang) AS BIGINT)"
+        ).alias("label_total"),
+    )
+    return tot.select(
+        "label_lang",
+        "pred_lang",
+        "n_docs",
+        "label_total",
+        F.expr(
+            "(n_docs * 1000000L + label_total div 2) div label_total"
+        ).alias("share_micro"),
+    )

@@ -123,7 +123,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def url_canonicalize_of(docs: DataFrame) -> DataFrame:
+def url_canonicalize_of(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The canonicalization half as a pure DataFrame transformation —
     zero shuffle, zero state, so the SAME column program runs at
     ingest on a streaming ``documents`` source
@@ -131,16 +131,21 @@ def url_canonicalize_of(docs: DataFrame) -> DataFrame:
     (inherently stateful — it compares against ALL prior arrivals)
     stays batch-side, where the standing dedup-index pattern
     (operators/dedup_index.py) covers the streaming case.
-    ``docs`` needs (doc_id, source)."""
-    raw = docs.select("doc_id", F.expr(_RAW_URL_SQL).alias("raw_url"))
+    ``docs`` needs (doc_id, source). ``carry`` names extra input
+    columns to pass through unchanged — the single-scan fusion seam
+    composites use to attach URL columns without re-reading the table
+    (host_quality_rollup)."""
+    raw = docs.select("doc_id", *carry, F.expr(_RAW_URL_SQL).alias("raw_url"))
     steps = raw.select(
         "doc_id",
+        *carry,
         "raw_url",
         F.expr(_BASE_URL_SQL).alias("base_url"),
         F.expr(_ID_VAL_SQL).alias("id_val"),
     )
     return steps.select(
         "doc_id",
+        *carry,
         "raw_url",
         F.expr(_NORM_URL_SQL).alias("norm_url"),
         F.expr(_DOMAIN_SQL).alias("domain"),

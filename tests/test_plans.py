@@ -113,6 +113,9 @@ def test_semi_and_anti_join_physical(spark):
         "repetition_signals",
         "url_canonical_dedup",
         "c4_line_filter",
+        "host_quality_rollup",
+        "language_id_eval",
+        "dedup_cluster_stats",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
