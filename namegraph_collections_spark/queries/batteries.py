@@ -475,6 +475,8 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 from namegraph_collections_spark.queries.dedup import (  # noqa: E402
     _minhash_bands,
     _minhash_pairs_from,
+    dedup_cluster_stats,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    dedup_cluster_stats_from,
     exact_dedup_groups,
     incremental_minhash_dedup,  # noqa: F401  (oracle parity; battery uses the _from seam)
     incremental_minhash_dedup_from,
@@ -720,15 +722,21 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("training_pipeline_e2e")})
+    UNION ALL
+    SELECT 'cstats' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           cluster_size, n_clusters, n_docs, n_removable,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_oracle("dedup_cluster_stats")})
     """,
 )
 def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact fingerprint groups + cross-document passage dedup +
     idf-weighted cosine pairs + incremental (batch-vs-corpus) MinHash
     dedup + winnowing local fingerprints + per-cluster representative
-    selection + the end-to-end training-pipeline funnel in one tagged
-    result. Components unchanged: queries/dedup.py, dedup_select.py,
-    pipeline_e2e.py.
+    selection + the end-to-end training-pipeline funnel + the
+    cluster-size histogram in one tagged result. Components unchanged:
+    queries/dedup.py, dedup_select.py, pipeline_e2e.py.
     """
     from namegraph_collections_spark.queries.registry import tbl as _tbl
 
@@ -837,6 +845,22 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("n_keep"),
         _NULL_L().alias("rep_words"),
     )
+    # Round-8 cluster-stats leg: rep_full is already one row per
+    # cluster carrying cluster_size, so the histogram costs one tiny
+    # groupBy on the shared closure — no second components build.
+    cstats = dedup_cluster_stats_from(rep_full).select(
+        F.lit("cstats").alias("op"),
+        _NULL_S().alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("cluster_size").alias("id_a"),
+        F.col("n_clusters").alias("id_b"),
+        F.col("n_docs").alias("cnt"),
+        F.col("n_removable").alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
     return (
         exact.unionByName(passage)
         .unionByName(tfidf)
@@ -844,6 +868,7 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(winnow)
         .unionByName(rep)
         .unionByName(funnel)
+        .unionByName(cstats)
     )
 
 
@@ -930,6 +955,8 @@ from namegraph_collections_spark.queries.scale_ops import (  # noqa: E402
 from namegraph_collections_spark.queries.text_analysis import (  # noqa: E402
     bigram_pmi,
     language_id,
+    language_id_eval,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    language_id_eval_from,
 )
 
 
@@ -1106,12 +1133,18 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ({_oracle("repetition_signals")}) r
     CROSS JOIN (VALUES ('top2'), ('top3'), ('top4'), ('dup5'), ('dup8'),
                        ('chars'), ('keep')) m(metric)
+    UNION ALL
+    SELECT 'lid_eval' AS op, label_lang, pred_lang, CAST(NULL AS VARCHAR),
+           n_docs, label_total, CAST(NULL AS DOUBLE),
+           CAST(share_micro AS INTEGER)
+    FROM ({_oracle("language_id_eval")})
     """,
 )
 def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix mining + bigram PMI collocations + BPE merge learning +
-    BPE corpus encoding + multi-profile language identification +
-    Gopher n-gram repetition signals in one tagged result. Components
+    BPE corpus encoding + multi-profile language identification (+ its
+    confusion-matrix eval, fed from the SAME classifier scan) + Gopher
+    n-gram repetition signals in one tagged result. Components
     unchanged: queries/collections_ops.py, text_analysis.py, bpe.py,
     quality_signals.py.
     """
@@ -1162,7 +1195,10 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_D().alias("d"),
         F.col("token_len").alias("rnk"),
     )
-    langid = language_id(spark, sf_dir).select(
+    # ONE classifier scan feeds both the per-doc leg and the
+    # confusion-matrix eval leg (the BPE-loop sharing treatment).
+    li = language_id(spark, sf_dir).localCheckpoint(eager=False)
+    langid = li.select(
         F.lit("langid").alias("op"),
         F.col("lang").alias("s1"),
         _NULL_S().alias("s2"),
@@ -1171,6 +1207,16 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("n2"),
         F.col("n_words").cast("double").alias("d"),
         "rnk",
+    )
+    lid_eval = language_id_eval_from(li).select(
+        F.lit("lid_eval").alias("op"),
+        F.col("label_lang").alias("s1"),
+        F.col("pred_lang").alias("s2"),
+        _NULL_S().alias("s3"),
+        F.col("n_docs").alias("n"),
+        F.col("label_total").alias("n2"),
+        _NULL_D().alias("d"),
+        F.col("share_micro").cast("int").alias("rnk"),
     )
     # Round-8 repetition leg, melted long-form so the battery schema
     # needs no widening: one stack() row per (doc, metric) — the same
@@ -1193,7 +1239,7 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         suf.unionByName(pmi).unionByName(bpe).unionByName(enc)
-        .unionByName(langid).unionByName(rep)
+        .unionByName(langid).unionByName(rep).unionByName(lid_eval)
     )
 
 

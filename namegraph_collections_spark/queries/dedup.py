@@ -783,12 +783,16 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_cluster_stats_from(clusters: DataFrame) -> DataFrame:
-    """The histogram over an ALREADY-BUILT cluster table
-    ((doc_id, cluster_id, cluster_size, is_canonical)) — the sharing
-    seam for composites that reuse one components closure across legs.
-    """
+    """The histogram over an ALREADY-BUILT cluster table — either the
+    per-doc form ((doc_id, cluster_id, cluster_size, is_canonical),
+    reduced to its canonical rows) or a one-row-per-cluster frame that
+    carries ``cluster_size`` (neardup_representatives' output) — the
+    sharing seam for composites that reuse one components closure
+    across legs."""
+    if "is_canonical" in clusters.columns:
+        clusters = clusters.filter(F.col("is_canonical"))
     return (
-        clusters.filter(F.col("is_canonical"))
+        clusters
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
         .select(

@@ -169,6 +169,12 @@ from namegraph_collections_spark.queries.registry import REGISTRY as _REG  # noq
 # the battery as its one driver-hashed surface (round-8 addition).
 from namegraph_collections_spark.queries.url_ops import url_canonical_dedup  # noqa: E402
 
+# The per-domain quality rollup (queries/web_rollup.py) rides this
+# battery too: it aggregates the URL leg's domain key, and the battery
+# is its one driver-hashed surface (round-8 addition). Importing the
+# module registers it before this oracle is built.
+from namegraph_collections_spark.queries.web_rollup import host_quality_rollup  # noqa: E402
+
 
 @register(
     "string_ops_battery",
@@ -207,6 +213,14 @@ from namegraph_collections_spark.queries.url_ops import url_canonical_dedup  # n
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            url_keep, CAST(NULL AS VARCHAR)
     FROM ({_REG["url_canonical_dedup"].oracle})
+    UNION ALL
+    SELECT 'hostq' AS op, sum_words, domain AS s,
+           n_docs, CAST(NULL AS VARCHAR) AS first_token,
+           CAST(dup_rate_micro AS INTEGER) AS brand_num,
+           CAST(NULL AS VARCHAR) AS type_lc,
+           n_pages, n_keep, keep_rate_micro,
+           domain_keep, CAST(NULL AS VARCHAR)
+    FROM ({_REG["host_quality_rollup"].oracle})
     """,
 )
 def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,10 +230,12 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each part is the unchanged single-operator query, null-padded to
     the common schema and unioned with an ``op`` tag — so the one
-    driver row value-hashes all five operators' full outputs (the
+    driver row value-hashes all six operators' full outputs (the
     round-8 URL canonicalization/dedup leg rides the same schema:
     norm_url→s, raw_url→first_token, domain→type_lc,
-    dup_count→n_tokens, url_keep→has_pii).
+    dup_count→n_tokens, url_keep→has_pii; the round-8 domain-rollup
+    leg likewise: domain→s, counts and micro-rates into the BIGINT/INT
+    slots, domain_keep→has_pii).
     """
     null_i = F.lit(None).cast("int")
     null_l = F.lit(None).cast("long")
@@ -290,7 +306,24 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url_keep").alias("has_pii"),
         null_s.alias("masked_phone"),
     )
+    # Round-8 domain-rollup leg: the micro-unit rates ride BIGINT/INT
+    # slots (dup_rate_micro < 1e6 always — a count ratio ≤ 1 — so the
+    # INT cast is exact on both engines).
+    hostq = host_quality_rollup(spark, sf_dir).select(
+        F.lit("hostq").alias("op"),
+        F.col("sum_words").alias("p_partkey"),
+        F.col("domain").alias("s"),
+        F.col("n_docs").alias("n_tokens"),
+        null_s.alias("first_token"),
+        F.col("dup_rate_micro").cast("int").alias("brand_num"),
+        null_s.alias("type_lc"),
+        F.col("n_pages").alias("n_emails"),
+        F.col("n_keep").alias("n_phones"),
+        F.col("keep_rate_micro").alias("n_ips"),
+        F.col("domain_keep").alias("has_pii"),
+        null_s.alias("masked_phone"),
+    )
     return (
         curate.unionByName(filt).unionByName(strip)
-        .unionByName(pii_leg).unionByName(url_leg)
+        .unionByName(pii_leg).unionByName(url_leg).unionByName(hostq)
     )

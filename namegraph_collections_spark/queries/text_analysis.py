@@ -760,7 +760,14 @@ def language_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER the per-doc reduction is a handful of rows regardless of
     corpus size.
     """
-    li = language_id(spark, sf_dir)
+    return language_id_eval_from(language_id(spark, sf_dir))
+
+
+def language_id_eval_from(li: DataFrame) -> DataFrame:
+    """The confusion matrix over an ALREADY-BUILT classifier frame
+    ((doc_id, lang, hits, n_words, rnk)) — the sharing seam
+    text_mining_battery uses to feed its langid and eval legs from
+    one classifier scan."""
     preds = li.filter(F.col("rnk") == 1).select(
         "doc_id",
         F.col("lang").alias("pred_lang"),

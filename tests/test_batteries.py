@@ -63,6 +63,8 @@ BATTERIES = {
         "neardup_representatives",
         # round 8: the end-to-end training-pipeline funnel
         "training_pipeline_e2e",
+        # round 8: cluster-size histogram (shares the closure)
+        "dedup_cluster_stats",
     ],
     "pq_battery": ["pq_adc_topk", "pq_rerank_topk"],
     "string_ops_battery": [
@@ -73,6 +75,8 @@ BATTERIES = {
         "pii_scan_redact",
         # round 8: URL canonicalization + canonical-URL dedup
         "url_canonical_dedup",
+        # round 8: per-domain quality rollup + domain gate
+        "host_quality_rollup",
     ],
     "sketch_stats_battery": [
         "cms_heavy_hitters",
@@ -92,6 +96,8 @@ BATTERIES = {
         "language_id",
         # round 8: Gopher n-gram repetition signals (melted long-form)
         "repetition_signals",
+        # round 8: the classifier's confusion-matrix eval
+        "language_id_eval",
     ],
     "graph_battery": ["transitive_closure_reachability", "neardup_triangles"],
     "revenue_olap_battery": [

@@ -142,6 +142,9 @@ R8_COMPOSITED = [
     "epoch_shuffle_plan",  # rides sampling_battery
     "repetition_signals",  # rides text_mining_battery (melted long-form)
     "url_canonical_dedup",  # rides string_ops_battery
+    "host_quality_rollup",  # rides string_ops_battery
+    "language_id_eval",  # rides text_mining_battery (shared classifier scan)
+    "dedup_cluster_stats",  # rides lexical_dedup_battery (shared closure)
 ]
 
 
