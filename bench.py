@@ -130,6 +130,7 @@ HEADLINE = [
     "host_quality_rollup",
     "language_id_eval",
     "dedup_cluster_stats",
+    "domain_gated_corpus",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -169,11 +169,19 @@ from namegraph_collections_spark.queries.registry import REGISTRY as _REG  # noq
 # the battery as its one driver-hashed surface (round-8 addition).
 from namegraph_collections_spark.queries.url_ops import url_canonical_dedup  # noqa: E402
 
-# The per-domain quality rollup (queries/web_rollup.py) rides this
-# battery too: it aggregates the URL leg's domain key, and the battery
-# is its one driver-hashed surface (round-8 addition). Importing the
-# module registers it before this oracle is built.
-from namegraph_collections_spark.queries.web_rollup import host_quality_rollup  # noqa: E402
+# The per-domain quality rollup and its gate-application stage
+# (queries/web_rollup.py) ride this battery too: they aggregate/apply
+# the URL leg's domain key, and the battery is their one driver-hashed
+# surface (round-8 additions). Importing the module registers them
+# before this oracle is built; the battery feeds both legs from ONE
+# fused per-doc frame via the _from seams.
+from namegraph_collections_spark.queries.web_rollup import (  # noqa: E402
+    domain_gated_corpus,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    domain_gated_corpus_from,
+    host_quality_rollup,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    host_quality_rollup_from,
+    per_doc_web_frame,
+)
 
 
 @register(
@@ -221,6 +229,17 @@ from namegraph_collections_spark.queries.web_rollup import host_quality_rollup  
            n_pages, n_keep, keep_rate_micro,
            domain_keep, CAST(NULL AS VARCHAR)
     FROM ({_REG["host_quality_rollup"].oracle})
+    UNION ALL
+    SELECT 'gated' AS op, doc_id, domain AS s,
+           CASE WHEN domain_keep THEN 1 ELSE 0 END,
+           CAST(NULL AS VARCHAR) AS first_token,
+           CAST(NULL AS INTEGER) AS brand_num,
+           CAST(NULL AS VARCHAR) AS type_lc,
+           CASE WHEN doc_keep THEN 1 ELSE 0 END,
+           CASE WHEN url_keep THEN 1 ELSE 0 END,
+           CAST(NULL AS BIGINT),
+           final_keep, CAST(NULL AS VARCHAR)
+    FROM ({_REG["domain_gated_corpus"].oracle})
     """,
 )
 def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,12 +249,12 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each part is the unchanged single-operator query, null-padded to
     the common schema and unioned with an ``op`` tag — so the one
-    driver row value-hashes all six operators' full outputs (the
+    driver row value-hashes all seven operators' full outputs (the
     round-8 URL canonicalization/dedup leg rides the same schema:
     norm_url→s, raw_url→first_token, domain→type_lc,
     dup_count→n_tokens, url_keep→has_pii; the round-8 domain-rollup
-    leg likewise: domain→s, counts and micro-rates into the BIGINT/INT
-    slots, domain_keep→has_pii).
+    and gate-application legs likewise: domain→s, counts/micro-rates/
+    0-1 verdicts into the BIGINT/INT slots, the keep flag→has_pii).
     """
     null_i = F.lit(None).cast("int")
     null_l = F.lit(None).cast("long")
@@ -306,10 +325,14 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url_keep").alias("has_pii"),
         null_s.alias("masked_phone"),
     )
-    # Round-8 domain-rollup leg: the micro-unit rates ride BIGINT/INT
-    # slots (dup_rate_micro < 1e6 always — a count ratio ≤ 1 — so the
-    # INT cast is exact on both engines).
-    hostq = host_quality_rollup(spark, sf_dir).select(
+    # Round-8 domain-rollup + gate-application legs, fed from ONE
+    # fused per-doc scan (the _from seams; localCheckpoint because
+    # ReusedExchange does not dedup the repeated subtree). The
+    # micro-unit rates ride BIGINT/INT slots (dup_rate_micro < 1e6
+    # always — a count ratio ≤ 1 — so the INT cast is exact on both
+    # engines); the gated leg's three verdicts ride 0/1 BIGINTs.
+    per_doc = per_doc_web_frame(spark, sf_dir).localCheckpoint(eager=False)
+    hostq = host_quality_rollup_from(per_doc).select(
         F.lit("hostq").alias("op"),
         F.col("sum_words").alias("p_partkey"),
         F.col("domain").alias("s"),
@@ -323,7 +346,22 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("domain_keep").alias("has_pii"),
         null_s.alias("masked_phone"),
     )
+    gated = domain_gated_corpus_from(per_doc).select(
+        F.lit("gated").alias("op"),
+        F.col("doc_id").alias("p_partkey"),
+        F.col("domain").alias("s"),
+        F.expr("CAST(IF(domain_keep, 1, 0) AS BIGINT)").alias("n_tokens"),
+        null_s.alias("first_token"),
+        null_i.alias("brand_num"),
+        null_s.alias("type_lc"),
+        F.expr("CAST(IF(doc_keep, 1, 0) AS BIGINT)").alias("n_emails"),
+        F.expr("CAST(IF(url_keep, 1, 0) AS BIGINT)").alias("n_phones"),
+        null_l.alias("n_ips"),
+        F.col("final_keep").alias("has_pii"),
+        null_s.alias("masked_phone"),
+    )
     return (
         curate.unionByName(filt).unionByName(strip)
-        .unionByName(pii_leg).unionByName(url_leg).unionByName(hostq)
+        .unionByName(pii_leg).unionByName(url_leg)
+        .unionByName(hostq).unionByName(gated)
     )

@@ -104,10 +104,24 @@ def host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles verbatim (battery construction rule) and joins them on
     doc_id — oracle-side clarity over oracle-side economy.
     """
+    return host_quality_rollup_from(per_doc_web_frame(spark, sf_dir))
+
+
+def per_doc_web_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE fused documents scan carrying both web-signal families per
+    doc — (doc_id, norm_url, domain, quality signal columns, keep) —
+    the shared input of the rollup, the gate-application stage, and
+    the battery legs."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "source", "text")
     url = url_canonicalize_of(docs, carry=("text",))
-    sig = quality_signals_of(url, carry=("norm_url", "domain"))
-    agg = sig.groupBy("domain").agg(
+    return quality_signals_of(url, carry=("norm_url", "domain"))
+
+
+def host_quality_rollup_from(per_doc: DataFrame) -> DataFrame:
+    """The rollup over an ALREADY-BUILT fused per-doc frame — the
+    sharing seam string_ops_battery and domain_gated_corpus use so
+    one scan feeds every consumer."""
+    agg = per_doc.groupBy("domain").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("norm_url").cast("long").alias("n_pages"),
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
@@ -127,3 +141,58 @@ def host_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate_micro"),
     )
     return m.select("*", F.expr(_GATE_SQL).alias("domain_keep"))
+
+
+@register(
+    "domain_gated_corpus",
+    oracle=f"""
+    WITH u AS ({_component_oracle("url_canonical_dedup")}),
+    q AS ({_component_oracle("doc_quality_signals")}),
+    g AS ({_component_oracle("host_quality_rollup")})
+    SELECT u.doc_id, u.domain,
+           g.domain_keep, q.keep AS doc_keep, u.url_keep,
+           (g.domain_keep AND q.keep AND u.url_keep) AS final_keep
+    FROM u JOIN q USING (doc_id) JOIN g USING (domain)
+    """,
+)
+def domain_gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the domain gate back onto the corpus — the stage after
+    the rollup: every document gets its three web keep verdicts
+    (domain gate, per-doc quality, first-copy-per-canonical-URL) and
+    the AND of them, the actual row filter a web pipeline ships.
+
+    Scale shape: the aggregate-then-apply pattern is inherently two
+    passes — one scan aggregates the per-domain gate (tiny output),
+    the second scan applies it via a BROADCAST join on the
+    low-cardinality domain key (no shuffle of the corpus side; the
+    `url_keep` window is the same norm_url-keyed exchange
+    url_canonical_dedup already pays). The oracle embeds all three
+    component oracles verbatim.
+    """
+    return domain_gated_corpus_from(per_doc_web_frame(spark, sf_dir))
+
+
+def domain_gated_corpus_from(per_doc: DataFrame) -> DataFrame:
+    """Gate application over an ALREADY-BUILT fused per-doc frame —
+    the sharing seam string_ops_battery uses to feed its rollup and
+    gated legs from one scan."""
+    gate = host_quality_rollup_from(per_doc).select("domain", "domain_keep")
+    with_url_keep = per_doc.select(
+        "doc_id",
+        "domain",
+        F.col("keep").alias("doc_keep"),
+        F.expr("doc_id = MIN(doc_id) OVER (PARTITION BY norm_url)").alias(
+            "url_keep"
+        ),
+    )
+    return (
+        with_url_keep.join(F.broadcast(gate), "domain")
+        .select(
+            "doc_id",
+            "domain",
+            "domain_keep",
+            "doc_keep",
+            "url_keep",
+            F.expr("domain_keep AND doc_keep AND url_keep").alias("final_keep"),
+        )
+    )

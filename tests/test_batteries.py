@@ -77,6 +77,8 @@ BATTERIES = {
         "url_canonical_dedup",
         # round 8: per-domain quality rollup + domain gate
         "host_quality_rollup",
+        # round 8: the gate applied back onto the corpus
+        "domain_gated_corpus",
     ],
     "sketch_stats_battery": [
         "cms_heavy_hitters",

@@ -116,6 +116,7 @@ def test_semi_and_anti_join_physical(spark):
         "host_quality_rollup",
         "language_id_eval",
         "dedup_cluster_stats",
+        "domain_gated_corpus",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):

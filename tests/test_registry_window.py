@@ -145,6 +145,7 @@ R8_COMPOSITED = [
     "host_quality_rollup",  # rides string_ops_battery
     "language_id_eval",  # rides text_mining_battery (shared classifier scan)
     "dedup_cluster_stats",  # rides lexical_dedup_battery (shared closure)
+    "domain_gated_corpus",  # rides string_ops_battery (shared per-doc frame)
 ]
 
 
