@@ -102,3 +102,35 @@ def url_canonicalize_stream(docs_stream: DataFrame) -> DataFrame:
     The first-wins dedup window is inherently stateful and stays
     batch-side (or probes the standing dedup index)."""
     return url_canonicalize_of(docs_stream)
+
+
+def domain_gate_stream(docs_stream: DataFrame, gate: DataFrame) -> DataFrame:
+    """Apply a batch-computed domain gate to documents AS THEY LAND —
+    the stream-static join pattern: ``gate`` is the (domain,
+    domain_keep) table host_quality_rollup produced over the existing
+    corpus (re-read per microbatch — it is a handful of rows), and
+    each arriving document broadcast-joins it after computing its own
+    domain and quality keep flag with the batch column programs
+    verbatim. Emits the stateless verdict subset (domain ∧ quality);
+    the first-copy-per-URL flag is inherently stateful and stays
+    batch/index-side, like the URL dedup note above.
+
+    Scale shape: scan+project plus a broadcast hash join against a
+    tiny static side — still zero shuffles of the stream, still
+    append mode, per-microbatch cost proportional to the new files.
+    """
+    from pyspark.sql import functions as F
+
+    url = url_canonicalize_of(docs_stream, carry=("text",))
+    sig = quality_signals_of(url, carry=("domain",))
+    return (
+        sig.select("doc_id", "domain", F.col("keep").alias("doc_keep"))
+        .join(F.broadcast(gate.select("domain", "domain_keep")), "domain")
+        .select(
+            "doc_id",
+            "domain",
+            "domain_keep",
+            "doc_keep",
+            F.expr("domain_keep AND doc_keep").alias("ingest_keep"),
+        )
+    )

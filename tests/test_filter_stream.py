@@ -102,3 +102,28 @@ def test_url_canonicalize_stream_matches_batch(spark, tmp_path):
     cols = want.columns
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_domain_gate_stream_matches_batch(spark, tmp_path):
+    """Stream-static join parity: the ingest-time gate verdicts equal
+    the batch domain_gated_corpus verdicts (minus the stateful
+    url_keep leg) when the gate table is the batch rollup."""
+    from namegraph_collections_spark.queries.web_rollup import host_quality_rollup
+    from namegraph_collections_spark.streaming.filter_stream import domain_gate_stream
+
+    zone = _landing_zone(spark, tmp_path, "documents", "doc_id")
+    gate = host_quality_rollup(spark, SF_DIR)
+    got = run_available_now(
+        domain_gate_stream(read_documents_stream(spark, zone), gate),
+        str(tmp_path / "ckpt_gate"),
+    )
+    want = REGISTRY["domain_gated_corpus"].fn(spark, SF_DIR).selectExpr(
+        "doc_id",
+        "domain",
+        "domain_keep",
+        "doc_keep",
+        "domain_keep AND doc_keep AS ingest_keep",
+    )
+    cols = want.columns
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
