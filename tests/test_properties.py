@@ -345,3 +345,64 @@ def test_repetition_all_distinct_words_have_no_dups(spark):
     words = "alpha beta gamma delta epsilon zeta eta theta".split()
     best2 = max(len(a) + len(b) for a, b in zip(words, words[1:]))
     assert r.top2_micro == round(best2 * 1_000_000 / total)
+
+
+# ---------------------------------------------------------------------------
+# Domain-gate family invariants (round 8): the rollup, the gate
+# application, the LID eval, and the cluster stats must all conserve
+# the corpus — every document is counted exactly once, and every
+# derived flag/ratio is consistent with its inputs.
+# ---------------------------------------------------------------------------
+
+
+def test_host_rollup_conserves_the_corpus(spark, sf_dir):
+    from namegraph_collections_spark.queries import REGISTRY
+
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = REGISTRY["host_quality_rollup"].fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_corpus
+    for r in rows:
+        assert 1 <= r.n_pages <= r.n_docs
+        assert 0 <= r.n_keep <= r.n_docs
+        assert 0 <= r.keep_rate_micro <= 1_000_000
+        assert 0 <= r.dup_rate_micro < 1_000_000
+        # the gate is exactly its published predicate
+        assert r.domain_keep == (r.keep_rate_micro >= 250_000 and r.n_docs >= 10)
+
+
+def test_domain_gate_application_is_the_conjunction(spark, sf_dir):
+    from namegraph_collections_spark.queries import REGISTRY
+
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = REGISTRY["domain_gated_corpus"].fn(spark, sf_dir).collect()
+    assert len(rows) == n_corpus  # inner join drops nothing: every domain has a gate row
+    for r in rows:
+        assert r.final_keep == (r.domain_keep and r.doc_keep and r.url_keep)
+
+
+def test_language_id_eval_partitions_the_corpus(spark, sf_dir):
+    from namegraph_collections_spark.queries import REGISTRY
+
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = REGISTRY["language_id_eval"].fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_corpus  # each doc in exactly one cell
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label_lang, []).append(r)
+    for label, cells in by_label.items():
+        total = cells[0].label_total
+        assert all(c.label_total == total for c in cells)
+        assert sum(c.n_docs for c in cells) == total
+        for c in cells:
+            assert c.share_micro == (c.n_docs * 1_000_000 + total // 2) // total
+
+
+def test_dedup_cluster_stats_conserve_docs_and_removals(spark, sf_dir):
+    from namegraph_collections_spark.queries import REGISTRY
+
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = REGISTRY["dedup_cluster_stats"].fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_corpus  # every doc is in exactly one cluster
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_removable == r.n_docs - r.n_clusters
