@@ -112,7 +112,16 @@ def per_doc_web_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc — (doc_id, norm_url, domain, quality signal columns, keep) —
     the shared input of the rollup, the gate-application stage, and
     the battery legs."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return per_doc_web_frame_of(
+        tbl(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+
+
+def per_doc_web_frame_of(docs: DataFrame) -> DataFrame:
+    """The fused per-doc program over any (doc_id, source, text) frame
+    — split out so the incremental gate maintenance
+    (operators/gate_maintain.py) runs the IDENTICAL arithmetic on a
+    batch as the full-corpus rollup runs on the table."""
     url = url_canonicalize_of(docs, carry=("text",))
     return quality_signals_of(url, carry=("norm_url", "domain"))
 
@@ -127,6 +136,14 @@ def host_quality_rollup_from(per_doc: DataFrame) -> DataFrame:
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
         F.sum("n_words").cast("long").alias("sum_words"),
     )
+    return finish_rollup(agg)
+
+
+def finish_rollup(agg: DataFrame) -> DataFrame:
+    """Micro-unit rates + the gate over a (domain, n_docs, n_pages,
+    n_keep, sum_words) aggregate — shared by the one-shot rollup and
+    the incremental state's re-aggregation, so both emit the
+    identical gate table."""
     m = agg.select(
         "domain",
         "n_docs",
