@@ -50,3 +50,37 @@ def test_two_rotations_rederive_the_one_shot_gate(spark, tmp_path):
         per_doc_web_frame_of(wave1.select("doc_id", "source", "text"))
     )
     assert _rows(gate_from_state(state1)) == _rows(want1)
+
+
+def test_streaming_maintenance_rederives_the_one_shot_gate(spark, tmp_path):
+    """foreachBatch twin: draining a two-file landing zone through the
+    streaming maintenance leaves state whose re-derived gate equals
+    the one-shot rollup — same invariant as the batch rotations, now
+    with Structured Streaming owning the batch boundaries."""
+    import shutil
+
+    from namegraph_collections_spark.streaming.filter_stream import (
+        read_documents_stream,
+    )
+    from namegraph_collections_spark.streaming.gate_maintain_stream import (
+        run_gate_maintenance_stream,
+    )
+    from namegraph_collections_spark.operators.cdc import latest_snapshot
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    zone = tmp_path / "zone"
+    zone.mkdir()
+    for i, pred in enumerate(["doc_id % 2 = 0", "doc_id % 2 = 1"]):
+        d = tmp_path / f"_part{i}"
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(str(d))
+        for f in d.glob("part-*.parquet"):
+            shutil.copy(f, zone / f"file-{i}.parquet")
+
+    base = str(tmp_path / "gate_state_stream")
+    run_gate_maintenance_stream(
+        read_documents_stream(spark, str(zone)), base, str(tmp_path / "ckpt")
+    )
+
+    got = gate_from_state(latest_snapshot(spark, base))
+    want = REGISTRY["host_quality_rollup"].fn(spark, SF_DIR)
+    assert _rows(got) == _rows(want)
