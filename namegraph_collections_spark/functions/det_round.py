@@ -33,3 +33,17 @@ def round6_det(x):
 def round6_det_sql(expr: str) -> str:
     """DuckDB mirror of :func:`round6_det` (same IEEE op sequence)."""
     return f"floor(({expr}) * 1000000 + 0.5) / 1000000.0"
+
+
+def micro_sql(num: str, den: str) -> str:
+    """Round-half-up ratio of EXACT integers in micro-units, DuckDB
+    form: ``(num*1e6 + den//2) // den`` — all-integer arithmetic, so
+    no engine rounding rule is involved at all (the convention for
+    count/sum-derived ratios; doubles use round6_det instead)."""
+    return f"(({num}) * 1000000 + ({den}) // 2) // ({den})"
+
+
+def micro_spark(num: str, den: str) -> str:
+    """Spark SQL mirror of :func:`micro_sql` (`div` is integer
+    division on longs)."""
+    return f"(({num}) * 1000000L + ({den}) div 2) div ({den})"

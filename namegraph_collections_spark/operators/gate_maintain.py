@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from namegraph_collections_spark.operators.cdc import (
+    LATEST_MARKER,
     latest_snapshot,
     rotate_snapshot,
 )
@@ -55,13 +56,40 @@ def gate_state_for(docs: DataFrame) -> DataFrame:
     )
 
 
+def _snapshot_exists(spark: SparkSession, base_dir: str, stamp: str) -> bool:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/snapshot={stamp}")
+    return path.getFileSystem(conf).exists(path)
+
+
+def _repoint_marker(spark: SparkSession, base_dir: str, stamp: str) -> None:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{LATEST_MARKER}")
+    out = marker.getFileSystem(conf).create(marker, True)
+    out.write(bytearray(stamp.encode("utf-8")))
+    out.close()
+
+
 def maintain_gate_state(
     spark: SparkSession, base_dir: str, new_docs: DataFrame, stamp: str
 ) -> DataFrame:
     """Merge a batch into the standing page-grain state and rotate a
     dated snapshot: read the marker's current state (empty before the
     first rotation), sum-by-key with the batch's contribution, write,
-    repoint. Returns the rotated state as read back from storage."""
+    repoint. Returns the rotated state as read back from storage.
+
+    IDEMPOTENT per stamp: a stamp whose snapshot directory already
+    exists was already merged (a crashed run after the write, or a
+    foreachBatch replay of a delivered batch id) — re-merging would
+    double every additive measure, so the replay only repoints the
+    marker at the existing snapshot and returns it. Callers must key
+    the stamp to the batch identity (the streaming twin stamps with
+    the micro-batch id) for this guarantee to hold."""
+    if _snapshot_exists(spark, base_dir, stamp):
+        _repoint_marker(spark, base_dir, stamp)
+        return latest_snapshot(spark, base_dir)
     new_state = gate_state_for(new_docs)
     current = latest_snapshot(spark, base_dir)
     if current is None:

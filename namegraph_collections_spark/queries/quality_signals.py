@@ -110,14 +110,14 @@ _REP_TAIL_SQL = (
 )
 
 
-def _micro_sql(num: str, den: str) -> str:
-    """Round-half-up ratio in integer micro-units (DuckDB `//`)."""
-    return f"(({num}) * {_MICRO} + ({den}) // 2) // ({den})"
-
-
-def _micro_spark(num: str, den: str) -> str:
-    """Same, Spark SQL (`div` is integer division on longs)."""
-    return f"(({num}) * {_MICRO}L + ({den}) div 2) div ({den})"
+# Round-half-up micro-unit ratio builders — the SHARED determinism
+# helpers (functions/det_round.py), aliased under this module's
+# historical names for its many importers. Emitted SQL text is
+# byte-identical to the previous local definitions.
+from namegraph_collections_spark.functions.det_round import (  # noqa: E402
+    micro_spark as _micro_spark,
+    micro_sql as _micro_sql,
+)
 
 
 _KEEP_SQL = (

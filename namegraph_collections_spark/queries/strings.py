@@ -332,7 +332,11 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # always — a count ratio ≤ 1 — so the INT cast is exact on both
     # engines); the gated leg's three verdicts ride 0/1 BIGINTs.
     per_doc = per_doc_web_frame(spark, sf_dir).localCheckpoint(eager=False)
-    hostq = host_quality_rollup_from(per_doc).select(
+    # ONE rollup aggregation feeds both the hostq leg and the gated
+    # leg's broadcast side (ReusedExchange would not dedup the
+    # repeated groupBy subtree, same reason per_doc is checkpointed).
+    roll = host_quality_rollup_from(per_doc).localCheckpoint(eager=False)
+    hostq = roll.select(
         F.lit("hostq").alias("op"),
         F.col("sum_words").alias("p_partkey"),
         F.col("domain").alias("s"),
@@ -346,7 +350,9 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("domain_keep").alias("has_pii"),
         null_s.alias("masked_phone"),
     )
-    gated = domain_gated_corpus_from(per_doc).select(
+    gated = domain_gated_corpus_from(
+        per_doc, gate=roll.select("domain", "domain_keep")
+    ).select(
         F.lit("gated").alias("op"),
         F.col("doc_id").alias("p_partkey"),
         F.col("domain").alias("s"),

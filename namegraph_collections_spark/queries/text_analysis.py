@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from namegraph_collections_spark.functions.det_round import round6_det
+from namegraph_collections_spark.functions.det_round import (
+    micro_spark as _q_micro_spark,
+    micro_sql as _q_micro_sql,
+    round6_det,
+)
 from namegraph_collections_spark.queries.registry import (
     REGISTRY,
     ranked_topk,
@@ -742,7 +746,7 @@ _LANG_TRUTH_SQL = (
     )
     SELECT label_lang, pred_lang, n_docs,
            CAST(label_total AS BIGINT) AS label_total,
-           (n_docs * 1000000 + label_total // 2) // label_total AS share_micro
+           CAST({_q_micro_sql("n_docs", "label_total")} AS BIGINT) AS share_micro
     FROM tot
     """,
 )
@@ -788,6 +792,6 @@ def language_id_eval_from(li: DataFrame) -> DataFrame:
         "n_docs",
         "label_total",
         F.expr(
-            "(n_docs * 1000000L + label_total div 2) div label_total"
+            f"CAST({_q_micro_spark('n_docs', 'label_total')} AS BIGINT)"
         ).alias("share_micro"),
     )

@@ -189,11 +189,17 @@ def domain_gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_gated_corpus_from(per_doc_web_frame(spark, sf_dir))
 
 
-def domain_gated_corpus_from(per_doc: DataFrame) -> DataFrame:
+def domain_gated_corpus_from(
+    per_doc: DataFrame, gate: DataFrame | None = None
+) -> DataFrame:
     """Gate application over an ALREADY-BUILT fused per-doc frame —
     the sharing seam string_ops_battery uses to feed its rollup and
-    gated legs from one scan."""
-    gate = host_quality_rollup_from(per_doc).select("domain", "domain_keep")
+    gated legs from one scan. Pass ``gate`` (a (domain, domain_keep)
+    frame) when the caller already built the rollup, so the battery
+    does not aggregate the same frame twice."""
+    if gate is None:
+        gate = host_quality_rollup_from(per_doc)
+    gate = gate.select("domain", "domain_keep")
     with_url_keep = per_doc.select(
         "doc_id",
         "domain",

@@ -110,10 +110,19 @@ def domain_gate_stream(docs_stream: DataFrame, gate: DataFrame) -> DataFrame:
     domain_keep) table host_quality_rollup produced over the existing
     corpus (re-read per microbatch — it is a handful of rows), and
     each arriving document broadcast-joins it after computing its own
-    domain and quality keep flag with the batch column programs
-    verbatim. Emits the stateless verdict subset (domain ∧ quality);
+    domain and quality keep flag with the batch fused per-doc program
+    VERBATIM (web_rollup.per_doc_web_frame_of — one composition site,
+    no drift). Emits the stateless verdict subset (domain ∧ quality);
     the first-copy-per-URL flag is inherently stateful and stays
     batch/index-side, like the URL dedup note above.
+
+    A document from a domain the gate has never seen (the normal case
+    for a live ingest stream — the rollup ran before the domain
+    existed) must NOT silently vanish: the join is LEFT, its
+    ``domain_keep`` comes through as NULL ("no verdict yet"), and
+    ``ingest_keep`` fails OPEN to the per-doc quality flag alone —
+    the gate can only have an opinion about domains it has evidence
+    for; unknown-domain docs flow on to the next filter stage.
 
     Scale shape: scan+project plus a broadcast hash join against a
     tiny static side — still zero shuffles of the stream, still
@@ -121,16 +130,19 @@ def domain_gate_stream(docs_stream: DataFrame, gate: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    url = url_canonicalize_of(docs_stream, carry=("text",))
-    sig = quality_signals_of(url, carry=("domain",))
+    from namegraph_collections_spark.queries.web_rollup import per_doc_web_frame_of
+
+    sig = per_doc_web_frame_of(docs_stream)
     return (
         sig.select("doc_id", "domain", F.col("keep").alias("doc_keep"))
-        .join(F.broadcast(gate.select("domain", "domain_keep")), "domain")
+        .join(F.broadcast(gate.select("domain", "domain_keep")), "domain", "left")
         .select(
             "doc_id",
             "domain",
             "domain_keep",
             "doc_keep",
-            F.expr("domain_keep AND doc_keep").alias("ingest_keep"),
+            F.expr("coalesce(domain_keep, true) AND doc_keep").alias(
+                "ingest_keep"
+            ),
         )
     )

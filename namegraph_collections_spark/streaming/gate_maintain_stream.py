@@ -11,11 +11,14 @@ standard pattern for streaming upserts into a store Spark does not
 manage transactionally (the Kafka→Delta MERGE idiom, restated over
 parquet snapshots).
 
-Exactly-once note: availableNow/foreachBatch delivers each batch id
-once per successful run; a retried batch would re-merge its rows, so
-a production deployment records the last-applied batch id inside the
-snapshot directory and skips replays — modeled here by the rotation
-stamp carrying the batch id (idempotent overwrite per (stamp, batch)).
+Exactly-once note: foreachBatch is at-least-once — a crash between
+the snapshot rotation and the streaming checkpoint commit re-delivers
+the same batch id on restart, and re-merging it would double every
+additive measure. The maintenance is therefore IDEMPOTENT per stamp:
+the stamp carries the batch id, and ``maintain_gate_state`` detects
+an already-written ``snapshot=b<id>`` directory and only repoints the
+marker instead of merging again (the replay-safety contract pinned by
+tests/test_gate_maintain.py's replay test).
 
 Scale shape: per micro-batch, scan-bandwidth per-doc programs + one
 (domain, norm_url)-keyed partial-agg shuffle of the BATCH only + the

@@ -127,3 +127,30 @@ def test_domain_gate_stream_matches_batch(spark, tmp_path):
     cols = want.columns
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_domain_gate_stream_fails_open_for_unknown_domains(spark, tmp_path):
+    """A document whose domain the gate has never seen must flow
+    through with a NULL verdict and ingest_keep falling back to the
+    per-doc quality flag — never silently vanish from the stream."""
+    from namegraph_collections_spark.queries.web_rollup import host_quality_rollup
+    from namegraph_collections_spark.streaming.filter_stream import domain_gate_stream
+
+    zone = _landing_zone(spark, tmp_path, "documents", "doc_id")
+    # a gate that has evidence for only half the domains
+    gate = host_quality_rollup(spark, SF_DIR).filter("domain < 'src2'")
+    known = {r.domain for r in gate.select("domain").collect()}
+    got = run_available_now(
+        domain_gate_stream(read_documents_stream(spark, zone), gate),
+        str(tmp_path / "ckpt_gate_open"),
+    )
+    n_corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    rows = got.collect()
+    assert len(rows) == n_corpus  # nothing dropped
+    for r in rows:
+        if r.domain in known:
+            assert r.domain_keep is not None
+            assert r.ingest_keep == (r.domain_keep and r.doc_keep)
+        else:
+            assert r.domain_keep is None
+            assert r.ingest_keep == r.doc_keep  # fail-open to the doc flag

@@ -84,3 +84,17 @@ def test_streaming_maintenance_rederives_the_one_shot_gate(spark, tmp_path):
     got = gate_from_state(latest_snapshot(spark, base))
     want = REGISTRY["host_quality_rollup"].fn(spark, SF_DIR)
     assert _rows(got) == _rows(want)
+
+
+def test_replayed_batch_does_not_double_merge(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-merged
+    stamp must be a no-op on the state (marker repoint only), not a
+    second sum — the exactly-once contract of the maintenance."""
+    base = str(tmp_path / "gate_state_replay")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wave1 = docs.filter("doc_id % 2 = 0")
+
+    state1 = maintain_gate_state(spark, base, wave1, "t0")
+    replayed = maintain_gate_state(spark, base, wave1, "t0")
+    assert _rows(replayed) == _rows(state1)
+    assert _rows(gate_from_state(replayed)) == _rows(gate_from_state(state1))
