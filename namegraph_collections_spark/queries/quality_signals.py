@@ -81,8 +81,6 @@ _TAIL_SQL = (
     " || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'and then more...' ELSE '' END"
 )
 
-_MICRO = "1000000"
-
 #: Gopher §A1.1 repetition thresholds (published figures): fraction of
 #: characters covered by the most frequent word n-gram must be ≤ 0.20
 #: (n=2) / 0.18 (n=3) / 0.16 (n=4), and the fraction of characters in
