@@ -237,7 +237,8 @@ def event_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ({_oracle("lsh_bucket_neighbors")})
     UNION ALL
     SELECT 'recall' AS op, q_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           method, CAST(NULL AS INTEGER), recall, CAST(NULL AS BIGINT), hits,
+           method, CAST(NULL AS INTEGER), recall, CAST(NULL AS BIGINT),
+           CAST(hits AS BIGINT),
            CAST(NULL AS BOOLEAN)
     FROM ({_oracle("ann_recall_eval")})
     UNION ALL
@@ -987,7 +988,7 @@ from namegraph_collections_spark.queries.text_analysis import (  # noqa: E402
     UNION ALL
     SELECT 'skew_' || op AS op, CAST(NULL AS VARCHAR), key, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), cnt, n_keys, n_rows, rnk,
-           CAST(skew_ratio * 1000000 AS BIGINT),
+           skew_ratio_micro,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM ({_oracle("skew_key_diagnostics")})
@@ -1061,7 +1062,7 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_keys").alias("n2"),
         F.col("n_rows").alias("n3"),
         "rnk",
-        _micro("skew_ratio").alias("d1_micro"), _NULL_L().alias("d2_micro"),
+        F.col("skew_ratio_micro").alias("d1_micro"), _NULL_L().alias("d2_micro"),
         _NULL_L().alias("d3_micro"),
         _NULL_S().alias("s2"), _NULL_S().alias("s3"),
     )

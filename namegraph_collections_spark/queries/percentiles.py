@@ -138,7 +138,7 @@ HIST_QS = [("p50", 50, 100), ("p90", 90, 100), ("p99", 99, 100)]
            MIN(cum.bucket) AS bucket,
            CAST(MIN(cum.bucket) * {HIST_BIN} AS DECIMAL(18,2)) AS est_lo,
            CAST(MIN(cum.bucket) * {HIST_BIN} + {HIST_BIN} AS DECIMAL(18,2)) AS est_hi,
-           MAX(cum.total) AS n_rows
+           CAST(MAX(cum.total) AS BIGINT) AS n_rows
     FROM targets t JOIN cum
       ON cum.cum_c >= (cum.total * t.num + t.den - 1) // t.den
     GROUP BY t.quantile

@@ -220,7 +220,8 @@ SALT_N = 16
     oracle=f"""
     WITH kc AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
     stats AS (
-      SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt
+      SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MAX(cnt) AS max_cnt
       FROM kc
     ),
     top AS (
@@ -229,22 +230,25 @@ SALT_N = 16
     )
     SELECT 'key' AS op, key, cnt, rnk,
            CAST(NULL AS BIGINT) AS n_keys, CAST(NULL AS BIGINT) AS n_rows,
-           CAST(NULL AS DECIMAL(18,6)) AS skew_ratio
+           CAST(NULL AS BIGINT) AS skew_ratio_micro
     FROM top
     UNION ALL
     SELECT 'summary', CAST(NULL AS BIGINT), max_cnt, CAST(NULL AS BIGINT),
            n_keys, n_rows,
-           CAST(((max_cnt * n_keys * 1000000 + n_rows // 2) // n_rows)
-                / 1000000.0 AS DECIMAL(18,6))
+           CAST((max_cnt * n_keys * 1000000 + n_rows // 2) // n_rows AS BIGINT)
     FROM stats
     """,
 )
 def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew profile for orders.o_custkey: the {SKEW_TOP}
     heaviest keys (exact counts, total-ordered rank) plus one summary
-    row — key count, row count, max key frequency, and skew_ratio =
-    max/mean (1.0 = perfectly uniform; the number you check before
-    keying a 100 TB shuffle on this column).
+    row — key count, row count, max key frequency, and
+    skew_ratio_micro = round(max/mean * 1e6) (1000000 = perfectly
+    uniform; the number you check before keying a 100 TB shuffle on
+    this column). The ratio is emitted DIRECTLY as the exact
+    micro-unit BIGINT — no double or decimal ever touches the output
+    surface (round-9 hash-hygiene rule; the /1e6 display division is
+    the caller's).
 
     Scale shape: one partial-aggregated groupBy builds the per-key
     counts; the top slice is ranked_topk (TakeOrderedAndProject, never
@@ -265,7 +269,7 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         null_l.alias("n_keys"),
         null_l.alias("n_rows"),
-        F.lit(None).cast("decimal(18,6)").alias("skew_ratio"),
+        null_l.alias("skew_ratio_micro"),
     )
     summary = kc.agg(
         F.count(F.lit(1)).alias("n_keys"),
@@ -278,19 +282,21 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("rnk"),
         "n_keys",
         "n_rows",
-        # skew_ratio = round(max_cnt * n_keys / n_rows, 6) computed in
-        # exact integer micro-units (the bigram-LM NLL convention):
-        # ROUND(double, 6) has engine-specific half-way rules, and raw
-        # doubles are banned from driver-hashed surfaces. The final
-        # micro/1e6 double division is IEEE-exact on both engines and
-        # the DECIMAL(18,6) cast recovers the integer micro value.
+        # skew_ratio_micro = round(max_cnt * n_keys / n_rows * 1e6)
+        # computed in exact integer micro-units (the bigram-LM NLL
+        # convention): ROUND(double, 6) has engine-specific half-way
+        # rules, and doubles/decimals are banned from driver-hashed
+        # surfaces, so the micro BIGINT itself IS the output — no
+        # round-trip through DOUBLE or DECIMAL(18,6) (round 9: that
+        # round-trip was one of two type asymmetries left on the red
+        # sketch row). All inputs are non-negative counts, so Spark's
+        # truncating `div` and DuckDB's flooring `//` agree.
         # (long overflow bound: max_cnt * n_keys * 1e6 < 2^63 holds for
         # any table where max_cnt * n_keys < 9.2e12 — beyond that,
         # compute in DECIMAL(38,0).)
-        (
-            F.expr("(max_cnt * n_keys * 1000000L + n_rows div 2) div n_rows")
-            / F.lit(1000000.0)
-        ).cast("decimal(18,6)").alias("skew_ratio"),
+        F.expr(
+            "(max_cnt * n_keys * 1000000L + n_rows div 2) div n_rows"
+        ).cast("long").alias("skew_ratio_micro"),
     )
     return top.unionByName(summary)
 

@@ -20,7 +20,8 @@ from tests.oracle_harness import compare
 DECIMAL_OUTPUT_ALLOWLIST = {
     "histogram_quantiles",  # est_lo/est_hi DECIMAL(18,2)
     "table_stats_profile",  # min_num/max_num DECIMAL(18,2)
-    "skew_key_diagnostics",  # skew_ratio DECIMAL(18,6)
+    # skew_key_diagnostics left round 9: skew_ratio_micro is now a
+    # direct BIGINT — no decimal anywhere on its surface.
     "salted_skew_agg",  # total/min/max_value DECIMAL(28,6)/(18,2)
 }
 
