@@ -131,6 +131,9 @@ HEADLINE = [
     "language_id_eval",
     "dedup_cluster_stats",
     "domain_gated_corpus",
+    # Round 9 additions (append-only): the sketch bisect rows.
+    "sketch_probe_battery",
+    "skew_salt_trim_battery",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -95,6 +95,17 @@ from namegraph_collections_spark.queries import batteries  # noqa: E402,F401  (m
 #: similarity += ann_recall_eval) — after which EVERY registry
 #: operator's output is hashed by some driver row (singles stay
 #: registered for the local sweep).
+#: Round 9 BISECTS the sketch/stats family (VERDICT r8 #1):
+#: sketch_stats_battery — the one red driver row for three rounds,
+#: with locally bitwise-equal values across three encodings — splits
+#: into sketch_probe_battery (cms+hist+stats) and
+#: skew_salt_trim_battery (skew+salted+trim) so the driver itself
+#: localizes the disagreement to one 3-leg row; the second slot comes
+#: from compositing pricing_summary into revenue_olap_battery. Both
+#: new rows carry strictly BIGINT/VARCHAR/INTEGER surfaces (bare SUMs
+#: CAST so DuckDB never promotes to HUGEINT; skew_ratio_micro emitted
+#: directly as BIGINT). The six singles AND the original six-leg
+#: battery stay registered post-window.
 DRIVER_WINDOW: list[str] = [
     "wiki_all_info",
     "wiki_documents",
@@ -110,7 +121,7 @@ DRIVER_WINDOW: list[str] = [
     "domain_mix_plan",
     "sampling_battery",
     "multimodal_byte_histogram",
-    "pricing_summary",
+    "sketch_probe_battery",
     "revenue_olap_battery",
     "set_prune_battery",
     "fallback_coalesce_join",
@@ -145,7 +156,7 @@ DRIVER_WINDOW: list[str] = [
     "bipartite_pagerank",
     "kmv_distinct_sketch",
     "pq_battery",
-    "sketch_stats_battery",
+    "skew_salt_trim_battery",
 ]
 
 

@@ -945,6 +945,7 @@ from namegraph_collections_spark.queries.profiling import (  # noqa: E402
 )
 from namegraph_collections_spark.queries.relational import (  # noqa: E402
     customer_key_set_algebra,
+    pricing_summary,
     regional_revenue,
 )
 from namegraph_collections_spark.queries.rollups import cms_heavy_hitters  # noqa: E402
@@ -1091,6 +1092,161 @@ def sketch_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms.unionByName(hist).unionByName(stats)
         .unionByName(skew).unionByName(salted).unionByName(trim)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 bisect of the sketch/stats family (VERDICT r8 "Next round"
+# #1): sketch_stats_battery has been the ONE red driver row for three
+# consecutive rounds across three encodings (raw DOUBLE r6 -> DECIMAL
+# r7 -> micro-BIGINT r8) while its values reproduce bitwise-equal to
+# the DuckDB oracle in a driver-style plain session — so the six legs
+# split across TWO window rows to let the driver itself localize which
+# leg it disagrees on. Both rows carry a strictly BIGINT/VARCHAR/
+# INTEGER surface: every aggregate that DuckDB would promote to
+# HUGEINT is CAST to BIGINT, rnk is pinned INTEGER on both engines,
+# and no DOUBLE or DECIMAL column exists at all (the r8 micro-BIGINT
+# convention, now with zero type asymmetries left). The six singles
+# and the original six-leg battery stay registered post-window for the
+# local sweep, so evidence continuity is unbroken whatever the driver
+# says.
+# ---------------------------------------------------------------------------
+@register(
+    "sketch_probe_battery",
+    oracle=f"""
+    SELECT 'cms' AS op, token AS s, CAST(NULL AS BIGINT) AS k,
+           CAST(n_exact AS BIGINT) AS n1, CAST(cms_estimate AS BIGINT) AS n2,
+           CAST(overcount AS BIGINT) AS n3, CAST(rnk AS INTEGER) AS rnk,
+           CAST(NULL AS BIGINT) AS d1_micro, CAST(NULL AS BIGINT) AS d2_micro,
+           CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3
+    FROM ({_oracle("cms_heavy_hitters")})
+    UNION ALL
+    SELECT 'hist' AS op, quantile, CAST(bucket AS BIGINT),
+           CAST(n_rows AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS INTEGER),
+           CAST(est_lo * 1000000 AS BIGINT), CAST(est_hi * 1000000 AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM ({_oracle("histogram_quantiles")})
+    UNION ALL
+    SELECT 'stats' AS op, col, CAST(NULL AS BIGINT),
+           CAST(n_rows AS BIGINT), CAST(n_nulls AS BIGINT),
+           CAST(n_distinct AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(min_num * 1000000 AS BIGINT), CAST(max_num * 1000000 AS BIGINT),
+           min_str, max_str
+    FROM ({_oracle("table_stats_profile")})
+    """,
+)
+def sketch_probe_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect row A of the sketch/stats family: count-min heavy
+    hitters, fixed-grid histogram quantiles, and the one-pass table
+    stats profile (see the section comment for why the six-leg battery
+    split). Components unchanged: queries/rollups.py, percentiles.py,
+    profiling.py.
+    """
+    def _micro(col: str):
+        return F.expr(f"CAST({col} * 1000000 AS BIGINT)")
+    cms = cms_heavy_hitters(spark, sf_dir).select(
+        F.lit("cms").alias("op"),
+        F.col("token").alias("s"),
+        _NULL_L().alias("k"),
+        F.col("n_exact").cast("long").alias("n1"),
+        F.col("cms_estimate").cast("long").alias("n2"),
+        F.col("overcount").cast("long").alias("n3"),
+        F.col("rnk").cast("int").alias("rnk"),
+        _NULL_L().alias("d1_micro"), _NULL_L().alias("d2_micro"),
+        _NULL_S().alias("s2"), _NULL_S().alias("s3"),
+    )
+    hist = histogram_quantiles(spark, sf_dir).select(
+        F.lit("hist").alias("op"),
+        F.col("quantile").alias("s"),
+        F.col("bucket").cast("long").alias("k"),
+        F.col("n_rows").cast("long").alias("n1"),
+        _NULL_L().alias("n2"), _NULL_L().alias("n3"),
+        _NULL_I().alias("rnk"),
+        _micro("est_lo").alias("d1_micro"), _micro("est_hi").alias("d2_micro"),
+        _NULL_S().alias("s2"), _NULL_S().alias("s3"),
+    )
+    stats = table_stats_profile(spark, sf_dir).select(
+        F.lit("stats").alias("op"),
+        F.col("col").alias("s"),
+        _NULL_L().alias("k"),
+        F.col("n_rows").cast("long").alias("n1"),
+        F.col("n_nulls").cast("long").alias("n2"),
+        F.col("n_distinct").cast("long").alias("n3"),
+        _NULL_I().alias("rnk"),
+        _micro("min_num").alias("d1_micro"), _micro("max_num").alias("d2_micro"),
+        F.col("min_str").alias("s2"), F.col("max_str").alias("s3"),
+    )
+    return cms.unionByName(hist).unionByName(stats)
+
+
+@register(
+    "skew_salt_trim_battery",
+    oracle=f"""
+    SELECT 'skew_' || op AS op, CAST(NULL AS VARCHAR) AS s, key AS k,
+           CAST(NULL AS BIGINT) AS k2, CAST(NULL AS BIGINT) AS k3,
+           cnt AS n1, n_keys AS n2, n_rows AS n3, CAST(rnk AS INTEGER) AS rnk,
+           skew_ratio_micro AS d1_micro, CAST(NULL AS BIGINT) AS d2_micro,
+           CAST(NULL AS BIGINT) AS d3_micro
+    FROM ({_oracle("skew_key_diagnostics")})
+    UNION ALL
+    SELECT 'salted' AS op, event_type, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           n_events, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS INTEGER),
+           CAST(total_value * 1000000 AS BIGINT),
+           CAST(min_value * 1000000 AS BIGINT),
+           CAST(max_value * 1000000 AS BIGINT)
+    FROM ({_oracle("salted_skew_agg")})
+    UNION ALL
+    SELECT 'trim' AS op, source, p50, p90, p99, n_docs, n_kept,
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_oracle("length_percentile_trim")})
+    """,
+)
+def skew_salt_trim_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect row B of the sketch/stats family: shuffle-key skew
+    diagnostics (skew_ratio_micro is a direct BIGINT — no double or
+    decimal round-trip), the salted two-stage aggregate, and the
+    exact-percentile outlier trim. Components unchanged:
+    queries/scale_ops.py, percentiles.py.
+    """
+    def _micro(col: str):
+        return F.expr(f"CAST({col} * 1000000 AS BIGINT)")
+    skew = skew_key_diagnostics(spark, sf_dir).select(
+        F.concat(F.lit("skew_"), "op").alias("op"),
+        _NULL_S().alias("s"),
+        F.col("key").alias("k"),
+        _NULL_L().alias("k2"), _NULL_L().alias("k3"),
+        F.col("cnt").alias("n1"),
+        F.col("n_keys").alias("n2"),
+        F.col("n_rows").alias("n3"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("skew_ratio_micro").alias("d1_micro"),
+        _NULL_L().alias("d2_micro"), _NULL_L().alias("d3_micro"),
+    )
+    salted = salted_skew_agg(spark, sf_dir).select(
+        F.lit("salted").alias("op"),
+        F.col("event_type").alias("s"),
+        _NULL_L().alias("k"), _NULL_L().alias("k2"), _NULL_L().alias("k3"),
+        F.col("n_events").alias("n1"),
+        _NULL_L().alias("n2"), _NULL_L().alias("n3"),
+        _NULL_I().alias("rnk"),
+        _micro("total_value").alias("d1_micro"),
+        _micro("min_value").alias("d2_micro"),
+        _micro("max_value").alias("d3_micro"),
+    )
+    trim = length_percentile_trim(spark, sf_dir).select(
+        F.lit("trim").alias("op"),
+        F.col("source").alias("s"),
+        F.col("p50").alias("k"), F.col("p90").alias("k2"), F.col("p99").alias("k3"),
+        F.col("n_docs").alias("n1"), F.col("n_kept").alias("n2"),
+        _NULL_L().alias("n3"),
+        _NULL_I().alias("rnk"),
+        _NULL_L().alias("d1_micro"), _NULL_L().alias("d2_micro"),
+        _NULL_L().alias("d3_micro"),
+    )
+    return skew.unionByName(salted).unionByName(trim)
 
 
 @register(
@@ -1281,21 +1437,36 @@ def graph_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_olap_battery",
     oracle=f"""
     SELECT 'regional' AS op, n_name AS s1, CAST(NULL AS VARCHAR) AS s2,
-           CAST(NULL AS BIGINT) AS lvl, revenue, n_items AS n
+           CAST(NULL AS BIGINT) AS lvl, revenue, n_items AS n,
+           CAST(NULL AS DOUBLE) AS d2, CAST(NULL AS DOUBLE) AS d3,
+           CAST(NULL AS DOUBLE) AS d4, CAST(NULL AS DOUBLE) AS d5
     FROM ({_oracle("regional_revenue")})
     UNION ALL
-    SELECT 'rollup' AS op, r_name, n_name, lvl, revenue, n_orders
+    SELECT 'rollup' AS op, r_name, n_name, lvl, revenue, n_orders,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM ({_oracle("rollup_regional_revenue")})
     UNION ALL
-    SELECT 'cube' AS op, o_orderstatus, o_orderpriority, lvl, revenue, n_orders
+    SELECT 'cube' AS op, o_orderstatus, o_orderpriority, lvl, revenue, n_orders,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM ({_oracle("cube_status_priority")})
+    UNION ALL
+    SELECT 'pricing' AS op, l_returnflag, l_linestatus,
+           CAST(NULL AS BIGINT), sum_disc_price, count_order,
+           sum_qty, sum_base_price, avg_qty, avg_price
+    FROM ({_oracle("pricing_summary")})
     """,
 )
 def revenue_olap_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The revenue aggregation family in one tagged result: the
-    dimension-join regional rollup, the ROLLUP hierarchy, and the CUBE
-    grouping sets. Components unchanged: queries/relational.py,
-    olap.py.
+    dimension-join regional rollup, the ROLLUP hierarchy, the CUBE
+    grouping sets, and (round 9 — compositing the slot free for the
+    sketch bisect) the TPC-H-Q1-style pricing summary. Components
+    unchanged: queries/relational.py, olap.py. The pricing leg's sums
+    are decimal-exact DOUBLEs and its means micro-rounded DOUBLEs —
+    the hash-safe double classes (green since round 1 on this row's
+    revenue column).
     """
     reg = regional_revenue(spark, sf_dir).select(
         F.lit("regional").alias("op"),
@@ -1304,6 +1475,8 @@ def revenue_olap_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("lvl"),
         "revenue",
         F.col("n_items").alias("n"),
+        _NULL_D().alias("d2"), _NULL_D().alias("d3"),
+        _NULL_D().alias("d4"), _NULL_D().alias("d5"),
     )
     rol = rollup_regional_revenue(spark, sf_dir).select(
         F.lit("rollup").alias("op"),
@@ -1312,6 +1485,8 @@ def revenue_olap_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lvl",
         "revenue",
         F.col("n_orders").alias("n"),
+        _NULL_D().alias("d2"), _NULL_D().alias("d3"),
+        _NULL_D().alias("d4"), _NULL_D().alias("d5"),
     )
     cub = cube_status_priority(spark, sf_dir).select(
         F.lit("cube").alias("op"),
@@ -1320,8 +1495,22 @@ def revenue_olap_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lvl",
         "revenue",
         F.col("n_orders").alias("n"),
+        _NULL_D().alias("d2"), _NULL_D().alias("d3"),
+        _NULL_D().alias("d4"), _NULL_D().alias("d5"),
     )
-    return reg.unionByName(rol).unionByName(cub)
+    pri = pricing_summary(spark, sf_dir).select(
+        F.lit("pricing").alias("op"),
+        F.col("l_returnflag").alias("s1"),
+        F.col("l_linestatus").alias("s2"),
+        _NULL_L().alias("lvl"),
+        F.col("sum_disc_price").alias("revenue"),
+        F.col("count_order").alias("n"),
+        F.col("sum_qty").alias("d2"),
+        F.col("sum_base_price").alias("d3"),
+        F.col("avg_qty").alias("d4"),
+        F.col("avg_price").alias("d5"),
+    )
+    return reg.unionByName(rol).unionByName(cub).unionByName(pri)
 
 
 @register(

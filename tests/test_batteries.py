@@ -88,6 +88,19 @@ BATTERIES = {
         "salted_skew_agg",
         "length_percentile_trim",
     ],
+    # round 9: the sketch bisect — the six legs split across two
+    # driver-window rows so the driver localizes its three-round
+    # hash disagreement to one 3-leg row
+    "sketch_probe_battery": [
+        "cms_heavy_hitters",
+        "histogram_quantiles",
+        "table_stats_profile",
+    ],
+    "skew_salt_trim_battery": [
+        "skew_key_diagnostics",
+        "salted_skew_agg",
+        "length_percentile_trim",
+    ],
     "text_mining_battery": [
         "suffix_mining",
         "bigram_pmi",
@@ -106,6 +119,8 @@ BATTERIES = {
         "regional_revenue",
         "rollup_regional_revenue",
         "cube_status_priority",
+        # round 9: composited to free a window slot for the bisect
+        "pricing_summary",
     ],
     "cdc_battery": ["cdc_three_way_ops", "cdc_driven_rollup"],
     "set_prune_battery": ["customer_key_set_algebra", "bloom_pruned_semi_join"],

@@ -133,6 +133,23 @@ R7_COMPOSITED = [
     "neardup_representatives",  # rides lexical_dedup_battery
     "pii_scan_redact",  # rides string_ops_battery
 ]
+# round 9: the sketch bisect (VERDICT r8 #1). sketch_stats_battery —
+# red for three consecutive driver rounds across three encodings while
+# locally bitwise-equal — splits into two 3-leg rows so the driver
+# localizes its disagreement; the freed slot comes from compositing
+# pricing_summary into revenue_olap_battery. In-place replacement so
+# positional provenance of the other 48 rows is untouched.
+R9_REPLACED = {
+    "pricing_summary": "sketch_probe_battery",
+    "sketch_stats_battery": "skew_salt_trim_battery",
+}
+# singles/batteries that must keep a local-sweep registration after
+# round 9 (the six sketch singles are already in R6_COMPOSITED)
+R9_COMPOSITED = [
+    "pricing_summary",  # rides revenue_olap_battery
+    "sketch_stats_battery",  # the original six-leg row, post-window
+]
+
 # round 8: singles composited into an existing window battery
 # (window membership unchanged — only battery legs grew)
 R8_COMPOSITED = [
@@ -180,6 +197,8 @@ def _expected_window() -> list[str]:
     out.insert(out.index("temporal_join_battery") + 1, R6_APPENDED[0])
     for name in R6_APPENDED[1:]:
         out.append(R6_REPLACED.get(name) or name)
+    # round-9 in-place replacements (the sketch bisect)
+    out = [R9_REPLACED.get(name, name) for name in out]
     return out
 
 
@@ -195,7 +214,10 @@ def test_window_is_the_r5_set_plus_the_deliberate_r6_delta():
 
 def test_composited_singles_stay_registered_after_the_window():
     tail = list(REGISTRY)[WINDOW_SIZE:]
-    for name in R5_COMPOSITED + R5_DEMOTED + R6_COMPOSITED + R7_COMPOSITED + R8_COMPOSITED:
+    for name in (
+        R5_COMPOSITED + R5_DEMOTED + R6_COMPOSITED + R7_COMPOSITED
+        + R8_COMPOSITED + R9_COMPOSITED
+    ):
         assert name in tail, f"{name} lost its local-sweep parity check"
 
 
