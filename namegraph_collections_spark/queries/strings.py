@@ -183,6 +183,13 @@ from namegraph_collections_spark.queries.web_rollup import (  # noqa: E402
     per_doc_web_frame,
 )
 
+# The C4 line-level cleaning leg (queries/c4_clean.py) rides this
+# battery as well (round 9 — the one round-8 operator that shipped
+# without a driver hash): per-doc line-bucket counts, the cleaned
+# page's md5 + kept-char count, and the composite page flag, all
+# BIGINT/VARCHAR/BOOLEAN.
+from namegraph_collections_spark.queries.c4_clean import c4_line_filter  # noqa: E402
+
 
 @register(
     "string_ops_battery",
@@ -240,6 +247,14 @@ from namegraph_collections_spark.queries.web_rollup import (  # noqa: E402
            CAST(NULL AS BIGINT),
            final_keep, CAST(NULL AS VARCHAR)
     FROM ({_REG["domain_gated_corpus"].oracle})
+    UNION ALL
+    SELECT 'c4' AS op, doc_id, cleaned_hash AS s,
+           n_kept, CAST(NULL AS VARCHAR) AS first_token,
+           CAST(n_lines AS INTEGER) AS brand_num,
+           CAST(NULL AS VARCHAR) AS type_lc,
+           n_drop_punct, n_drop_short, n_drop_js,
+           page_keep, CAST(kept_chars AS VARCHAR)
+    FROM ({_REG["c4_line_filter"].oracle})
     """,
 )
 def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,12 +264,15 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each part is the unchanged single-operator query, null-padded to
     the common schema and unioned with an ``op`` tag — so the one
-    driver row value-hashes all seven operators' full outputs (the
+    driver row value-hashes all eight operators' full outputs (the
     round-8 URL canonicalization/dedup leg rides the same schema:
     norm_url→s, raw_url→first_token, domain→type_lc,
     dup_count→n_tokens, url_keep→has_pii; the round-8 domain-rollup
     and gate-application legs likewise: domain→s, counts/micro-rates/
-    0-1 verdicts into the BIGINT/INT slots, the keep flag→has_pii).
+    0-1 verdicts into the BIGINT/INT slots, the keep flag→has_pii;
+    the round-9 C4 line-cleaning leg: cleaned_hash→s,
+    n_kept→n_tokens, bucket counts→the three BIGINT slots,
+    n_lines→brand_num, kept_chars→masked_phone, page_keep→has_pii).
     """
     null_i = F.lit(None).cast("int")
     null_l = F.lit(None).cast("long")
@@ -366,8 +384,27 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("final_keep").alias("has_pii"),
         null_s.alias("masked_phone"),
     )
+    # Round-9 C4 line-cleaning leg: zero-shuffle scan shape, BIGINT
+    # counts + md5 string + boolean flag — n_lines rides the INT slot
+    # (page reconstruction bounds it far below 2^31), kept_chars rides
+    # the string slot (CAST(BIGINT AS VARCHAR) is canonical decimal on
+    # both engines).
+    c4 = c4_line_filter(spark, sf_dir).select(
+        F.lit("c4").alias("op"),
+        F.col("doc_id").alias("p_partkey"),
+        F.col("cleaned_hash").alias("s"),
+        F.col("n_kept").alias("n_tokens"),
+        null_s.alias("first_token"),
+        F.col("n_lines").cast("int").alias("brand_num"),
+        null_s.alias("type_lc"),
+        F.col("n_drop_punct").alias("n_emails"),
+        F.col("n_drop_short").alias("n_phones"),
+        F.col("n_drop_js").alias("n_ips"),
+        F.col("page_keep").alias("has_pii"),
+        F.col("kept_chars").cast("string").alias("masked_phone"),
+    )
     return (
         curate.unionByName(filt).unionByName(strip)
         .unionByName(pii_leg).unionByName(url_leg)
-        .unionByName(hostq).unionByName(gated)
+        .unionByName(hostq).unionByName(gated).unionByName(c4)
     )

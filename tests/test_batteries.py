@@ -79,6 +79,9 @@ BATTERIES = {
         "host_quality_rollup",
         # round 8: the gate applied back onto the corpus
         "domain_gated_corpus",
+        # round 9: C4 line-level cleaning (the one round-8 operator
+        # that shipped without a driver hash)
+        "c4_line_filter",
     ],
     "sketch_stats_battery": [
         "cms_heavy_hitters",

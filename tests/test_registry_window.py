@@ -148,6 +148,7 @@ R9_REPLACED = {
 R9_COMPOSITED = [
     "pricing_summary",  # rides revenue_olap_battery
     "sketch_stats_battery",  # the original six-leg row, post-window
+    "c4_line_filter",  # rides string_ops_battery (r8 gap closed)
 ]
 
 # round 8: singles composited into an existing window battery
