@@ -39,11 +39,20 @@ def micro_sql(num: str, den: str) -> str:
     """Round-half-up ratio of EXACT integers in micro-units, DuckDB
     form: ``(num*1e6 + den//2) // den`` — all-integer arithmetic, so
     no engine rounding rule is involved at all (the convention for
-    count/sum-derived ratios; doubles use round6_det instead)."""
+    count/sum-derived ratios; doubles use round6_det instead).
+
+    PRECONDITION: ``num >= 0`` and ``den > 0``. The Spark mirror's
+    ``div`` truncates toward zero while DuckDB's ``//`` floors, so the
+    two forms diverge for negative numerators — and the ``+ den//2``
+    half-up adjustment itself assumes a non-negative quotient. Every
+    current call site feeds counts/sums of counts; a signed ratio
+    needs a floor-normalized variant on the Spark side first."""
     return f"(({num}) * 1000000 + ({den}) // 2) // ({den})"
 
 
 def micro_spark(num: str, den: str) -> str:
     """Spark SQL mirror of :func:`micro_sql` (`div` is integer
-    division on longs)."""
+    division on longs). Same PRECONDITION: ``num >= 0``, ``den > 0``
+    — ``div`` truncates toward zero where DuckDB's ``//`` floors, so
+    the mirrors silently diverge on negative numerators."""
     return f"(({num}) * 1000000L + ({den}) div 2) div ({den})"

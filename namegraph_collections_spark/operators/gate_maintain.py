@@ -56,11 +56,37 @@ def gate_state_for(docs: DataFrame) -> DataFrame:
     )
 
 
-def _snapshot_exists(spark: SparkSession, base_dir: str, stamp: str) -> bool:
+def _snapshot_committed(spark: SparkSession, base_dir: str, stamp: str) -> bool:
+    """True only if the stamp's snapshot was COMMITTED — i.e. its
+    ``_SUCCESS`` marker exists. Spark's Parquet writer creates the
+    directory at job start and writes ``_SUCCESS`` last, so a bare
+    directory without the marker is a crash mid-write: treating it as
+    already-merged would repoint the gate at corrupt state and lose
+    the batch forever. Partial directories fall through to the normal
+    merge, whose mode("overwrite") write replaces them safely (the
+    latest-marker was never repointed at them)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/snapshot={stamp}")
-    return path.getFileSystem(conf).exists(path)
+    success = jvm.org.apache.hadoop.fs.Path(
+        f"{base_dir}/snapshot={stamp}/_SUCCESS"
+    )
+    return success.getFileSystem(conf).exists(success)
+
+
+def _marker_stamp(spark: SparkSession, base_dir: str) -> str | None:
+    """The stamp the latest-marker currently points at (None before
+    the first rotation)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{LATEST_MARKER}")
+    fs = marker.getFileSystem(conf)
+    if not fs.exists(marker):
+        return None
+    stream = fs.open(marker)
+    try:
+        return bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
 
 
 def _repoint_marker(spark: SparkSession, base_dir: str, stamp: str) -> None:
@@ -80,14 +106,28 @@ def maintain_gate_state(
     first rotation), sum-by-key with the batch's contribution, write,
     repoint. Returns the rotated state as read back from storage.
 
-    IDEMPOTENT per stamp: a stamp whose snapshot directory already
-    exists was already merged (a crashed run after the write, or a
-    foreachBatch replay of a delivered batch id) — re-merging would
-    double every additive measure, so the replay only repoints the
-    marker at the existing snapshot and returns it. Callers must key
-    the stamp to the batch identity (the streaming twin stamps with
-    the micro-batch id) for this guarantee to hold."""
-    if _snapshot_exists(spark, base_dir, stamp):
+    IDEMPOTENT per stamp: a stamp whose snapshot was already
+    COMMITTED (its ``_SUCCESS`` marker exists — a bare directory from
+    a crash mid-write does NOT count and falls through to a safe
+    overwrite merge) was already merged: a foreachBatch replay of a
+    delivered batch id re-merging it would double every additive
+    measure, so the replay only repoints the marker at the existing
+    snapshot and returns it. Callers must key the stamp to the batch
+    identity (the streaming twin stamps with the zero-padded
+    micro-batch id) for this guarantee to hold, and stamps must be
+    lexicographically monotonic (dated stamps and zero-padded ids
+    are): Structured Streaming only ever redelivers the LATEST batch,
+    but the batch API has no such guard, so a replay of a stamp
+    OLDER than the marker's current one raises instead of silently
+    rolling the gate state back."""
+    if _snapshot_committed(spark, base_dir, stamp):
+        current_stamp = _marker_stamp(spark, base_dir)
+        if current_stamp is not None and stamp < current_stamp:
+            raise ValueError(
+                f"out-of-order replay: stamp {stamp!r} is older than the "
+                f"latest-marker's {current_stamp!r}; repointing would roll "
+                "the gate state back past newer merges"
+            )
         _repoint_marker(spark, base_dir, stamp)
         return latest_snapshot(spark, base_dir)
     new_state = gate_state_for(new_docs)

@@ -333,7 +333,9 @@ _REP_KEEP_SQL = (
       FROM grams GROUP BY doc_id, n, gram
     ),
     agg AS (
-      SELECT doc_id, n, MAX(c * glen) AS top_chars,
+      SELECT doc_id, n,
+             CAST((MAX(struct_pack(c := c, cg := c * glen))).cg AS BIGINT)
+               AS top_chars,
              COALESCE(SUM(CASE WHEN c > 1 THEN c * glen END), 0) AS dup_chars
       FROM gc GROUP BY doc_id, n
     ),
@@ -420,8 +422,16 @@ def repetition_signals_of(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .withColumn("glen", F.expr("CAST(length(gram) - (n - 1) AS BIGINT)"))
     )
+    # top_chars = char coverage OF THE MOST FREQUENT n-gram (Gopher
+    # §A1.1's definition): argmax on count first, coverage as the
+    # deterministic tiebreak — NOT max(c*glen), which would let a
+    # longer-but-rarer gram win and overstate coverage. The struct max
+    # is lexicographic on (c, cg), so all argmax candidates share the
+    # same cg and the output is deterministic; it stays a plain
+    # partial-aggregatable MAX (mirrored via struct_pack in the DuckDB
+    # oracle).
     agg = gc.groupBy("doc_id", "n").agg(
-        F.max(F.expr("c * glen")).alias("top_chars"),
+        F.expr("max(struct(c, c * glen AS cg)).cg").alias("top_chars"),
         F.coalesce(
             F.sum(F.expr("CASE WHEN c > 1 THEN c * glen END")),
             F.lit(0).cast("bigint"),

@@ -98,3 +98,49 @@ def test_replayed_batch_does_not_double_merge(spark, tmp_path):
     replayed = maintain_gate_state(spark, base, wave1, "t0")
     assert _rows(replayed) == _rows(state1)
     assert _rows(gate_from_state(replayed)) == _rows(gate_from_state(state1))
+
+
+def test_partial_snapshot_is_not_treated_as_merged(spark, tmp_path):
+    """Crash-window safety: Spark's Parquet writer creates the
+    snapshot directory at job start and commits with _SUCCESS last, so
+    a directory WITHOUT _SUCCESS is a crashed half-write. A replay of
+    that stamp must fall through to the real merge (overwriting the
+    partial files), not repoint the marker at corrupt state."""
+    base = str(tmp_path / "gate_state_crash")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    wave2 = docs.filter("doc_id % 2 = 1")
+
+    maintain_gate_state(spark, base, wave1, "t0")
+    # simulate the crash: t1's directory exists with partial data but
+    # no _SUCCESS commit marker
+    partial = tmp_path / "gate_state_crash" / "snapshot=t1"
+    partial.mkdir(parents=True)
+    (partial / "part-00000.parquet").write_bytes(b"not a parquet footer")
+
+    state2 = maintain_gate_state(spark, base, wave2, "t1")
+    got = gate_from_state(state2)
+    want = REGISTRY["host_quality_rollup"].fn(spark, SF_DIR)
+    assert _rows(got) == _rows(want)
+
+
+def test_out_of_order_batch_replay_raises(spark, tmp_path):
+    """Structured Streaming only redelivers the LATEST batch, but the
+    batch API has no such guarantee: replaying a stamp OLDER than the
+    marker's current one must raise, not silently repoint the gate
+    state back past newer merges."""
+    import pytest
+
+    base = str(tmp_path / "gate_state_order")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wave1 = docs.filter("doc_id % 2 = 0")
+    wave2 = docs.filter("doc_id % 2 = 1")
+
+    maintain_gate_state(spark, base, wave1, "t0")
+    state2 = maintain_gate_state(spark, base, wave2, "t1")
+    with pytest.raises(ValueError, match="out-of-order replay"):
+        maintain_gate_state(spark, base, wave1, "t0")
+    # the guard left the state untouched
+    from namegraph_collections_spark.operators.cdc import latest_snapshot
+
+    assert _rows(latest_snapshot(spark, base)) == _rows(state2)
