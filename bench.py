@@ -131,9 +131,13 @@ HEADLINE = [
     "language_id_eval",
     "dedup_cluster_stats",
     "domain_gated_corpus",
-    # Round 9 additions (append-only): the sketch bisect rows.
+    # Round 9 additions (append-only): the sketch bisect rows + the
+    # data-selection / span-dedup operators.
     "sketch_probe_battery",
     "skew_salt_trim_battery",
+    "dsir_importance_weights",
+    "ccnet_ppl_buckets",
+    "dup_span_extract",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -51,11 +51,20 @@ from namegraph_collections_spark.queries.temporal import (
     asof_join_events,
     interval_range_join,
 )
+from namegraph_collections_spark.queries.data_selection import (
+    ccnet_ppl_buckets,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    ccnet_ppl_buckets_from,
+    dsir_importance_weights,
+)
+from namegraph_collections_spark.queries.span_dedup import dup_span_extract
 from namegraph_collections_spark.queries.text_analysis import (
     bigram_lm_perplexity,
     token_frequencies,
     unigram_logprob,
 )
+
+# (language_id is imported further down with the text-mining block; by
+# the time any battery body runs, the whole module is bound.)
 
 # Typed null pads must be built lazily: F.lit() needs an active
 # SparkContext, and this module imports at registry-population time
@@ -391,13 +400,24 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            ellipsis_micro, alpha_micro, dup_line_micro,
            dup_bigram_micro
     FROM ({_oracle("doc_quality_signals")})
+    UNION ALL
+    SELECT 'ccnet' AS op, lang || ':' || bucket, doc_id, lang_n,
+           CAST(rnk AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), nll_micro,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM ({_oracle("ccnet_ppl_buckets")})
     """,
 )
 def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/document frequencies + unigram-LM per-doc log-probability
     + bigram-LM perplexity quality filter + Gopher/C4 quality signals
-    in one tagged result. Components unchanged:
-    queries/text_analysis.py, quality_signals.py.
+    + (round 9) the CCNet head/middle/tail perplexity bucketing in one
+    tagged result. Components unchanged: queries/text_analysis.py,
+    quality_signals.py, data_selection.py. The ccnet leg rides the
+    SAME checkpointed bigram-LM frame as the lm leg (the `_from`
+    sharing seam), so the LM trains and scores once.
     """
 
     def _qpad():
@@ -436,7 +456,8 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_B().alias("keep"),
         *_qpad(),
     )
-    lm = bigram_lm_perplexity(spark, sf_dir).select(
+    lm_full = bigram_lm_perplexity(spark, sf_dir).localCheckpoint(eager=False)
+    lm = lm_full.select(
         F.lit("lm").alias("op"),
         _NULL_S().alias("token"),
         "doc_id",
@@ -447,6 +468,25 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_train",
         "keep",
         *_qpad(),
+    )
+    ccnet = ccnet_ppl_buckets_from(lm_full, language_id(spark, sf_dir)).select(
+        F.lit("ccnet").alias("op"),
+        F.expr("lang || ':' || bucket").alias("token"),
+        "doc_id",
+        F.col("lang_n").alias("n"),
+        F.col("rnk").cast("long").alias("df"),
+        _NULL_D().alias("logp"),
+        _NULL_D().alias("nll"),
+        _NULL_B().alias("is_train"),
+        _NULL_B().alias("keep"),
+        F.col("nll_micro").alias("n_stop"),
+        _NULL_L().alias("q_mean_len_micro"),
+        _NULL_L().alias("q_symbol_micro"),
+        _NULL_L().alias("q_bullet_micro"),
+        _NULL_L().alias("q_ellipsis_micro"),
+        _NULL_L().alias("q_alpha_micro"),
+        _NULL_L().alias("q_dup_line_micro"),
+        _NULL_L().alias("q_dup_bigram_micro"),
     )
     quality = doc_quality_signals(spark, sf_dir).select(
         F.lit("quality").alias("op"),
@@ -467,7 +507,10 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_line_micro").alias("q_dup_line_micro"),
         F.col("dup_bigram_micro").alias("q_dup_bigram_micro"),
     )
-    return freq.unionByName(lp).unionByName(lm).unionByName(quality)
+    return (
+        freq.unionByName(lp).unionByName(lm)
+        .unionByName(quality).unionByName(ccnet)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -594,15 +637,24 @@ def rollup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS INTEGER), n_docs, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), doc_id_sum
     FROM ({_oracle("epoch_shuffle_plan")})
+    UNION ALL
+    SELECT 'dsir' AS op, doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(CASE WHEN is_target THEN 1 ELSE 0 END AS INTEGER),
+           weight_micro, CAST(NULL AS DOUBLE),
+           CAST(CASE WHEN selected THEN 1 ELSE 0 END AS INTEGER),
+           n_grams, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM ({_oracle("dsir_importance_weights")})
     """,
 )
 def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The five deterministic selection/ordering policies in one
+    """The six deterministic selection/ordering policies in one
     tagged result: temperature-mix sampling, per-group hash-order
     sampling, weighted reservoir (A-Res) top-k, the content-addressed
-    train/val/test split, and (round 8) the fixed-seed epoch-shuffle
-    shard plan. Components unchanged: queries/training_data.py,
-    queries/scale_ops.py.
+    train/val/test split, (round 8) the fixed-seed epoch-shuffle shard
+    plan, and (round 9) the DSIR hashed-ngram importance weights with
+    their threshold selection flag. Components unchanged:
+    queries/training_data.py, scale_ops.py, data_selection.py.
     """
     mix = deterministic_mix_sample(spark, sf_dir).select(
         F.lit("mix").alias("op"),
@@ -674,11 +726,30 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("max_doc_id"),
         "doc_id_sum",
     )
+    # Round-9 DSIR leg: the hashed-ngram importance weight + the
+    # scale-free selection flag; the two booleans ride the 0/1 INT
+    # slots (rk: is_target, rnk: selected), the micro-nat weight the
+    # BIGINT w slot.
+    dsir = dsir_importance_weights(spark, sf_dir).select(
+        F.lit("dsir").alias("op"),
+        "doc_id",
+        _NULL_S().alias("source"),
+        _NULL_S().alias("split"),
+        F.expr("CAST(IF(is_target, 1, 0) AS INT)").alias("rk"),
+        F.col("weight_micro").alias("w"),
+        _NULL_D().alias("skey"),
+        F.expr("CAST(IF(selected, 1, 0) AS INT)").alias("rnk"),
+        F.col("n_grams").alias("n_docs"),
+        _NULL_L().alias("min_doc_id"),
+        _NULL_L().alias("max_doc_id"),
+        _NULL_L().alias("doc_id_sum"),
+    )
     return (
         mix.unionByName(grouped)
         .unionByName(weighted)
         .unionByName(split)
         .unionByName(epoch)
+        .unionByName(dsir)
     )
 
 
@@ -729,6 +800,12 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("dedup_cluster_stats")})
+    UNION ALL
+    SELECT 'spans' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           doc_id, span_id, start_word, end_word,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           span_words, n_shingles
+    FROM ({_oracle("dup_span_extract")})
     """,
 )
 def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,8 +813,9 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf-weighted cosine pairs + incremental (batch-vs-corpus) MinHash
     dedup + winnowing local fingerprints + per-cluster representative
     selection + the end-to-end training-pipeline funnel + the
-    cluster-size histogram in one tagged result. Components unchanged:
-    queries/dedup.py, dedup_select.py, pipeline_e2e.py.
+    cluster-size histogram + (round 9) ExactSubstr-style duplicated
+    spans in one tagged result. Components unchanged: queries/dedup.py,
+    dedup_select.py, pipeline_e2e.py, span_dedup.py.
     """
     from namegraph_collections_spark.queries.registry import tbl as _tbl
 
@@ -862,6 +940,22 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("n_keep"),
         _NULL_L().alias("rep_words"),
     )
+    # Round-9 duplicated-span leg (ExactSubstr-style span extraction;
+    # independent shingle grain from the MinHash bands, so no sharing
+    # seam applies — its own scan+explode is the honest cost).
+    spans = dup_span_extract(spark, sf_dir).select(
+        F.lit("spans").alias("op"),
+        _NULL_S().alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("doc_id").alias("id_a"),
+        F.col("span_id").alias("id_b"),
+        F.col("start_word").alias("cnt"),
+        F.col("end_word").alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        F.col("span_words").alias("n_keep"),
+        F.col("n_shingles").alias("rep_words"),
+    )
     return (
         exact.unionByName(passage)
         .unionByName(tfidf)
@@ -870,6 +964,7 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep)
         .unionByName(funnel)
         .unionByName(cstats)
+        .unionByName(spans)
     )
 
 

@@ -38,6 +38,8 @@ BATTERIES = {
         "bigram_lm_perplexity",
         # round 7: the Gopher/C4 quality-signals leg
         "doc_quality_signals",
+        # round 9: CCNet perplexity bucketing (shares the LM frame)
+        "ccnet_ppl_buckets",
     ],
     "rollup_battery": [
         "hourly_event_rollup",
@@ -51,6 +53,8 @@ BATTERIES = {
         "deterministic_split",
         # round 8: the fixed-seed epoch-shuffle shard plan
         "epoch_shuffle_plan",
+        # round 9: DSIR importance weights + threshold selection
+        "dsir_importance_weights",
     ],
     "lexical_dedup_battery": [
         "exact_dedup_groups",
@@ -65,6 +69,8 @@ BATTERIES = {
         "training_pipeline_e2e",
         # round 8: cluster-size histogram (shares the closure)
         "dedup_cluster_stats",
+        # round 9: ExactSubstr-style duplicated spans
+        "dup_span_extract",
     ],
     "pq_battery": ["pq_adc_topk", "pq_rerank_topk"],
     "string_ops_battery": [

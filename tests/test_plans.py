@@ -117,9 +117,12 @@ def test_semi_and_anti_join_physical(spark):
         "language_id_eval",
         "dedup_cluster_stats",
         "domain_gated_corpus",
-        # round 9 additions (the sketch bisect rows)
+        # round 9 additions (the sketch bisect rows + new operators)
         "sketch_probe_battery",
         "skew_salt_trim_battery",
+        "dsir_importance_weights",
+        "ccnet_ppl_buckets",
+        "dup_span_extract",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):

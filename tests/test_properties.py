@@ -406,3 +406,114 @@ def test_dedup_cluster_stats_conserve_docs_and_removals(spark, sf_dir):
     for r in rows:
         assert r.n_docs == r.cluster_size * r.n_clusters
         assert r.n_removable == r.n_docs - r.n_clusters
+
+
+# ---------------------------------------------------------------------------
+# Round-9 operators: DSIR, CCNet bucketing, duplicated spans.
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_selection_is_the_documented_predicate(spark, sf_dir):
+    from namegraph_collections_spark.queries import REGISTRY
+    from namegraph_collections_spark.queries.data_selection import (
+        DSIR_TARGET_SRCS,
+    )
+
+    docs = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = REGISTRY["dsir_importance_weights"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(docs)  # every doc scored exactly once
+    for r in rows:
+        assert r.is_target == (docs[r.doc_id] in DSIR_TARGET_SRCS)
+        assert r.selected == ((not r.is_target) and r.weight_micro >= 0)
+        assert r.n_grams >= 1  # unigrams alone guarantee >= 1
+
+
+def test_dsir_gram_count_is_2n_minus_1(spark, sf_dir):
+    """A document of n words contributes n unigrams + (n-1) bigrams."""
+    from namegraph_collections_spark.queries import REGISTRY
+
+    n_words = {
+        r.doc_id: len([w for w in r.text.replace("\n", " ").split(" ") if w])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in REGISTRY["dsir_importance_weights"].fn(spark, sf_dir).collect():
+        n = n_words[r.doc_id]
+        assert r.n_grams == (2 * n - 1 if n >= 1 else 0)
+
+
+def test_ccnet_buckets_are_ordered_terciles(spark, sf_dir):
+    from namegraph_collections_spark.queries import REGISTRY
+
+    rows = REGISTRY["ccnet_ppl_buckets"].fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        n = rs[0].lang_n
+        assert len(rs) == n and all(r.lang_n == n for r in rs)
+        rs.sort(key=lambda r: (r.nll_micro, r.doc_id))
+        # ranks are exactly 1..n in that total order
+        assert [r.rnk for r in rs] == list(range(1, n + 1))
+        # bucket sizes follow the integer tercile rule, and the bucket
+        # sequence along the total order is head* middle* tail*
+        buckets = [r.bucket for r in rs]
+        n_head = sum(b == "head" for b in buckets)
+        n_mid = sum(b == "middle" for b in buckets)
+        assert n_head == n // 3
+        assert n_head + n_mid == (2 * n) // 3
+        assert buckets == (
+            ["head"] * n_head + ["middle"] * n_mid
+            + ["tail"] * (n - n_head - n_mid)
+        )
+
+
+def test_dup_spans_are_maximal_and_disjoint(spark, sf_dir):
+    from namegraph_collections_spark.queries import REGISTRY
+    from namegraph_collections_spark.queries.span_dedup import SPAN_K
+
+    rows = REGISTRY["dup_span_extract"].fn(spark, sf_dir).collect()
+    assert rows  # the synthetic corpus repeats template phrases
+    by_doc = {}
+    for r in rows:
+        assert r.end_word - r.start_word + 1 == r.span_words
+        assert r.span_words >= SPAN_K
+        assert 1 <= r.n_shingles <= r.span_words - SPAN_K + 1
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r.start_word)
+        for a, b in zip(spans, spans[1:]):
+            # maximality: merged spans can't touch or overlap — the
+            # next duplicated shingle start is > K after the previous
+            assert b.start_word > a.end_word + 1
+
+
+def test_dup_spans_flag_a_planted_duplicate(spark):
+    """Two handcrafted docs sharing an 8-word prefix (and nothing
+    else duplicated) produce exactly one span per doc covering words
+    1..8."""
+    from namegraph_collections_spark.queries.span_dedup import SPAN_K
+    from namegraph_collections_spark.queries import REGISTRY
+    import os
+    import tempfile
+
+    shared = " ".join(f"tok{i}" for i in range(SPAN_K))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " aaa bbb ccc", "en", "src0", 1),
+            (2, shared + " ddd eee fff", "en", "src1", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        rows = sorted(
+            REGISTRY["dup_span_extract"].fn(spark, td).collect(),
+            key=lambda r: r.doc_id,
+        )
+    assert [(r.doc_id, r.start_word, r.end_word) for r in rows] == [
+        (1, 1, SPAN_K),
+        (2, 1, SPAN_K),
+    ]

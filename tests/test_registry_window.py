@@ -149,6 +149,10 @@ R9_COMPOSITED = [
     "pricing_summary",  # rides revenue_olap_battery
     "sketch_stats_battery",  # the original six-leg row, post-window
     "c4_line_filter",  # rides string_ops_battery (r8 gap closed)
+    # round-9 new operators, driver-hashed via battery legs
+    "dsir_importance_weights",  # rides sampling_battery
+    "ccnet_ppl_buckets",  # rides unigram_text_battery (shared LM frame)
+    "dup_span_extract",  # rides lexical_dedup_battery
 ]
 
 # round 8: singles composited into an existing window battery
