@@ -81,6 +81,96 @@ def _lp_micro_sql(c: str, tot: str) -> str:
     )
 
 
+def dsir_hashed_grams_of(docs: DataFrame) -> DataFrame:
+    """The feature program as a pure transformation — (doc_id,
+    is_target, bucket), one row per unigram/bigram occurrence. Shared
+    by the one-shot query, the incremental bucket-state maintenance
+    (operators/dsir_maintain.py), and its streaming twin, so the
+    three can never drift."""
+    toked = docs.selectExpr(
+        "doc_id",
+        f"{_DSIR_TARGET_PRED} AS is_target",
+        "filter(split(replace(text, chr(10), ' '), ' '), x -> x != '') AS words",
+    )
+    grams = toked.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.expr(
+                "concat(words, transform("
+                "  slice(sequence(1, size(words)), 1,"
+                "        greatest(size(words) - 1, 0)),"
+                "  i -> concat(element_at(words, i), ' ',"
+                "              element_at(words, i + 1))))"
+            )
+        ).alias("gram"),
+    )
+    return grams.select(
+        "doc_id", "is_target", F.expr(_DSIR_BUCKET_SPARK).alias("bucket")
+    )
+
+
+def dsir_bucket_weights_of(hashed: DataFrame) -> DataFrame:
+    """(bucket, lw_micro) from a hashed-gram frame: the two smoothed
+    log-distributions' difference in exact integer micro-nats. Bucket
+    tables are <= {DSIR_B} rows regardless of corpus size (broadcast
+    class)."""
+    tgt = hashed.filter("is_target").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    raw = hashed.filter("NOT is_target").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    tot = hashed.agg(
+        F.sum(F.col("is_target").cast("long")).alias("t_tot"),
+        F.sum((~F.col("is_target")).cast("long")).alias("r_tot"),
+    )
+    return (
+        hashed.select("bucket")
+        .distinct()
+        .join(F.broadcast(tgt), "bucket", "left")
+        .join(F.broadcast(raw), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bucket",
+            f"{_lp_micro_sql('COALESCE(ct, 0)', 't_tot')}"
+            f" - {_lp_micro_sql('COALESCE(cr, 0)', 'r_tot')} AS lw_micro",
+        )
+    )
+
+
+def dsir_score_against(docs: DataFrame, bw: DataFrame) -> DataFrame:
+    """Score documents against an ALREADY-BUILT (bucket, lw_micro)
+    weight table — the ingest-time path: a stream of new documents
+    broadcast-joins the (tiny) weight snapshot, no state touched.
+    Buckets absent from the table contribute 0 (they carried no
+    evidence either way when the table was fitted)."""
+    db = dsir_hashed_grams_of(docs).groupBy(
+        "doc_id", "is_target", "bucket"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        db.join(F.broadcast(bw), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.max(F.col("is_target").cast("int")) == 1).alias("is_target"),
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.coalesce(F.col("lw_micro"), F.lit(0)))
+            .cast("long")
+            .alias("weight_micro"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            "n_grams",
+            "weight_micro",
+            (~F.col("is_target") & (F.col("weight_micro") >= 0)).alias(
+                "selected"
+            ),
+        )
+    )
+
+
+
 @register(
     "dsir_importance_weights",
     oracle=f"""
@@ -154,51 +244,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python anywhere.
     """
     docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
-    toked = docs.selectExpr(
-        "doc_id",
-        f"{_DSIR_TARGET_PRED} AS is_target",
-        "filter(split(replace(text, chr(10), ' '), ' '), x -> x != '') AS words",
-    )
-    grams = toked.select(
-        "doc_id",
-        "is_target",
-        F.explode(
-            F.expr(
-                "concat(words, transform("
-                "  slice(sequence(1, size(words)), 1,"
-                "        greatest(size(words) - 1, 0)),"
-                "  i -> concat(element_at(words, i), ' ',"
-                "              element_at(words, i + 1))))"
-            )
-        ).alias("gram"),
-    )
-    hashed = grams.select(
-        "doc_id", "is_target", F.expr(_DSIR_BUCKET_SPARK).alias("bucket")
-    ).localCheckpoint(eager=False)  # feeds 4 aggregations below; without
-    # the cut each one replays the scan+explode (ReusedExchange does not
-    # dedup across the join/union boundaries — the battery-wide finding)
-    tgt = hashed.filter("is_target").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("ct")
-    )
-    raw = hashed.filter("NOT is_target").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr")
-    )
-    tot = hashed.agg(
-        F.sum(F.col("is_target").cast("long")).alias("t_tot"),
-        F.sum((~F.col("is_target")).cast("long")).alias("r_tot"),
-    )
-    bw = (
-        hashed.select("bucket")
-        .distinct()
-        .join(F.broadcast(tgt), "bucket", "left")
-        .join(F.broadcast(raw), "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .selectExpr(
-            "bucket",
-            f"{_lp_micro_sql('COALESCE(ct, 0)', 't_tot')}"
-            f" - {_lp_micro_sql('COALESCE(cr, 0)', 'r_tot')} AS lw_micro",
-        )
-    )
+    hashed = dsir_hashed_grams_of(docs).localCheckpoint(eager=False)
+    # localCheckpoint: the hashed-gram frame feeds four aggregations
+    # (tgt/raw/tot/per-doc counts); without the cut each one replays
+    # the scan+explode (ReusedExchange does not dedup across the
+    # join/union boundaries — the battery-wide finding).
+    bw = dsir_bucket_weights_of(hashed)
     db = hashed.groupBy("doc_id", "is_target", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
