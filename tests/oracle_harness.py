@@ -9,6 +9,7 @@ construction), and asserts equality.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 
@@ -28,6 +29,17 @@ TABLES = [
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Cap the oracle's memory: DuckDB's default limit is 80% of RAM,
+    # and it USES headroom it is given before spilling — at sf1 the
+    # heavier battery oracles plus a live Spark JVM heap tripped the
+    # global OOM killer (round-9 sweep, exit 137; every oracle
+    # completes in <13 GB peak RSS once told to). Harness-only knob —
+    # the external driver owns its own connection settings.
+    con.execute(
+        "SET memory_limit = '"
+        + os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB")
+        + "'"
+    )
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
