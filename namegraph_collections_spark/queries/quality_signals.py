@@ -332,12 +332,16 @@ _REP_KEEP_SQL = (
              CAST(length(gram) - (n - 1) AS BIGINT) AS glen
       FROM grams GROUP BY doc_id, n, gram
     ),
+    mx AS (
+      SELECT doc_id, n, MAX(c) AS mc FROM gc GROUP BY doc_id, n
+    ),
     agg AS (
-      SELECT doc_id, n,
-             CAST((MAX(struct_pack(c := c, cg := c * glen))).cg AS BIGINT)
-               AS top_chars,
-             COALESCE(SUM(CASE WHEN c > 1 THEN c * glen END), 0) AS dup_chars
-      FROM gc GROUP BY doc_id, n
+      SELECT g.doc_id, g.n,
+             MAX(CASE WHEN g.c = m.mc THEN g.c * g.glen END) AS top_chars,
+             COALESCE(SUM(CASE WHEN g.c > 1 THEN g.c * g.glen END), 0)
+               AS dup_chars
+      FROM gc g JOIN mx m ON g.doc_id = m.doc_id AND g.n = m.n
+      GROUP BY g.doc_id, g.n
     ),
     piv AS (
       SELECT b.doc_id, b.total_chars,
@@ -428,8 +432,12 @@ def repetition_signals_of(docs: DataFrame) -> DataFrame:
     # longer-but-rarer gram win and overstate coverage. The struct max
     # is lexicographic on (c, cg), so all argmax candidates share the
     # same cg and the output is deterministic; it stays a plain
-    # partial-aggregatable MAX (mirrored via struct_pack in the DuckDB
-    # oracle).
+    # partial-aggregatable MAX. The DuckDB oracle spells the SAME
+    # argmax as a scalar two-pass (MAX(c) join + conditional MAX of
+    # cg) because DuckDB's struct-valued MAX aggregate allocates
+    # per-update temporaries outside the buffer manager — at sf1 it
+    # grew past 30 GB on a 12M-row input that the scalar form handles
+    # in <2 GB (round-9 OOM post-mortem; caught by the sf1 sweep).
     agg = gc.groupBy("doc_id", "n").agg(
         F.expr("max(struct(c, c * glen AS cg)).cg").alias("top_chars"),
         F.coalesce(
