@@ -138,6 +138,10 @@ HEADLINE = [
     "dsir_importance_weights",
     "ccnet_ppl_buckets",
     "dup_span_extract",
+    # Round 9b additions (append-only): the supervised NB quality
+    # filter family.
+    "nb_quality_scores",
+    "nb_quality_eval",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

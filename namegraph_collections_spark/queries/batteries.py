@@ -57,6 +57,11 @@ from namegraph_collections_spark.queries.data_selection import (
     dsir_importance_weights,
 )
 from namegraph_collections_spark.queries.span_dedup import dup_span_extract
+from namegraph_collections_spark.queries.quality_classifier import (
+    nb_quality_eval,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    nb_quality_eval_from,
+    nb_quality_scores,
+)
 from namegraph_collections_spark.queries.text_analysis import (
     bigram_lm_perplexity,
     token_frequencies,
@@ -1390,6 +1395,19 @@ def skew_salt_trim_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_docs, label_total, CAST(NULL AS DOUBLE),
            CAST(share_micro AS INTEGER)
     FROM ({_oracle("language_id_eval")})
+    UNION ALL
+    SELECT 'nbq' AS op,
+           CASE WHEN label_hq THEN 'hq' ELSE 'lq' END,
+           CASE WHEN pred_hq THEN 'hq' ELSE 'lq' END,
+           CASE WHEN is_train THEN 'train' ELSE 'test' END,
+           doc_id, margin_micro, CAST(NULL AS DOUBLE),
+           CAST(n_grams AS INTEGER)
+    FROM ({_oracle("nb_quality_scores")})
+    UNION ALL
+    SELECT 'nbq_eval' AS op, metric, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), num, den, CAST(NULL AS DOUBLE),
+           CAST(value_micro AS INTEGER)
+    FROM ({_oracle("nb_quality_eval")})
     """,
 )
 def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1473,6 +1491,29 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-8 repetition leg, melted long-form so the battery schema
     # needs no widening: one stack() row per (doc, metric) — the same
     # values the wide single emits, including the keep flag as 0/1.
+    # Round-9b: ONE NB classifier fit feeds both the per-doc scores
+    # leg and the held-out eval leg (the LID-eval sharing treatment).
+    nbs = nb_quality_scores(spark, sf_dir).localCheckpoint(eager=False)
+    nbq = nbs.selectExpr(
+        "'nbq' AS op",
+        "CASE WHEN label_hq THEN 'hq' ELSE 'lq' END AS s1",
+        "CASE WHEN pred_hq THEN 'hq' ELSE 'lq' END AS s2",
+        "CASE WHEN is_train THEN 'train' ELSE 'test' END AS s3",
+        "doc_id AS n",
+        "margin_micro AS n2",
+        "CAST(NULL AS DOUBLE) AS d",
+        "CAST(n_grams AS INTEGER) AS rnk",
+    )
+    nbq_eval = nb_quality_eval_from(nbs).selectExpr(
+        "'nbq_eval' AS op",
+        "metric AS s1",
+        "CAST(NULL AS STRING) AS s2",
+        "CAST(NULL AS STRING) AS s3",
+        "num AS n",
+        "den AS n2",
+        "CAST(NULL AS DOUBLE) AS d",
+        "CAST(value_micro AS INTEGER) AS rnk",
+    )
     rep = repetition_signals(spark, sf_dir).selectExpr(
         "doc_id",
         "stack(7,"
@@ -1492,6 +1533,7 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         suf.unionByName(pmi).unionByName(bpe).unionByName(enc)
         .unionByName(langid).unionByName(rep).unionByName(lid_eval)
+        .unionByName(nbq).unionByName(nbq_eval)
     )
 
 

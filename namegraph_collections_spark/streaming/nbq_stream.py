@@ -1,0 +1,50 @@
+"""Ingest-time application of the NB quality filter — the streaming
+half of queries/quality_classifier.py, same deployment split as the
+DSIR scorer (streaming/dsir_stream.py): fit the model on the standing
+corpus once (``nbq_model_of`` — a <= NBQ_B-row weight table and a
+1-row prior), then score arriving documents as a plain append-mode
+transformation. The model is a small static broadcast side; the
+stream side is the same per-doc bucket-count program as the batch
+scorer (``nbq_score_against``), so the filter runs at ingest
+bandwidth with zero state, and scores are batching-invariant because
+the model is fixed (pinned by tests/test_quality_classifier.py's
+stream-parity test).
+
+Documents arrive whole (one file carries complete documents), so each
+micro-batch is scored by the BATCH function verbatim inside
+``foreachBatch`` — the same atomicity note as the DSIR scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from namegraph_collections_spark.queries.quality_classifier import (
+    nbq_score_against,
+)
+
+
+def run_nbq_scoring_stream(
+    docs_stream: DataFrame,
+    w: DataFrame,
+    prior: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Score a documents STREAM against a fitted (weights, prior)
+    model, appending scored rows to ``out_dir``."""
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        nbq_score_against(batch_df, w, prior).write.mode("append").parquet(
+            out_dir
+        )
+
+    (
+        docs_stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -122,6 +122,9 @@ BATTERIES = {
         "repetition_signals",
         # round 8: the classifier's confusion-matrix eval
         "language_id_eval",
+        # round 9b: supervised NB quality filter + its held-out eval
+        "nb_quality_scores",
+        "nb_quality_eval",
     ],
     "graph_battery": ["transitive_closure_reachability", "neardup_triangles"],
     "revenue_olap_battery": [

@@ -123,6 +123,9 @@ def test_semi_and_anti_join_physical(spark):
         "dsir_importance_weights",
         "ccnet_ppl_buckets",
         "dup_span_extract",
+        # round 9b: supervised NB quality filter family
+        "nb_quality_scores",
+        "nb_quality_eval",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
