@@ -1,0 +1,129 @@
+"""Generic incremental maintenance of ADDITIVE keyed state — the
+shared machinery behind every "state at key grain, merge = sum-by-key"
+maintainer in the engine (domain gate pages, DSIR feature buckets,
+count-min cells, histogram grids).
+
+The IVM observation all of them share: pick the grain at which every
+measure is additive, and maintenance reduces to
+
+    state' = (state UNION batch_contribution) GROUP BY keys SUM measures
+
+persisted with the dated-snapshot rotation of operators/cdc.py so day
+N+1 merges into day N's committed state. What varies per operator is
+only the CONTRIBUTION program (how a batch of documents becomes keyed
+rows) and the READ program (how state re-derives the operator's
+output) — those stay in the operator modules; the merge, the
+replay-idempotence guard, and the ordering guard live here once.
+
+Durability contract (shared by every caller, pinned by
+tests/test_gate_maintain.py and test_cms_maintain.py):
+
+- **Idempotent per stamp**: foreachBatch is at-least-once — a crash
+  between snapshot rotation and the streaming checkpoint commit
+  re-delivers the same batch id, and re-merging would double every
+  additive measure. A stamp whose snapshot is already COMMITTED (its
+  ``_SUCCESS`` marker exists) is only re-pointed, never re-merged.
+- **Crash-window safe**: Spark's Parquet writer creates the snapshot
+  directory at job start and writes ``_SUCCESS`` last, so a bare
+  directory without the marker is a crashed half-write — it falls
+  through to the normal ``mode("overwrite")`` merge instead of being
+  treated as merged (the marker never pointed at it).
+- **Ordering guard**: stamps must be lexicographically monotonic
+  (dated stamps, zero-padded batch ids). Structured Streaming only
+  redelivers the LATEST batch, but the batch API has no such guard —
+  replaying a stamp OLDER than the marker's current one raises
+  instead of silently rolling state back past newer merges.
+
+Scale shape: per batch, the caller's contribution program + one
+keyed partial-aggregated shuffle of the BATCH + a sum-by-key merge
+against state that a production deployment bucket-joins on the same
+key (co-located, no corpus-wide shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.operators.cdc import (
+    LATEST_MARKER,
+    latest_snapshot,
+    rotate_snapshot,
+)
+
+
+def snapshot_committed(spark: SparkSession, base_dir: str, stamp: str) -> bool:
+    """True only if the stamp's snapshot was COMMITTED — i.e. its
+    ``_SUCCESS`` marker exists (see the module docstring's
+    crash-window contract)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    success = jvm.org.apache.hadoop.fs.Path(
+        f"{base_dir}/snapshot={stamp}/_SUCCESS"
+    )
+    return success.getFileSystem(conf).exists(success)
+
+
+def marker_stamp(spark: SparkSession, base_dir: str) -> str | None:
+    """The stamp the latest-marker currently points at (None before
+    the first rotation)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{LATEST_MARKER}")
+    fs = marker.getFileSystem(conf)
+    if not fs.exists(marker):
+        return None
+    stream = fs.open(marker)
+    try:
+        return bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def repoint_marker(spark: SparkSession, base_dir: str, stamp: str) -> None:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{LATEST_MARKER}")
+    out = marker.getFileSystem(conf).create(marker, True)
+    out.write(bytearray(stamp.encode("utf-8")))
+    out.close()
+
+
+def maintain_additive_state(
+    spark: SparkSession,
+    base_dir: str,
+    contribution: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    stamp: str,
+) -> DataFrame:
+    """Merge a batch's keyed contribution into the standing state and
+    rotate a dated snapshot: read the marker's current state (empty
+    before the first rotation), sum-by-key, write, repoint. Returns
+    the rotated state as read back from storage. Replay-idempotent
+    per stamp and ordering-guarded per the module docstring."""
+    cols = [*key_cols, *sum_cols]
+    if snapshot_committed(spark, base_dir, stamp):
+        current_stamp = marker_stamp(spark, base_dir)
+        if current_stamp is not None and stamp < current_stamp:
+            raise ValueError(
+                f"out-of-order replay: stamp {stamp!r} is older than the "
+                f"latest-marker's {current_stamp!r}; repointing would roll "
+                "the state back past newer merges"
+            )
+        repoint_marker(spark, base_dir, stamp)
+        return latest_snapshot(spark, base_dir)
+    current = latest_snapshot(spark, base_dir)
+    if current is None:
+        merged = contribution
+    else:
+        merged = (
+            current.select(*cols)
+            .unionByName(contribution.select(*cols))
+            .groupBy(*key_cols)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        )
+    rotate_snapshot(merged.select(*cols), base_dir, stamp)
+    return latest_snapshot(spark, base_dir)

@@ -24,14 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from namegraph_collections_spark.operators.cdc import (
-    latest_snapshot,
-    rotate_snapshot,
-)
-from namegraph_collections_spark.operators.gate_maintain import (
-    _marker_stamp,
-    _repoint_marker,
-    _snapshot_committed,
+from namegraph_collections_spark.operators.additive_state import (
+    maintain_additive_state,
 )
 from namegraph_collections_spark.queries.data_selection import (
     DSIR_B,
@@ -60,33 +54,18 @@ def maintain_dsir_state(
     """Merge a batch's bucket counts into the standing state and
     rotate a dated snapshot (sum-by-key over <= {DSIR_B} rows — the
     merge itself costs one tiny shuffle whatever the batch size).
-    Same idempotence/ordering contract as
-    gate_maintain.maintain_gate_state: committed stamp -> repoint
-    only; crashed partial directory -> safe overwrite merge;
-    out-of-order batch replay -> raise."""
-    if _snapshot_committed(spark, base_dir, stamp):
-        current_stamp = _marker_stamp(spark, base_dir)
-        if current_stamp is not None and stamp < current_stamp:
-            raise ValueError(
-                f"out-of-order replay: stamp {stamp!r} is older than the "
-                f"latest-marker's {current_stamp!r}; repointing would roll "
-                "the DSIR state back past newer merges"
-            )
-        _repoint_marker(spark, base_dir, stamp)
-        return latest_snapshot(spark, base_dir)
-    new_state = dsir_state_for(new_docs)
-    current = latest_snapshot(spark, base_dir)
-    if current is None:
-        merged = new_state
-    else:
-        merged = (
-            current.select(*STATE_COLS)
-            .unionByName(new_state)
-            .groupBy("bucket")
-            .agg(F.sum("ct").alias("ct"), F.sum("cr").alias("cr"))
-        )
-    rotate_snapshot(merged.select(*STATE_COLS), base_dir, stamp)
-    return latest_snapshot(spark, base_dir)
+    Same idempotence/ordering contract as every additive maintainer —
+    operators/additive_state.py holds the single implementation:
+    committed stamp -> repoint only; crashed partial directory ->
+    safe overwrite merge; out-of-order batch replay -> raise."""
+    return maintain_additive_state(
+        spark,
+        base_dir,
+        dsir_state_for(new_docs),
+        key_cols=["bucket"],
+        sum_cols=["ct", "cr"],
+        stamp=stamp,
+    )
 
 
 def dsir_weights_from_state(state: DataFrame) -> DataFrame:

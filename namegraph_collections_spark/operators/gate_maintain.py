@@ -29,10 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from namegraph_collections_spark.operators.cdc import (
-    LATEST_MARKER,
-    latest_snapshot,
-    rotate_snapshot,
+from namegraph_collections_spark.operators.additive_state import (
+    maintain_additive_state,
 )
 from namegraph_collections_spark.queries.web_rollup import (
     finish_rollup,
@@ -56,97 +54,29 @@ def gate_state_for(docs: DataFrame) -> DataFrame:
     )
 
 
-def _snapshot_committed(spark: SparkSession, base_dir: str, stamp: str) -> bool:
-    """True only if the stamp's snapshot was COMMITTED — i.e. its
-    ``_SUCCESS`` marker exists. Spark's Parquet writer creates the
-    directory at job start and writes ``_SUCCESS`` last, so a bare
-    directory without the marker is a crash mid-write: treating it as
-    already-merged would repoint the gate at corrupt state and lose
-    the batch forever. Partial directories fall through to the normal
-    merge, whose mode("overwrite") write replaces them safely (the
-    latest-marker was never repointed at them)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    success = jvm.org.apache.hadoop.fs.Path(
-        f"{base_dir}/snapshot={stamp}/_SUCCESS"
-    )
-    return success.getFileSystem(conf).exists(success)
-
-
-def _marker_stamp(spark: SparkSession, base_dir: str) -> str | None:
-    """The stamp the latest-marker currently points at (None before
-    the first rotation)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    marker = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{LATEST_MARKER}")
-    fs = marker.getFileSystem(conf)
-    if not fs.exists(marker):
-        return None
-    stream = fs.open(marker)
-    try:
-        return bytes(stream.readAllBytes()).decode("utf-8")
-    finally:
-        stream.close()
-
-
-def _repoint_marker(spark: SparkSession, base_dir: str, stamp: str) -> None:
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    marker = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{LATEST_MARKER}")
-    out = marker.getFileSystem(conf).create(marker, True)
-    out.write(bytearray(stamp.encode("utf-8")))
-    out.close()
-
-
 def maintain_gate_state(
     spark: SparkSession, base_dir: str, new_docs: DataFrame, stamp: str
 ) -> DataFrame:
     """Merge a batch into the standing page-grain state and rotate a
-    dated snapshot: read the marker's current state (empty before the
-    first rotation), sum-by-key with the batch's contribution, write,
-    repoint. Returns the rotated state as read back from storage.
-
-    IDEMPOTENT per stamp: a stamp whose snapshot was already
-    COMMITTED (its ``_SUCCESS`` marker exists — a bare directory from
-    a crash mid-write does NOT count and falls through to a safe
-    overwrite merge) was already merged: a foreachBatch replay of a
-    delivered batch id re-merging it would double every additive
-    measure, so the replay only repoints the marker at the existing
-    snapshot and returns it. Callers must key the stamp to the batch
-    identity (the streaming twin stamps with the zero-padded
-    micro-batch id) for this guarantee to hold, and stamps must be
-    lexicographically monotonic (dated stamps and zero-padded ids
-    are): Structured Streaming only ever redelivers the LATEST batch,
-    but the batch API has no such guard, so a replay of a stamp
-    OLDER than the marker's current one raises instead of silently
-    rolling the gate state back."""
-    if _snapshot_committed(spark, base_dir, stamp):
-        current_stamp = _marker_stamp(spark, base_dir)
-        if current_stamp is not None and stamp < current_stamp:
-            raise ValueError(
-                f"out-of-order replay: stamp {stamp!r} is older than the "
-                f"latest-marker's {current_stamp!r}; repointing would roll "
-                "the gate state back past newer merges"
-            )
-        _repoint_marker(spark, base_dir, stamp)
-        return latest_snapshot(spark, base_dir)
-    new_state = gate_state_for(new_docs)
-    current = latest_snapshot(spark, base_dir)
-    if current is None:
-        merged = new_state
-    else:
-        merged = (
-            current.select(*STATE_COLS)
-            .unionByName(new_state)
-            .groupBy("domain", "norm_url")
-            .agg(
-                F.sum("n_docs").alias("n_docs"),
-                F.sum("n_keep").alias("n_keep"),
-                F.sum("sum_words").alias("sum_words"),
-            )
-        )
-    rotate_snapshot(merged.select(*STATE_COLS), base_dir, stamp)
-    return latest_snapshot(spark, base_dir)
+    dated snapshot; returns the rotated state as read back from
+    storage. The merge, the per-stamp replay idempotence (committed
+    ``_SUCCESS`` snapshots only repoint; crashed half-writes fall
+    through to a safe overwrite merge), and the out-of-order replay
+    guard are the shared additive-state contract —
+    operators/additive_state.py holds the single implementation and
+    the full durability docstring; this module contributes only the
+    gate's page-grain contribution program. Callers key the stamp to
+    the batch identity (the streaming twin stamps with the
+    zero-padded micro-batch id) and keep stamps lexicographically
+    monotonic."""
+    return maintain_additive_state(
+        spark,
+        base_dir,
+        gate_state_for(new_docs),
+        key_cols=["domain", "norm_url"],
+        sum_cols=["n_docs", "n_keep", "sum_words"],
+        stamp=stamp,
+    )
 
 
 def gate_from_state(state: DataFrame) -> DataFrame:

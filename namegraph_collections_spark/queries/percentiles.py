@@ -161,8 +161,19 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket counts — the incremental-rollup property the exact window
     percentile can never have.
     """
-    li = tbl(spark, sf_dir, "lineitem")
-    b = (
+    return hist_quantiles_from_buckets(
+        hist_buckets_of(tbl(spark, sf_dir, "lineitem"))
+    )
+
+
+def hist_buckets_of(li: DataFrame) -> DataFrame:
+    """The ONE data pass as a pure transformation — (bucket, c) grid
+    counts of a lineitem frame, clamped to [0, {HIST_MAX_B}). Shared
+    by the one-shot query and the incremental maintenance
+    (operators/hist_maintain.py): grid counts are plain sums, so
+    histograms from different shards/days merge by adding bucket
+    counts — the property the maintainer exploits."""
+    return (
         li.select(
             F.least(
                 F.floor(F.col("l_extendedprice") / HIST_BIN).cast("long"),
@@ -173,6 +184,14 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .limit(HIST_MAX_B)  # no-op by construction; states the bound
     )
+
+
+def hist_quantiles_from_buckets(b: DataFrame) -> DataFrame:
+    """The quantile read over an ALREADY-BUILT (bucket, c) table —
+    one-shot or maintained state, identical read path. Operates on
+    <= {HIST_MAX_B} rows: bounded cumsum window + a 3-row broadcast
+    probe."""
+    spark = b.sparkSession
     w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     w_tot = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -389,6 +389,63 @@ _BIGRAMS_SQL = """
 """
 
 
+def cms_bigrams_of(docs: DataFrame) -> DataFrame:
+    """The token stream the sketch summarizes — one (token) row per
+    bigram occurrence, per document. A pure transformation so the
+    one-shot query and the incremental maintenance
+    (operators/cms_maintain.py) share one program and cannot drift.
+    Bigrams never cross documents, so ANY partition of the corpus
+    into batches partitions this stream too — the property that makes
+    the CMS state exactly additive across batches."""
+    toked = docs.select(F.split(F.lower(F.col("text")), " ").alias("toks"))
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    return toked.select(F.explode(bigrams).alias("token"))
+
+
+def cms_sketch_of(occ: DataFrame) -> DataFrame:
+    """(d, bucket, c) cell counts of a token stream — the CMS itself,
+    at most CMS_D x CMS_W rows whatever the input size."""
+    return (
+        occ.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(d).alias("d"), _cms_bucket(F.col("token"), d).alias("bucket"))
+                    for d in range(CMS_D)
+                ])
+            ).alias("db")
+        )
+        .select(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimates_from(state: DataFrame, tokens: DataFrame) -> DataFrame:
+    """Probe a (d, bucket, c) sketch — one-shot or maintained state,
+    identical read path — with a frame of distinct ``token`` rows:
+    the estimate is min over the CMS_D row-hashes' cells. The sketch
+    side is broadcast (<= CMS_D x CMS_W rows), so probing any batch
+    is a map-side join."""
+    probes = tokens.select(
+        "token",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("d"), _cms_bucket(F.col("token"), d).alias("bucket"))
+                for d in range(CMS_D)
+            ])
+        ).alias("db"),
+    ).select("token", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(state), ["d", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+    )
+
+
 @register(
     "cms_heavy_hitters",
     oracle=f"""
@@ -441,29 +498,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial top-k, k-row merge), NOT a bare global window, so the
     distinct-bigram table never concentrates on one task.
     """
-    docs = tbl(spark, sf_dir, "documents")
-    toked = spread(docs, "doc_id").select(
-        F.split(F.lower(F.col("text")), " ").alias("toks")
-    )
-    toks = F.col("toks")
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
-    )
-    occ = toked.select(F.explode(bigrams).alias("token"))
-    sketch = (
-        occ.select(
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(d).alias("d"), _cms_bucket(F.col("token"), d).alias("bucket"))
-                    for d in range(CMS_D)
-                ])
-            ).alias("db")
-        )
-        .select(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    occ = cms_bigrams_of(spread(tbl(spark, sf_dir, "documents"), "doc_id"))
+    sketch = cms_sketch_of(occ)
     exact = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
     cand = ranked_topk(
         exact, CMS_TOP, F.col("n_exact").desc(), F.col("token").asc()
