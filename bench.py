@@ -139,9 +139,10 @@ HEADLINE = [
     "ccnet_ppl_buckets",
     "dup_span_extract",
     # Round 9b additions (append-only): the supervised NB quality
-    # filter family.
+    # filter family + MinHash fuzzy decontamination.
     "nb_quality_scores",
     "nb_quality_eval",
+    "fuzzy_decontamination",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -555,6 +555,8 @@ from namegraph_collections_spark.queries.training_data import (  # noqa: E402
     deterministic_mix_sample,
     deterministic_split,
     epoch_shuffle_plan,
+    fuzzy_decontamination,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    fuzzy_decontamination_from,
     weighted_sample_topk,
 )
 
@@ -811,6 +813,12 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
            span_words, n_shingles
     FROM ({_oracle("dup_span_extract")})
+    UNION ALL
+    SELECT 'fdecon' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           train_doc_id, first_test_doc, n_test_matches,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_oracle("fuzzy_decontamination")})
     """,
 )
 def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,6 +969,21 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_words").alias("n_keep"),
         F.col("n_shingles").alias("rep_words"),
     )
+    # Round-9b fuzzy-decontamination leg: rides the SAME checkpointed
+    # bands build as the incremental probe and the rep closure.
+    fdecon = fuzzy_decontamination_from(bands).select(
+        F.lit("fdecon").alias("op"),
+        _NULL_S().alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("train_doc_id").alias("id_a"),
+        F.col("first_test_doc").alias("id_b"),
+        F.col("n_test_matches").alias("cnt"),
+        _NULL_L().alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
     return (
         exact.unionByName(passage)
         .unionByName(tfidf)
@@ -970,6 +993,7 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(funnel)
         .unionByName(cstats)
         .unionByName(spans)
+        .unionByName(fdecon)
     )
 
 

@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from namegraph_collections_spark.functions.det_round import round6_det
-from namegraph_collections_spark.queries.dedup import HOT_SHINGLE_DF_CAP, _shingles, _SHINGLES_SQL
+from namegraph_collections_spark.queries.dedup import (
+    HOT_SHINGLE_DF_CAP,
+    _MINHASH_BANDS_SQL,
+    _minhash_bands,
+    _shingles,
+    _SHINGLES_SQL,
+)
 from namegraph_collections_spark.queries.registry import (
     ranked_topk,
     register,
@@ -511,3 +517,85 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return assign.unionByName(manifest)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination — the MinHash sibling of decontamination_overlap.
+# Exact n-gram overlap (above) catches verbatim leaks; the published
+# large-model recipes also remove NEAR-duplicate contamination (PaLM
+# §App. C "fuzzy decontamination"; GPT-4 system card: 50-gram + fuzzy
+# variants), because a paraphrased or boilerplate-shifted copy of an
+# eval document leaks just as much signal. The engine's instance
+# reuses the corpus's MinHash-LSH banding verbatim: a TRAIN document
+# is contaminated if ANY of its band signatures collides with an eval
+# document's — the same >= 1-band OR-rule as the near-dup candidate
+# stage, applied across the split boundary instead of within the
+# corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_decontamination",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    {_MINHASH_BANDS_SQL},
+    tagged AS (
+      SELECT doc_id, band, band_sig,
+             {_BUCKET16_SQL.format(c='doc_id')} < {TEST_BUCKET_CUTOFF} AS is_test
+      FROM bands
+    ),
+    pairs AS (
+      SELECT DISTINCT tr.doc_id AS train_doc_id, te.doc_id AS test_doc_id
+      FROM tagged tr JOIN tagged te
+        ON tr.band = te.band AND tr.band_sig = te.band_sig
+      WHERE NOT tr.is_test AND te.is_test
+    )
+    SELECT train_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_test_matches,
+           MIN(test_doc_id) AS first_test_doc
+    FROM pairs GROUP BY train_doc_id
+    """,
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train-vs-eval decontamination (PaLM App. C / GPT-4 card
+    style): TRAIN documents whose MinHash-LSH band signatures collide
+    with any held-out (content-addressed ``is_test``) document —
+    near-duplicate leakage the exact-trigram ``decontamination_overlap``
+    cannot see. Per flagged train doc: how many distinct eval docs it
+    collides with and the smallest such eval doc id (the audit handle).
+
+    Scale shape: ONE banding build over the corpus (the same
+    ``_minhash_bands`` program every dedup consumer shares — in the
+    battery it IS the same build), split by the per-row bucket16 rule
+    (no join to tag), then train⋈test on (band, band_sig) where the
+    eval side is the tiny one — broadcast, so the corpus side never
+    shuffles for the meet; here both sides ride the band-key shuffle.
+    The output is per-TRAIN-doc because that is the side you drop.
+    """
+    return fuzzy_decontamination_from(
+        _minhash_bands(tbl(spark, sf_dir, "documents"))
+    )
+
+
+def fuzzy_decontamination_from(bands: DataFrame) -> DataFrame:
+    """The cross-split band meet over an ALREADY-BUILT bands table —
+    the sharing seam for battery use (lexical_dedup_battery feeds the
+    one banding build it already checkpoints)."""
+    tagged = bands.withColumn(
+        "is_test", _bucket16(F.col("doc_id")) < TEST_BUCKET_CUTOFF
+    )
+    train = tagged.filter(~F.col("is_test")).select(
+        F.col("doc_id").alias("train_doc_id"), "band", "band_sig"
+    )
+    test = tagged.filter(F.col("is_test")).select(
+        F.col("doc_id").alias("test_doc_id"), "band", "band_sig"
+    )
+    pairs = (
+        train.join(F.broadcast(test), ["band", "band_sig"])
+        .select("train_doc_id", "test_doc_id")
+        .distinct()
+    )
+    return pairs.groupBy("train_doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_matches"),
+        F.min("test_doc_id").alias("first_test_doc"),
+    )

@@ -67,6 +67,9 @@ BATTERIES = {
         "neardup_representatives",
         # round 8: the end-to-end training-pipeline funnel
         "training_pipeline_e2e",
+        # round 9b: MinHash-band fuzzy decontamination (shares the
+        # battery's one bands build)
+        "fuzzy_decontamination",
         # round 8: cluster-size histogram (shares the closure)
         "dedup_cluster_stats",
         # round 9: ExactSubstr-style duplicated spans

@@ -123,9 +123,11 @@ def test_semi_and_anti_join_physical(spark):
         "dsir_importance_weights",
         "ccnet_ppl_buckets",
         "dup_span_extract",
-        # round 9b: supervised NB quality filter family
+        # round 9b: supervised NB quality filter family + fuzzy
+        # decontamination
         "nb_quality_scores",
         "nb_quality_eval",
+        "fuzzy_decontamination",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
