@@ -143,6 +143,7 @@ HEADLINE = [
     "nb_quality_scores",
     "nb_quality_eval",
     "fuzzy_decontamination",
+    "tokenizer_fertility",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

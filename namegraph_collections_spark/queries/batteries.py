@@ -1432,6 +1432,19 @@ def skew_salt_trim_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR), num, den, CAST(NULL AS DOUBLE),
            CAST(value_micro AS INTEGER)
     FROM ({_oracle("nb_quality_eval")})
+    UNION ALL
+    SELECT 'fertility' AS op, f.lang, m.metric, CAST(NULL AS VARCHAR),
+           CASE m.metric
+             WHEN 'words' THEN f.n_word_occ
+             WHEN 'tokens' THEN f.n_token_occ
+             WHEN 'chars' THEN f.n_chars
+             WHEN 'fert' THEN f.fertility_micro
+             ELSE f.chars_per_token_micro
+           END,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER)
+    FROM ({_oracle("tokenizer_fertility")}) f
+    CROSS JOIN (VALUES ('words'), ('tokens'), ('chars'), ('fert'),
+                       ('cpt')) m(metric)
     """,
 )
 def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1466,7 +1479,12 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # treatment): _learn's per-round frames are already eagerly
     # localCheckpointed, so the union leg and the vocabulary leg read
     # the same materialized loop instead of re-training it twice.
-    from namegraph_collections_spark.queries.bpe import _encode_from, _learn, _merge_union
+    from namegraph_collections_spark.queries.bpe import (
+        _encode_from,
+        _learn,
+        _merge_union,
+        tokenizer_fertility_from,
+    )
 
     winners, d_final = _learn(spark, sf_dir)
     bpe = _merge_union(winners).select(
@@ -1538,6 +1556,27 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(NULL AS DOUBLE) AS d",
         "CAST(value_micro AS INTEGER) AS rnk",
     )
+    # Round-9b fertility leg: rides the SAME _learn loop as the two
+    # BPE legs (d_final already materialized by the eager checkpoints
+    # inside _learn) — the tokenizer trains once for all three.
+    fert = tokenizer_fertility_from(
+        spread(tbl(spark, sf_dir, "documents"), "doc_id"), d_final
+    ).selectExpr(
+        "lang",
+        "stack(5,"
+        " 'words', n_word_occ, 'tokens', n_token_occ, 'chars', n_chars,"
+        " 'fert', fertility_micro, 'cpt', chars_per_token_micro)"
+        " AS (metric, val)",
+    ).select(
+        F.lit("fertility").alias("op"),
+        F.col("lang").alias("s1"),
+        F.col("metric").alias("s2"),
+        _NULL_S().alias("s3"),
+        F.col("val").alias("n"),
+        _NULL_L().alias("n2"),
+        _NULL_D().alias("d"),
+        _NULL_I().alias("rnk"),
+    )
     rep = repetition_signals(spark, sf_dir).selectExpr(
         "doc_id",
         "stack(7,"
@@ -1557,7 +1596,7 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         suf.unionByName(pmi).unionByName(bpe).unionByName(enc)
         .unionByName(langid).unionByName(rep).unionByName(lid_eval)
-        .unionByName(nbq).unionByName(nbq_eval)
+        .unionByName(nbq).unionByName(nbq_eval).unionByName(fert)
     )
 
 

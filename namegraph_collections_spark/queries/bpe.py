@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from namegraph_collections_spark.functions.det_round import micro_spark, micro_sql
 from namegraph_collections_spark.queries.registry import register, spread, tbl
 
 BPE_ROUNDS = 8
@@ -233,4 +234,106 @@ def _encode_from(d: DataFrame) -> DataFrame:
         F.length("token").cast("int").alias("token_len"),
         "n_words",
         "total_count",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language — the health metric a multilingual
+# pipeline reads off its tokenizer before training (fertility =
+# subword tokens per word; high-fertility languages pay more compute
+# per byte of content and get silently down-weighted in a fixed token
+# budget — the imbalance the XLM-R/NLLB tokenizer analyses measure).
+# Computable exactly from artifacts the engine already builds: the
+# learned BPE dictionary maps every word to its segment count, and the
+# corpus provides per-language word counts.
+# ---------------------------------------------------------------------------
+
+#: Same word filter as the BPE dictionary build — every counted word
+#: is guaranteed present in the dictionary, so the join below is total.
+_WORD_RE = "^[a-z0-9]+$"
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=_oracle_ctes()
+    + f"""
+    , lw AS (
+      SELECT lang, t AS word, COUNT(*) AS c
+      FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+      WHERE regexp_matches(t, '{_WORD_RE}')
+      GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT word, len(string_split(trim(repr, '<>'), '><')) AS n_tokens
+      FROM d{BPE_ROUNDS}
+    ),
+    agg AS (
+      SELECT lw.lang,
+             CAST(SUM(lw.c) AS BIGINT) AS n_word_occ,
+             CAST(SUM(lw.c * seg.n_tokens) AS BIGINT) AS n_token_occ,
+             CAST(SUM(lw.c * length(lw.word)) AS BIGINT) AS n_chars
+      FROM lw JOIN seg USING (word)
+      GROUP BY lw.lang
+    )
+    SELECT lang, n_word_occ, n_token_occ, n_chars,
+           {micro_sql('n_token_occ', 'n_word_occ')} AS fertility_micro,
+           {micro_sql('n_chars', 'n_token_occ')} AS chars_per_token_micro
+    FROM agg
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the learned BPE merges:
+    subword tokens per word (micro-units, exact round-half-up integer
+    ratio) and characters per token — the multilingual-balance
+    diagnostic the XLM-R/NLLB tokenizer studies report. A language
+    whose fertility is 2x another's consumes 2x the context window for
+    the same word count.
+
+    Scale shape: per-(lang, word) counts are one explode + one
+    partial-aggregated groupBy (the token_frequencies shape, keyed a
+    language wider); the segment table is the BOUNDED final BPE
+    dictionary (vocabulary cardinality — broadcast), so the join never
+    shuffles the corpus side again; the rollup collapses to |langs|
+    rows. The merge loop itself is shared when run inside
+    text_mining_battery (ONE _learn feeds all BPE legs).
+    """
+    return tokenizer_fertility_from(
+        spread(tbl(spark, sf_dir, "documents"), "doc_id"),
+        _learn(spark, sf_dir)[1],
+    )
+
+
+def tokenizer_fertility_from(docs: DataFrame, d_final: DataFrame) -> DataFrame:
+    """The fertility rollup over an ALREADY-TRAINED final dictionary —
+    the sharing seam for battery use."""
+    lw = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .filter(F.col("word").rlike(_WORD_RE))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    seg = d_final.select(
+        "word",
+        F.size(F.split(F.expr("trim(BOTH '<>' FROM repr)"), "><")).alias("n_tokens"),
+    )
+    agg = (
+        lw.join(F.broadcast(seg), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_word_occ"),
+            F.sum(F.col("c") * F.col("n_tokens")).cast("long").alias("n_token_occ"),
+            F.sum(F.col("c") * F.length("word")).cast("long").alias("n_chars"),
+        )
+    )
+    return agg.selectExpr(
+        "lang",
+        "n_word_occ",
+        "n_token_occ",
+        "n_chars",
+        f"CAST({micro_spark('n_token_occ', 'n_word_occ')} AS BIGINT) AS fertility_micro",
+        f"CAST({micro_spark('n_chars', 'n_token_occ')} AS BIGINT) AS chars_per_token_micro",
     )

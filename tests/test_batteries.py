@@ -128,6 +128,8 @@ BATTERIES = {
         # round 9b: supervised NB quality filter + its held-out eval
         "nb_quality_scores",
         "nb_quality_eval",
+        # round 9b: per-language tokenizer fertility (shares _learn)
+        "tokenizer_fertility",
     ],
     "graph_battery": ["transitive_closure_reachability", "neardup_triangles"],
     "revenue_olap_battery": [

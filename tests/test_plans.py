@@ -128,6 +128,7 @@ def test_semi_and_anti_join_physical(spark):
         "nb_quality_scores",
         "nb_quality_eval",
         "fuzzy_decontamination",
+        "tokenizer_fertility",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
