@@ -144,6 +144,7 @@ HEADLINE = [
     "nb_quality_eval",
     "fuzzy_decontamination",
     "tokenizer_fertility",
+    "lsh_tuning_eval",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

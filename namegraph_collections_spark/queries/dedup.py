@@ -1265,3 +1265,126 @@ def _winnow(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH tuning evaluation — measures the MinHash banding's s-curve
+# against exact n-gram Jaccard truth, the evidence that picks
+# (NUM_MINHASHES, BAND_SIZE) for a deployment. With b bands of r rows
+# the candidate probability is 1-(1-s^r)^b (Leskovec/Rajaraman/Ullman
+# ch. 3); the eval reports the realized recall per truth-similarity
+# tier plus the candidate set's precision, so a 100 TB operator reads
+# off exactly where the current banding's threshold sits instead of
+# trusting the formula.
+# ---------------------------------------------------------------------------
+
+#: Truth-similarity tiers (exact Jaccard, micro-units) at which the
+#: banding's recall is reported. The lowest tier equals the exact
+#: pair query's own floor.
+LSH_EVAL_TIERS = (100_000, 300_000, 500_000, 700_000)
+
+
+@register(
+    "lsh_tuning_eval",
+    # Embeds BOTH component oracles verbatim (battery construction
+    # rule): the eval can never drift from the truth set or the
+    # candidate generator it measures.
+    oracle=f"""
+    WITH truth AS MATERIALIZED (
+      SELECT doc_a, doc_b,
+             CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT) AS j_micro
+      FROM ({REGISTRY["ngram_jaccard_pairs"].oracle})
+    ),
+    cand AS MATERIALIZED (
+      SELECT doc_a, doc_b, 1 AS hit
+      FROM ({REGISTRY["minhash_lsh_candidates"].oracle})
+    ),
+    tc AS (
+      SELECT t.j_micro, COALESCE(c.hit, 0) AS hit
+      FROM truth t LEFT JOIN cand c USING (doc_a, doc_b)
+    ),
+    tiers AS (SELECT unnest(ARRAY{list(LSH_EVAL_TIERS)}) AS thr_micro),
+    rec AS (
+      SELECT 'recall' AS metric, tiers.thr_micro,
+             CAST(SUM(tc.hit) AS BIGINT) AS n_hit,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM tc JOIN tiers ON tc.j_micro >= tiers.thr_micro
+      GROUP BY tiers.thr_micro
+    ),
+    prec AS (
+      SELECT 'precision' AS metric,
+             CAST({LSH_EVAL_TIERS[0]} AS BIGINT) AS thr_micro,
+             CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM cand c LEFT JOIN truth t USING (doc_a, doc_b)
+    )
+    SELECT metric, thr_micro, n_hit, n_pairs,
+           CASE WHEN n_pairs > 0
+                THEN CAST((n_hit * 1000000 + n_pairs // 2) // n_pairs AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS value_micro
+    FROM (SELECT * FROM rec UNION ALL SELECT * FROM prec)
+    """,
+)
+def lsh_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate stage per exact-Jaccard
+    tier, plus the candidate set's precision against the lowest tier
+    — (metric, thr_micro, n_hit, n_pairs, value_micro) with the ratio
+    in exact round-half-up micro-units. With {NUM_MINHASHES // BAND_SIZE}
+    bands x {BAND_SIZE} rows the formula threshold sits near
+    (1/b)^(1/r); the realized tier recalls show where it ACTUALLY
+    sits on this corpus, which is what you re-tune banding from.
+
+    Scale shape: the truth side is the df-capped exact-Jaccard pair
+    query (never all-pairs) and the candidate side is the banding
+    bucket join — both already audited; the eval adds one slim
+    (doc_a, doc_b)-keyed join between two pair lists and a
+    4-row-tier broadcast rollup. At 100 TB you run it on a sampled
+    shard: both component programs are content-addressed, so the
+    sample is reproducible.
+    """
+    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias("j_micro"),
+    )
+    cand = minhash_lsh_candidates(spark, sf_dir).withColumn("hit", F.lit(1))
+    tc = (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .select("j_micro", F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    )
+    tiers = spark.createDataFrame(
+        [(t,) for t in LSH_EVAL_TIERS], "thr_micro long"
+    )
+    rec = (
+        tc.join(F.broadcast(tiers), F.col("j_micro") >= F.col("thr_micro"))
+        .groupBy("thr_micro")
+        .agg(
+            F.sum("hit").cast("long").alias("n_hit"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .select(F.lit("recall").alias("metric"), "thr_micro", "n_hit", "n_pairs")
+    )
+    prec = (
+        cand.join(truth, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.sum(F.expr("CASE WHEN j_micro IS NOT NULL THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_hit"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .select(
+            F.lit("precision").alias("metric"),
+            F.lit(LSH_EVAL_TIERS[0]).cast("long").alias("thr_micro"),
+            "n_hit",
+            "n_pairs",
+        )
+    )
+    return rec.unionByName(prec).selectExpr(
+        "metric",
+        "thr_micro",
+        "n_hit",
+        "n_pairs",
+        "CASE WHEN n_pairs > 0"
+        " THEN CAST((n_hit * 1000000L + n_pairs div 2) div n_pairs AS BIGINT)"
+        " ELSE CAST(NULL AS BIGINT) END AS value_micro",
+    )

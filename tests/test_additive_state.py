@@ -1,0 +1,83 @@
+"""Property tests for the shared additive-state core
+(operators/additive_state.py): any way of slicing a keyed fact table
+into batches and any merge order must converge to the same state —
+the algebraic guarantee (commutative + associative sum-by-key) every
+maintainer built on the core inherits for free."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from namegraph_collections_spark.operators.additive_state import (
+    maintain_additive_state,
+    marker_stamp,
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+#: rows: (key in 0..4, measure a, measure b) — small key space so
+#: batches genuinely collide on keys.
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=100),
+        st.integers(min_value=0, max_value=100),
+    ),
+    min_size=1,
+    max_size=30,
+)
+# how to slice the rows into batches: each row assigned to one of 3
+splits_strategy = st.lists(
+    st.integers(min_value=0, max_value=2), min_size=30, max_size=30
+)
+
+
+def _expected(rows):
+    agg: dict[int, tuple[int, int]] = {}
+    for k, a, b in rows:
+        pa, pb = agg.get(k, (0, 0))
+        agg[k] = (pa + a, pb + b)
+    return sorted((k, a, b) for k, (a, b) in agg.items())
+
+
+def _state_rows(df):
+    return sorted((r.k, r.a, r.b) for r in df.collect())
+
+
+@settings(**_SETTINGS)
+@given(rows=rows_strategy, split=splits_strategy)
+def test_any_batching_converges_to_the_global_aggregate(
+    spark, tmp_path_factory, rows, split
+):
+    base = str(tmp_path_factory.mktemp("astate"))
+    batches = {0: [], 1: [], 2: []}
+    for i, row in enumerate(rows):
+        batches[split[i % len(split)]].append(row)
+    state = None
+    stamp = 0
+    for b in range(3):
+        if not batches[b]:
+            continue
+        from pyspark.sql import functions as F
+
+        contrib = (
+            spark.createDataFrame(batches[b], "k long, a long, b long")
+            .groupBy("k")
+            .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+        )
+        state = maintain_additive_state(
+            spark, base, contrib, ["k"], ["a", "b"], f"t{stamp}"
+        )
+        stamp += 1
+    assert state is not None
+    assert _state_rows(state) == _expected(rows)
+    # the marker points at the last committed stamp
+    assert marker_stamp(spark, base) == f"t{stamp - 1}"

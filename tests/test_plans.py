@@ -129,6 +129,7 @@ def test_semi_and_anti_join_physical(spark):
         "nb_quality_eval",
         "fuzzy_decontamination",
         "tokenizer_fertility",
+        "lsh_tuning_eval",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):
