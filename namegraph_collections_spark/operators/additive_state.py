@@ -42,6 +42,7 @@ key (co-located, no corpus-wide shuffle).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +53,34 @@ from namegraph_collections_spark.operators.cdc import (
     latest_snapshot,
     rotate_snapshot,
 )
+
+
+#: Batch-shaped stamps — ``b`` + digits — as emitted by the streaming
+#: twins' ``batch_stamp``. Matched so the ordering guard can compare
+#: them numerically regardless of padding width.
+_BATCH_STAMP_RE = re.compile(r"^b(\d+)$")
+
+
+def batch_stamp(batch_id: int) -> str:
+    """The stamp for a streaming micro-batch id, shared by every
+    foreachBatch maintenance twin. Zero-padded to 12 digits so plain
+    lexicographic order agrees with numeric order up to 10**12
+    batches (~31k years at one batch per second); beyond any padding
+    width, ``stamp_is_older`` compares batch stamps NUMERICALLY, so
+    the ordering guard never spuriously trips on a wider id."""
+    return f"b{batch_id:012d}"
+
+
+def stamp_is_older(a: str, b: str) -> bool:
+    """True iff stamp ``a`` is strictly older than ``b``. Batch-shaped
+    stamps (``b<digits>``) compare by numeric batch id — immune to the
+    lexicographic rollover a fixed padding width would hit ('b1000000'
+    sorts below 'b999999' as text). Dated / ad-hoc stamps keep the
+    documented lexicographic contract."""
+    ma, mb = _BATCH_STAMP_RE.match(a), _BATCH_STAMP_RE.match(b)
+    if ma and mb:
+        return int(ma.group(1)) < int(mb.group(1))
+    return a < b
 
 
 def snapshot_committed(spark: SparkSession, base_dir: str, stamp: str) -> bool:
@@ -107,7 +136,7 @@ def maintain_additive_state(
     cols = [*key_cols, *sum_cols]
     if snapshot_committed(spark, base_dir, stamp):
         current_stamp = marker_stamp(spark, base_dir)
-        if current_stamp is not None and stamp < current_stamp:
+        if current_stamp is not None and stamp_is_older(stamp, current_stamp):
             raise ValueError(
                 f"out-of-order replay: stamp {stamp!r} is older than the "
                 f"latest-marker's {current_stamp!r}; repointing would roll "
@@ -117,7 +146,16 @@ def maintain_additive_state(
         return latest_snapshot(spark, base_dir)
     current = latest_snapshot(spark, base_dir)
     if current is None:
-        merged = contribution
+        # Normalize the FIRST rotation through the same sum-by-key as
+        # every later merge: a caller passing a non-pre-aggregated
+        # contribution must not seed the state with duplicate-key rows
+        # that read paths would then double-count. Cheap — the
+        # contribution is bounded at state grain by contract.
+        merged = (
+            contribution.select(*cols)
+            .groupBy(*key_cols)
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        )
     else:
         merged = (
             current.select(*cols)

@@ -62,9 +62,17 @@ def nbq_state_for(
             _NBQ_IS_TRAIN_SPARK.format(c="doc_id") + " AS is_train",
         )
         .filter("is_train")
+        # Coalesce to 0: a batch with ZERO train-split documents
+        # aggregates to one (NULL, NULL) row, and a NULL prior count
+        # seeded into state would make nbq_model_from_state emit a
+        # NULL prior (ln of NULL) until a train-carrying batch merges
+        # and F.sum skips the NULL. With 0s the state is well-formed
+        # from the first rotation; the model itself still needs at
+        # least one train doc PER CLASS before the prior is usable —
+        # that precondition is the caller's (first-rotation) contract.
         .agg(
-            F.sum(F.col("label_hq").cast("long")).alias("cp"),
-            F.sum((~F.col("label_hq")).cast("long")).alias("cn"),
+            F.coalesce(F.sum(F.col("label_hq").cast("long")), F.lit(0)).alias("cp"),
+            F.coalesce(F.sum((~F.col("label_hq")).cast("long")), F.lit(0)).alias("cn"),
         )
         .select(F.lit(PRIOR_BUCKET).cast("long").alias("bucket"), "cp", "cn")
     )

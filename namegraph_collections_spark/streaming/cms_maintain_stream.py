@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from namegraph_collections_spark.operators.additive_state import batch_stamp
 from namegraph_collections_spark.operators.cms_maintain import (
     maintain_cms_state,
 )
@@ -35,7 +36,7 @@ def run_cms_maintenance_stream(
         if batch_df.isEmpty():
             return
         maintain_cms_state(
-            batch_df.sparkSession, base_dir, batch_df, f"b{batch_id:06d}"
+            batch_df.sparkSession, base_dir, batch_df, batch_stamp(batch_id)
         )
 
     (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from namegraph_collections_spark.operators.additive_state import batch_stamp
 from namegraph_collections_spark.operators.dsir_maintain import (
     maintain_dsir_state,
 )
@@ -37,7 +38,7 @@ def run_dsir_maintenance_stream(
         if batch_df.isEmpty():
             return
         maintain_dsir_state(
-            batch_df.sparkSession, base_dir, batch_df, f"b{batch_id:06d}"
+            batch_df.sparkSession, base_dir, batch_df, batch_stamp(batch_id)
         )
 
     (
@@ -60,19 +61,24 @@ def run_dsir_scoring_stream(
     bucket-count aggregation is NOT a streaming-state aggregation —
     documents arrive whole (one file carries complete documents), so
     each micro-batch is scored by the BATCH function verbatim inside
-    ``foreachBatch`` and the result appended; scores are
-    batching-invariant because the weight table is fixed, which is
-    what the parity test pins. Streams that split one document across
-    micro-batches would need a stateful variant (out of scope —
-    documents are atomic here)."""
+    ``foreachBatch``; scores are batching-invariant because the
+    weight table is fixed, which is what the parity test pins.
+    Streams that split one document across micro-batches would need a
+    stateful variant (out of scope — documents are atomic here).
+    Rows land batch-stamp-keyed (``ingest_batch=`` partitions) so an
+    at-least-once redelivery overwrites rather than duplicates — see
+    streaming/idempotent_sink.py."""
     from namegraph_collections_spark.queries.data_selection import (
         dsir_score_against,
+    )
+    from namegraph_collections_spark.streaming.idempotent_sink import (
+        write_scored_batch,
     )
 
     def _score(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        dsir_score_against(batch_df, bw).write.mode("append").parquet(out_dir)
+        write_scored_batch(dsir_score_against(batch_df, bw), out_dir, batch_id)
 
     (
         docs_stream.writeStream.foreachBatch(_score)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from namegraph_collections_spark.operators.additive_state import batch_stamp
 from namegraph_collections_spark.operators.gate_maintain import (
     maintain_gate_state,
 )
@@ -47,7 +48,7 @@ def run_gate_maintenance_stream(
         if batch_df.isEmpty():
             return
         maintain_gate_state(
-            batch_df.sparkSession, base_dir, batch_df, f"b{batch_id:06d}"
+            batch_df.sparkSession, base_dir, batch_df, batch_stamp(batch_id)
         )
 
     (

@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame
 from namegraph_collections_spark.queries.quality_classifier import (
     nbq_score_against,
 )
+from namegraph_collections_spark.streaming.idempotent_sink import (
+    write_scored_batch,
+)
 
 
 def run_nbq_scoring_stream(
@@ -32,13 +35,16 @@ def run_nbq_scoring_stream(
     checkpoint_dir: str,
 ) -> None:
     """Score a documents STREAM against a fitted (weights, prior)
-    model, appending scored rows to ``out_dir``."""
+    model, landing scored rows batch-stamp-keyed under ``out_dir``
+    (``ingest_batch=`` partitions, dynamic overwrite) so an
+    at-least-once redelivery overwrites its own partition instead of
+    appending a duplicate copy — see streaming/idempotent_sink.py."""
 
     def _score(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        nbq_score_against(batch_df, w, prior).write.mode("append").parquet(
-            out_dir
+        write_scored_batch(
+            nbq_score_against(batch_df, w, prior), out_dir, batch_id
         )
 
     (

@@ -81,3 +81,49 @@ def test_any_batching_converges_to_the_global_aggregate(
     assert _state_rows(state) == _expected(rows)
     # the marker points at the last committed stamp
     assert marker_stamp(spark, base) == f"t{stamp - 1}"
+
+
+def test_first_rotation_normalizes_a_non_preaggregated_contribution(
+    spark, tmp_path_factory
+):
+    """The FIRST merge applies the same sum-by-key as every later one:
+    a caller passing raw (unaggregated) keyed rows must not seed the
+    state with duplicate-key rows that read paths would double-count
+    (round-9 advisor finding)."""
+    base = str(tmp_path_factory.mktemp("astate_first"))
+    raw = spark.createDataFrame(
+        [(1, 10, 1), (1, 5, 2), (2, 7, 3)], "k long, a long, b long"
+    )
+    state = maintain_additive_state(spark, base, raw, ["k"], ["a", "b"], "t0")
+    assert _state_rows(state) == [(1, 15, 3), (2, 7, 3)]
+
+
+def test_batch_stamps_order_numerically_past_any_padding_width(
+    spark, tmp_path_factory
+):
+    """b1000000 sorts below b999999 as TEXT; the ordering guard must
+    compare batch stamps numerically so a committed-stamp replay on a
+    long-lived stream never spuriously trips (round-9 advisor
+    finding). Also pins batch_stamp's zero-padding contract."""
+    from namegraph_collections_spark.operators.additive_state import (
+        batch_stamp,
+        stamp_is_older,
+    )
+
+    assert batch_stamp(7) == "b000000000007"
+    # numeric comparison wins for batch-shaped stamps, any width
+    assert stamp_is_older("b999999", "b1000000")
+    assert not stamp_is_older("b1000000", "b999999")
+    assert stamp_is_older(batch_stamp(999999), batch_stamp(1000000))
+    # dated stamps keep the lexicographic contract
+    assert stamp_is_older("2026-01-01", "2026-01-02")
+
+    base = str(tmp_path_factory.mktemp("astate_stampwidth"))
+    contrib = spark.createDataFrame([(1, 1, 1)], "k long, a long, b long")
+    maintain_additive_state(spark, base, contrib, ["k"], ["a", "b"], "b999999")
+    # merging the numerically-NEWER but lexicographically-smaller
+    # stamp must succeed, not raise out-of-order
+    state = maintain_additive_state(
+        spark, base, contrib, ["k"], ["a", "b"], "b1000000"
+    )
+    assert _state_rows(state) == [(1, 2, 2)]

@@ -116,7 +116,9 @@ def test_streaming_scoring_matches_the_batch_scorer(spark, tmp_path):
     run_dsir_scoring_stream(
         read_documents_stream(spark, str(zone)), bw, out, str(tmp_path / "ckpt")
     )
-    got = spark.read.parquet(out)
+    # drop the sink's provenance partition column to compare against
+    # the batch scorer's exact schema
+    got = spark.read.parquet(out).drop("ingest_batch")
     want = dsir_score_against(docs, bw)
     assert _rows(got) == _rows(want)
 

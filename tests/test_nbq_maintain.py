@@ -51,3 +51,30 @@ def test_replayed_batch_does_not_double_merge(spark, tmp_path):
     state1 = maintain_nbq_state(spark, base, wave, "t0")
     replayed = maintain_nbq_state(spark, base, wave, "t0")
     assert _rows(replayed) == _rows(state1)
+
+
+def test_zero_train_batch_contributes_zero_not_null_prior(spark):
+    """A batch with no train-split documents must contribute (0, 0)
+    prior counts, not (NULL, NULL): a NULL seeded into a fresh state
+    would make nbq_model_from_state emit a NULL prior until a
+    train-carrying batch heals it (round-9 advisor finding)."""
+    from namegraph_collections_spark.operators.nbq_maintain import (
+        PRIOR_BUCKET,
+        nbq_state_for,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # the split is content-addressed on doc_id; find ids that land in
+    # the TEST split so the batch carries zero train docs
+    from namegraph_collections_spark.queries.quality_classifier import (
+        _NBQ_IS_TRAIN_SPARK,
+    )
+
+    test_only = docs.filter(
+        "NOT (" + _NBQ_IS_TRAIN_SPARK.format(c="doc_id") + ")"
+    ).limit(5)
+    assert test_only.count() > 0
+    state = nbq_state_for(test_only)
+    prior = state.filter(state.bucket == PRIOR_BUCKET).collect()
+    assert len(prior) == 1
+    assert (prior[0].cp, prior[0].cn) == (0, 0)
