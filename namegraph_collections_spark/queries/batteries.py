@@ -529,6 +529,8 @@ from namegraph_collections_spark.queries.dedup import (  # noqa: E402
     exact_dedup_groups,
     incremental_minhash_dedup,  # noqa: F401  (oracle parity; battery uses the _from seam)
     incremental_minhash_dedup_from,
+    lsh_tuning_eval_from,
+    ngram_jaccard_pairs,
     passage_dedup,
     tfidf_cosine_pairs,
     winnowing_fingerprints,
@@ -819,6 +821,12 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("fuzzy_decontamination")})
+    UNION ALL
+    SELECT 'lshtune' AS op, metric, CAST(NULL AS VARCHAR),
+           thr_micro, value_micro, n_hit, n_pairs,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_oracle("lsh_tuning_eval")})
     """,
 )
 def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -827,8 +835,9 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup + winnowing local fingerprints + per-cluster representative
     selection + the end-to-end training-pipeline funnel + the
     cluster-size histogram + (round 9) ExactSubstr-style duplicated
-    spans in one tagged result. Components unchanged: queries/dedup.py,
-    dedup_select.py, pipeline_e2e.py, span_dedup.py.
+    spans + (round 10) the LSH banding tuning eval in one tagged
+    result. Components unchanged: queries/dedup.py, dedup_select.py,
+    pipeline_e2e.py, span_dedup.py.
     """
     from namegraph_collections_spark.queries.registry import tbl as _tbl
 
@@ -971,6 +980,42 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Round-9b fuzzy-decontamination leg: rides the SAME checkpointed
     # bands build as the incremental probe and the rep closure.
+    # Round-10 LSH-tuning leg (VERDICT r9 #1 — the one registry row
+    # without a driver hash): the candidate side rides the SAME
+    # checkpointed bands build as the incremental probe, the rep
+    # closure, and the fdecon leg; only the exact-Jaccard truth side
+    # adds its own (df-capped, never all-pairs) shingle pass. Both
+    # pair frames are checkpointed because recall AND precision legs
+    # consume each (the lsh_tuning_eval double-subtree finding).
+    tune_truth = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias(
+                "j_micro"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tune_cand = (
+        _minhash_pairs_from(bands)
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    lshtune = lsh_tuning_eval_from(tune_truth, tune_cand).select(
+        F.lit("lshtune").alias("op"),
+        F.col("metric").alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("thr_micro").alias("id_a"),
+        F.col("value_micro").alias("id_b"),
+        F.col("n_hit").alias("cnt"),
+        F.col("n_pairs").alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
     fdecon = fuzzy_decontamination_from(bands).select(
         F.lit("fdecon").alias("op"),
         _NULL_S().alias("fp"),
@@ -994,6 +1039,7 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cstats)
         .unionByName(spans)
         .unionByName(fdecon)
+        .unionByName(lshtune)
     )
 
 

@@ -1360,6 +1360,16 @@ def lsh_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
         .localCheckpoint(eager=False)
     )
+    return lsh_tuning_eval_from(truth, cand)
+
+
+def lsh_tuning_eval_from(truth: DataFrame, cand: DataFrame) -> DataFrame:
+    """The eval over ALREADY-BUILT (and caller-checkpointed) truth
+    (doc_a, doc_b, j_micro) and candidate (doc_a, doc_b, hit) pair
+    frames — the sharing seam lexical_dedup_battery uses to ride its
+    ONE banding build for the candidate side instead of a second
+    shingle+minhash pass."""
+    spark = truth.sparkSession
     tc = (
         truth.join(cand, ["doc_a", "doc_b"], "left")
         .select("j_micro", F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))

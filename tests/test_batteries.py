@@ -74,6 +74,9 @@ BATTERIES = {
         "dedup_cluster_stats",
         # round 9: ExactSubstr-style duplicated spans
         "dup_span_extract",
+        # round 10: LSH banding tuning eval (candidate side rides the
+        # battery's one bands build; VERDICT r9 #1)
+        "lsh_tuning_eval",
     ],
     "pq_battery": ["pq_adc_topk", "pq_rerank_topk"],
     "string_ops_battery": [
