@@ -58,6 +58,8 @@ from namegraph_collections_spark.queries.data_selection import (
 )
 from namegraph_collections_spark.queries.span_dedup import dup_span_extract
 from namegraph_collections_spark.queries.quality_classifier import (
+    nb_quality_calibration,  # noqa: F401  (oracle parity; battery uses the _from seam)
+    nb_quality_calibration_from,
     nb_quality_eval,  # noqa: F401  (oracle parity; battery uses the _from seam)
     nb_quality_eval_from,
     nb_quality_scores,
@@ -1479,6 +1481,11 @@ def skew_salt_trim_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(value_micro AS INTEGER)
     FROM ({_oracle("nb_quality_eval")})
     UNION ALL
+    SELECT 'nbq_cal' AS op, metric, CAST(thr_micro AS VARCHAR),
+           CAST(k AS VARCHAR), num, den, CAST(NULL AS DOUBLE),
+           CAST(value_micro AS INTEGER)
+    FROM ({_oracle("nb_quality_calibration")})
+    UNION ALL
     SELECT 'fertility' AS op, f.lang, m.metric, CAST(NULL AS VARCHAR),
            CASE m.metric
              WHEN 'words' THEN f.n_word_occ
@@ -1497,9 +1504,12 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix mining + bigram PMI collocations + BPE merge learning +
     BPE corpus encoding + multi-profile language identification (+ its
     confusion-matrix eval, fed from the SAME classifier scan) + Gopher
-    n-gram repetition signals in one tagged result. Components
-    unchanged: queries/collections_ops.py, text_analysis.py, bpe.py,
-    quality_signals.py.
+    n-gram repetition signals + the NB quality filter's scores,
+    held-out eval, and (round 10) threshold-sweep calibration curve —
+    all three riding ONE classifier fit — in one tagged result.
+    Components unchanged: queries/collections_ops.py,
+    text_analysis.py, bpe.py, quality_signals.py,
+    quality_classifier.py.
     """
     suf = suffix_mining(spark, sf_dir).select(
         F.lit("suffix").alias("op"),
@@ -1602,6 +1612,19 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(NULL AS DOUBLE) AS d",
         "CAST(value_micro AS INTEGER) AS rnk",
     )
+    # Round-10 calibration leg (VERDICT r9 #3): the threshold-sweep
+    # curve + AUC ride the SAME checkpointed scores frame as the
+    # scores and eval legs — one classifier fit feeds all three.
+    nbq_cal = nb_quality_calibration_from(nbs).selectExpr(
+        "'nbq_cal' AS op",
+        "metric AS s1",
+        "CAST(thr_micro AS STRING) AS s2",
+        "CAST(k AS STRING) AS s3",
+        "num AS n",
+        "den AS n2",
+        "CAST(NULL AS DOUBLE) AS d",
+        "CAST(value_micro AS INTEGER) AS rnk",
+    )
     # Round-9b fertility leg: rides the SAME _learn loop as the two
     # BPE legs (d_final already materialized by the eager checkpoints
     # inside _learn) — the tokenizer trains once for all three.
@@ -1642,7 +1665,8 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         suf.unionByName(pmi).unionByName(bpe).unionByName(enc)
         .unionByName(langid).unionByName(rep).unionByName(lid_eval)
-        .unionByName(nbq).unionByName(nbq_eval).unionByName(fert)
+        .unionByName(nbq).unionByName(nbq_eval).unionByName(nbq_cal)
+        .unionByName(fert)
     )
 
 

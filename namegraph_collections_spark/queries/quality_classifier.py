@@ -481,3 +481,191 @@ def nb_quality_eval_from(scores: DataFrame) -> DataFrame:
         f"stack({len(_NBQ_EVAL_METRICS)}, {tuples})"
         " AS (metric, num, den, value_micro)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration curve — the threshold sweep a production filter gate
+# actually ships (VERDICT r9 #3). The GPT-3 Appendix A keep rule is
+# exactly a threshold choice on this curve: score every document, then
+# pick the operating point trading keep-rate against held-out
+# precision/recall. The curve reports K operating points at exact
+# margin-quantile thresholds plus the threshold-free ranking summary
+# (tie-aware Mann-Whitney AUC) — all integer micro-units, no doubles.
+# ---------------------------------------------------------------------------
+
+#: Number of operating points on the calibration curve: threshold k
+#: keeps (approximately) the top k/K of held-out documents by margin.
+NBQ_CAL_K = 8
+
+_NBQ_CAL_ORACLE = f"""
+    WITH s AS MATERIALIZED ({_NBQ_SCORES_ORACLE}),
+    h AS MATERIALIZED (
+      SELECT doc_id, label_hq, margin_micro FROM s WHERE NOT is_train
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+             CAST(SUM(CASE WHEN label_hq THEN 1 ELSE 0 END) AS BIGINT) AS p_tot
+      FROM h
+    ),
+    ranked AS (
+      SELECT margin_micro,
+             ROW_NUMBER() OVER (ORDER BY margin_micro DESC, doc_id) AS rn
+      FROM h
+    ),
+    ks AS (SELECT unnest(ARRAY{list(range(1, NBQ_CAL_K + 1))}) AS k),
+    thr AS (
+      SELECT ks.k, r.margin_micro AS thr_micro
+      FROM ks CROSS JOIN tot
+      JOIN ranked r
+        ON r.rn = ((ks.k * tot.n_tot + {NBQ_CAL_K - 1}) // {NBQ_CAL_K})
+    ),
+    kept AS (
+      SELECT t.k, t.thr_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_keep,
+             CAST(SUM(CASE WHEN h.label_hq THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM thr t JOIN h ON h.margin_micro >= t.thr_micro
+      GROUP BY t.k, t.thr_micro
+    ),
+    curve AS (
+      SELECT 'keep_rate' AS metric, k, thr_micro, n_keep AS num, n_tot AS den
+      FROM kept CROSS JOIN tot
+      UNION ALL
+      SELECT 'precision' AS metric, k, thr_micro, tp, n_keep FROM kept
+      UNION ALL
+      SELECT 'recall' AS metric, k, thr_micro, tp, p_tot
+      FROM kept CROSS JOIN tot
+    ),
+    mr AS (
+      SELECT label_hq,
+             2 * RANK() OVER (ORDER BY margin_micro ASC)
+               + COUNT(*) OVER (PARTITION BY margin_micro) - 1 AS mr2
+      FROM h
+    ),
+    auc AS (
+      SELECT 'auc' AS metric, 0 AS k, CAST(NULL AS BIGINT) AS thr_micro,
+             CAST(SUM(CASE WHEN label_hq THEN mr2 ELSE 0 END)
+                  - p_tot * (p_tot + 1) AS BIGINT) AS num,
+             CAST(2 * p_tot * (n_tot - p_tot) AS BIGINT) AS den
+      FROM mr CROSS JOIN tot
+      GROUP BY p_tot, n_tot
+    )
+    SELECT metric, CAST(k AS BIGINT) AS k, thr_micro, num, den,
+           CASE WHEN den > 0 THEN CAST({micro_sql("num", "den")} AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS value_micro
+    FROM (SELECT * FROM curve UNION ALL SELECT * FROM auc)
+"""
+
+
+@register("nb_quality_calibration", oracle=_NBQ_CAL_ORACLE)
+def nb_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sweep calibration of the NB quality gate over the
+    held-out split: {NBQ_CAL_K} operating points — threshold k is the
+    exact margin at held-out rank ceil(k*N/{NBQ_CAL_K}) (descending,
+    doc_id tiebreak) — each reporting keep_rate / precision / recall
+    as (metric, k, thr_micro, num, den, value_micro) in exact
+    round-half-up micro-units, plus one threshold-free 'auc' row
+    (tie-aware Mann-Whitney: midranks via 2*rank + n_eq - 1, so the
+    numerator 2*R_pos - P*(P+1) and denominator 2*P*N_neg stay exact
+    integers). This is the artifact the GPT-3 App. A Pareto-keep rule
+    reads: pick the threshold, get the promised keep-rate and
+    precision.
+
+    Scale shape: the curve is computed on the HELD-OUT sample, which
+    is bounded by construction at deployment (the gate's eval set,
+    not the corpus) — the one global window (rank over margins) runs
+    over that sample only; the K-threshold fan-out is a broadcast of
+    {NBQ_CAL_K} rows against the sample; everything upstream is the
+    already-audited classifier plan. Nothing touches corpus grain.
+    """
+    return nb_quality_calibration_from(nb_quality_scores(spark, sf_dir))
+
+
+def nb_quality_calibration_from(scores: DataFrame) -> DataFrame:
+    """The calibration sweep over an ALREADY-BUILT scores frame — the
+    sharing seam text_mining_battery uses so one classifier fit feeds
+    the scores, eval, and calibration legs."""
+    from pyspark.sql import Window
+
+    spark = scores.sparkSession
+    # localCheckpoint: the held-out slice feeds FIVE consumers (total
+    # counts, the rank window, the threshold join, the kept join, the
+    # AUC midranks) — without the cut each replays the classifier.
+    h = (
+        scores.filter("NOT is_train")
+        .select("doc_id", "label_hq", "margin_micro")
+        .localCheckpoint(eager=False)
+    )
+    tot = h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.sum(F.col("label_hq").cast("long")).cast("long").alias("p_tot"),
+    )
+    ranked = h.select(
+        "margin_micro",
+        F.row_number()
+        .over(Window.orderBy(F.desc("margin_micro"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rn"),
+    )
+    ks = spark.range(1, NBQ_CAL_K + 1).select(F.col("id").alias("k"))
+    thr = (
+        ks.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rn",
+            F.expr(f"(k * n_tot + {NBQ_CAL_K - 1}) div {NBQ_CAL_K}"),
+        )
+        .join(ranked, "rn")
+        .select("k", F.col("margin_micro").alias("thr_micro"))
+    )
+    kept = (
+        h.join(F.broadcast(thr), F.col("margin_micro") >= F.col("thr_micro"))
+        .groupBy("k", "thr_micro")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keep"),
+            F.sum(F.col("label_hq").cast("long")).cast("long").alias("tp"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    curve = kept.selectExpr(
+        "k",
+        "thr_micro",
+        "stack(3,"
+        " 'keep_rate', CAST(n_keep AS BIGINT), CAST(n_tot AS BIGINT),"
+        " 'precision', CAST(tp AS BIGINT), CAST(n_keep AS BIGINT),"
+        " 'recall', CAST(tp AS BIGINT), CAST(p_tot AS BIGINT))"
+        " AS (metric, num, den)",
+    ).select("metric", "k", "thr_micro", "num", "den")
+    mr = h.select(
+        "label_hq",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy(F.asc("margin_micro")))
+            + F.count(F.lit(1)).over(Window.partitionBy("margin_micro"))
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("mr2"),
+    )
+    auc = (
+        mr.agg(
+            F.sum(F.expr("CASE WHEN label_hq THEN mr2 ELSE 0 END")).alias(
+                "rpos2"
+            )
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "'auc' AS metric",
+            "CAST(0 AS BIGINT) AS k",
+            "CAST(NULL AS BIGINT) AS thr_micro",
+            "CAST(rpos2 - p_tot * (p_tot + 1) AS BIGINT) AS num",
+            "CAST(2 * p_tot * (n_tot - p_tot) AS BIGINT) AS den",
+        )
+    )
+    return curve.unionByName(auc).selectExpr(
+        "metric",
+        "k",
+        "thr_micro",
+        "num",
+        "den",
+        "CASE WHEN den > 0"
+        f" THEN CAST({micro_spark('num', 'den')} AS BIGINT)"
+        " ELSE CAST(NULL AS BIGINT) END AS value_micro",
+    )

@@ -131,6 +131,9 @@ BATTERIES = {
         # round 9b: supervised NB quality filter + its held-out eval
         "nb_quality_scores",
         "nb_quality_eval",
+        # round 10: threshold-sweep calibration curve + AUC (shares
+        # the same one classifier fit; VERDICT r9 #3)
+        "nb_quality_calibration",
         # round 9b: per-language tokenizer fertility (shares _learn)
         "tokenizer_fertility",
     ],

@@ -205,3 +205,53 @@ def test_streaming_scorer_matches_batch_scores(spark, tmp_path):
     got = _scored_rows(spark.read.parquet(out))
     want = _scored_rows(nbq_score_against(docs, w, prior))
     assert got == want
+
+
+def test_calibration_auc_closed_form_with_ties(spark):
+    """Tie-aware Mann-Whitney AUC on a handcrafted held-out set:
+    margins [10, 5, 5, 1] with labels [T, T, F, F] -> ascending
+    midranks 4 and 2.5 for the positives, U = 6.5 - 3 = 3.5,
+    AUC = 3.5/4 = 0.875 exactly."""
+    from namegraph_collections_spark.queries.quality_classifier import (
+        nb_quality_calibration_from,
+    )
+
+    scores = spark.createDataFrame(
+        [
+            (1, True, False, 10),
+            (2, True, False, 5),
+            (3, False, False, 5),
+            (4, False, False, 1),
+            # train rows must be excluded from the curve entirely
+            (5, True, True, 999),
+        ],
+        "doc_id long, label_hq boolean, is_train boolean, margin_micro long",
+    )
+    out = {r.metric: r for r in nb_quality_calibration_from(scores).collect()
+           if r.metric == "auc"}
+    auc = out["auc"]
+    # num = 2*R_pos - P*(P+1) = 13 - 6 = 7; den = 2*P*N = 8
+    assert (auc.num, auc.den) == (7, 8)
+    assert auc.value_micro == 875000
+    assert auc.thr_micro is None
+
+
+def test_calibration_keep_rate_is_monotone_and_exact(spark):
+    """Operating point k keeps the top ~k/K by margin: keep counts are
+    nondecreasing in k and the k=K point keeps everything."""
+    from namegraph_collections_spark.queries.quality_classifier import (
+        NBQ_CAL_K,
+        nb_quality_calibration,
+    )
+
+    rows = nb_quality_calibration(spark, SF).collect()
+    keep = {r.k: r for r in rows if r.metric == "keep_rate"}
+    assert sorted(keep) == list(range(1, NBQ_CAL_K + 1))
+    counts = [keep[k].num for k in sorted(keep)]
+    assert counts == sorted(counts)
+    n_tot = keep[1].den
+    assert keep[NBQ_CAL_K].num == n_tot
+    assert keep[NBQ_CAL_K].value_micro == 1000000
+    # precision/recall rows exist for every operating point
+    for m in ("precision", "recall"):
+        assert {r.k for r in rows if r.metric == m} == set(range(1, NBQ_CAL_K + 1))
