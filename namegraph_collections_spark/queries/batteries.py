@@ -1107,6 +1107,7 @@ from namegraph_collections_spark.queries.graph_metrics import (  # noqa: E402
 from namegraph_collections_spark.queries.olap import (  # noqa: E402
     cube_status_priority,
     rollup_regional_revenue,
+    status_priority_pivot,
 )
 from namegraph_collections_spark.queries.percentiles import (  # noqa: E402
     histogram_quantiles,
@@ -1119,6 +1120,7 @@ from namegraph_collections_spark.queries.relational import (  # noqa: E402
     customer_key_set_algebra,
     pricing_summary,
     regional_revenue,
+    status_histogram,
 )
 from namegraph_collections_spark.queries.rollups import cms_heavy_hitters  # noqa: E402
 from namegraph_collections_spark.queries.scale_ops import (  # noqa: E402
@@ -1726,6 +1728,32 @@ def graph_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), sum_disc_price, count_order,
            sum_qty, sum_base_price, avg_qty, avg_price
     FROM ({_oracle("pricing_summary")})
+    UNION ALL
+    SELECT 'statush' AS op, h.o_orderpriority, m.metric,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CASE m.metric
+             WHEN 'open' THEN h.open_count
+             WHEN 'finished' THEN h.finished_count
+             WHEN 'pending' THEN h.pending_count
+             ELSE h.closed_or_pending
+           END,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_oracle("status_histogram")}) h
+    CROSS JOIN (VALUES ('open'), ('finished'), ('pending'), ('cop')) m(metric)
+    UNION ALL
+    SELECT 'pivot' AS op, p.o_orderstatus, m.pr,
+           CAST(NULL AS BIGINT),
+           CASE m.pr WHEN '1' THEN p.rev_1 WHEN '2' THEN p.rev_2
+                     WHEN '3' THEN p.rev_3 WHEN '4' THEN p.rev_4
+                     ELSE p.rev_5 END,
+           CASE m.pr WHEN '1' THEN p.n_1 WHEN '2' THEN p.n_2
+                     WHEN '3' THEN p.n_3 WHEN '4' THEN p.n_4
+                     ELSE p.n_5 END,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({_oracle("status_priority_pivot")}) p
+    CROSS JOIN (VALUES ('1'), ('2'), ('3'), ('4'), ('5')) m(pr)
     """,
 )
 def revenue_olap_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1780,7 +1808,44 @@ def revenue_olap_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_qty").alias("d4"),
         F.col("avg_price").alias("d5"),
     )
-    return reg.unionByName(rol).unionByName(cub).unionByName(pri)
+    # Round-10 coverage-closing legs (the COVERAGE.json derivation
+    # surfaced these as the last operators no driver row hashes):
+    # the A6 conditional-count histogram and the pinned-domain pivot,
+    # both melted long-form into the battery schema — two tiny
+    # orders-grain aggregates, no new scan heavier than the cube leg.
+    sth = status_histogram(spark, sf_dir).selectExpr(
+        "o_orderpriority",
+        "stack(4, 'open', open_count, 'finished', finished_count,"
+        " 'pending', pending_count, 'cop', closed_or_pending)"
+        " AS (metric, cnt)",
+    ).select(
+        F.lit("statush").alias("op"),
+        F.col("o_orderpriority").alias("s1"),
+        F.col("metric").alias("s2"),
+        _NULL_L().alias("lvl"),
+        _NULL_D().alias("revenue"),
+        F.col("cnt").alias("n"),
+        _NULL_D().alias("d2"), _NULL_D().alias("d3"),
+        _NULL_D().alias("d4"), _NULL_D().alias("d5"),
+    )
+    piv = status_priority_pivot(spark, sf_dir).selectExpr(
+        "o_orderstatus",
+        "stack(5, '1', n_1, rev_1, '2', n_2, rev_2, '3', n_3, rev_3,"
+        " '4', n_4, rev_4, '5', n_5, rev_5) AS (pr, cnt, rev)",
+    ).select(
+        F.lit("pivot").alias("op"),
+        F.col("o_orderstatus").alias("s1"),
+        F.col("pr").alias("s2"),
+        _NULL_L().alias("lvl"),
+        F.col("rev").alias("revenue"),
+        F.col("cnt").alias("n"),
+        _NULL_D().alias("d2"), _NULL_D().alias("d3"),
+        _NULL_D().alias("d4"), _NULL_D().alias("d5"),
+    )
+    return (
+        reg.unionByName(rol).unionByName(cub).unionByName(pri)
+        .unionByName(sth).unionByName(piv)
+    )
 
 
 @register(

@@ -190,6 +190,13 @@ from namegraph_collections_spark.queries.web_rollup import (  # noqa: E402
 # BIGINT/VARCHAR/BOOLEAN.
 from namegraph_collections_spark.queries.c4_clean import c4_line_filter  # noqa: E402
 
+# Imported here (ahead of queries/__init__'s scale_ops import) so the
+# round-10 fuzzy leg can embed its oracle; @register is idempotent
+# across the later package-level import.
+from namegraph_collections_spark.queries.scale_ops import (  # noqa: E402
+    fuzzy_blocked_pairs,
+)
+
 
 @register(
     "string_ops_battery",
@@ -255,6 +262,13 @@ from namegraph_collections_spark.queries.c4_clean import c4_line_filter  # noqa:
            n_drop_punct, n_drop_short, n_drop_js,
            page_keep, CAST(kept_chars AS VARCHAR)
     FROM ({_REG["c4_line_filter"].oracle})
+    UNION ALL
+    SELECT 'fuzzy' AS op, CAST(NULL AS BIGINT), name_a AS s,
+           n_a, name_b AS first_token,
+           edit_dist AS brand_num, CAST(NULL AS VARCHAR) AS type_lc,
+           n_b, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)
+    FROM ({_REG["fuzzy_blocked_pairs"].oracle})
     """,
 )
 def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,8 +417,29 @@ def string_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("page_keep").alias("has_pii"),
         F.col("kept_chars").cast("string").alias("masked_phone"),
     )
+    # Round-10 coverage-closing leg: the ER-style blocked
+    # edit-distance pairs over the part-name dictionary — the last
+    # string-family operator no driver row value-hashed
+    # (COVERAGE.json derivation). name_a/name_b ride the two string
+    # slots, the dictionary support counts two BIGINT slots, the
+    # banded edit distance the INT slot.
+    fuzzy = fuzzy_blocked_pairs(spark, sf_dir).select(
+        F.lit("fuzzy").alias("op"),
+        null_l.alias("p_partkey"),
+        F.col("name_a").alias("s"),
+        F.col("n_a").alias("n_tokens"),
+        F.col("name_b").alias("first_token"),
+        F.col("edit_dist").alias("brand_num"),
+        null_s.alias("type_lc"),
+        F.col("n_b").alias("n_emails"),
+        null_l.alias("n_phones"),
+        null_l.alias("n_ips"),
+        null_b.alias("has_pii"),
+        null_s.alias("masked_phone"),
+    )
     return (
         curate.unionByName(filt).unionByName(strip)
         .unionByName(pii_leg).unionByName(url_leg)
         .unionByName(hostq).unionByName(gated).unionByName(c4)
+        .unionByName(fuzzy)
     )

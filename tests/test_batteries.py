@@ -94,6 +94,9 @@ BATTERIES = {
         # round 9: C4 line-level cleaning (the one round-8 operator
         # that shipped without a driver hash)
         "c4_line_filter",
+        # round 10: ER-style blocked edit-distance pairs
+        # (coverage-closing leg)
+        "fuzzy_blocked_pairs",
     ],
     "sketch_stats_battery": [
         "cms_heavy_hitters",
@@ -144,6 +147,9 @@ BATTERIES = {
         "cube_status_priority",
         # round 9: composited to free a window slot for the bisect
         "pricing_summary",
+        # round 10: coverage-closing legs (COVERAGE.json derivation)
+        "status_histogram",
+        "status_priority_pivot",
     ],
     "cdc_battery": ["cdc_three_way_ops", "cdc_driven_rollup"],
     "set_prune_battery": ["customer_key_set_algebra", "bloom_pruned_semi_join"],

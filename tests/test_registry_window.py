@@ -229,3 +229,38 @@ def test_composited_singles_stay_registered_after_the_window():
 def test_every_entry_has_an_oracle():
     missing = [n for n, s in REGISTRY.items() if not s.oracle]
     assert missing == []
+
+
+def test_every_operator_is_hashed_by_some_driver_row():
+    """Round-10 structural guard (VERDICT r9 #4): derive the operator
+    -> driver-row provenance map from the registry (battery rule:
+    composites embed component oracles VERBATIM, so coverage is a
+    substring relation, not a hand-kept list) and assert NO query is
+    local-only — the r8 c4_line_filter / r9 lsh_tuning_eval gap class
+    can no longer land silently."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from dump_coverage import derive_coverage
+
+    cov = derive_coverage()
+    assert cov["local_only"] == []
+    assert cov["window_size"] == WINDOW_SIZE
+    # every query is reachable from a driver row one way or another
+    for name, c in cov["operators"].items():
+        assert c["kind"] in ("window_row", "battery_leg", "superseded_composite"), name
+        assert c["hosts"], name
+
+
+def test_committed_coverage_artifact_matches_head():
+    """COVERAGE.json is regenerated whenever the registry changes —
+    the committed artifact must equal a fresh derivation at HEAD (the
+    round-9 closing-artifact discipline, made structural)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from dump_coverage import derive_coverage
+
+    with open(os.path.join(_REPO, "COVERAGE.json")) as f:
+        committed = json.load(f)
+    assert committed == json.loads(json.dumps(derive_coverage()))
