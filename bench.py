@@ -145,6 +145,12 @@ HEADLINE = [
     "fuzzy_decontamination",
     "tokenizer_fertility",
     "lsh_tuning_eval",
+    # Round 10 additions (append-only): the NB calibration curve +
+    # the corpus planning/profiling trio.
+    "nb_quality_calibration",
+    "temperature_sampling_plan",
+    "embedding_diversity",
+    "heaps_law_curve",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

@@ -57,6 +57,11 @@ from namegraph_collections_spark.queries.data_selection import (
     dsir_importance_weights,
 )
 from namegraph_collections_spark.queries.span_dedup import dup_span_extract
+from namegraph_collections_spark.queries.corpus_stats import (  # noqa: E402
+    embedding_diversity,
+    heaps_law_curve,
+    temperature_sampling_plan,
+)
 from namegraph_collections_spark.queries.quality_classifier import (
     nb_quality_calibration,  # noqa: F401  (oracle parity; battery uses the _from seam)
     nb_quality_calibration_from,
@@ -262,6 +267,11 @@ def event_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS VARCHAR), cluster, max_earlier_cosine,
            CAST(NULL AS BIGINT), n_dups, keep
     FROM ({_oracle("semdedup_keep_list")})
+    UNION ALL
+    SELECT 'diversity' AS op, pair_num, pair_den, label,
+           CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+           CAST(NULL AS DOUBLE), self_sq, n_vecs, CAST(NULL AS BOOLEAN)
+    FROM ({_oracle("embedding_diversity")})
     """,
 )
 def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,11 +365,27 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dups").alias("n_vecs"),
         "keep",
     )
+    # Round-10 diversity leg: the one-pass mean-pairwise-cosine
+    # rational per label (+ corpus row) — pair_num/pair_den ride the
+    # two id slots, self_sq the rnk slot.
+    div = embedding_diversity(spark, sf_dir).select(
+        F.lit("diversity").alias("op"),
+        F.col("pair_num").alias("q_id"),
+        F.col("pair_den").alias("c_id"),
+        F.col("label").alias("c_label"),
+        _NULL_S().alias("labels"),
+        _NULL_I().alias("grp"),
+        _NULL_D().alias("cosine"),
+        F.col("self_sq").alias("rnk"),
+        "n_vecs",
+        _NULL_B().alias("keep"),
+    )
     return (
         cos.unionByName(ivf)
         .unionByName(lsh)
         .unionByName(recall)
         .unionByName(semd)
+        .unionByName(div)
     )
 
 
@@ -415,6 +441,14 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT)
     FROM ({_oracle("ccnet_ppl_buckets")})
+    UNION ALL
+    SELECT 'heaps' AS op, CAST(NULL AS VARCHAR), k, cp_docs, cum_tokens,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), vocab_size,
+           ttr_micro, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM ({_oracle("heaps_law_curve")})
     """,
 )
 def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,9 +548,31 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_line_micro").alias("q_dup_line_micro"),
         F.col("dup_bigram_micro").alias("q_dup_bigram_micro"),
     )
+    # Round-10 Heaps-law leg: vocabulary growth + TTR checkpoints —
+    # k rides the doc_id slot, the cumulative counts the n/df slots,
+    # vocab the n_stop slot, TTR the first micro slot.
+    heaps = heaps_law_curve(spark, sf_dir).select(
+        F.lit("heaps").alias("op"),
+        _NULL_S().alias("token"),
+        F.col("k").alias("doc_id"),
+        F.col("cp_docs").alias("n"),
+        F.col("cum_tokens").alias("df"),
+        _NULL_D().alias("logp"),
+        _NULL_D().alias("nll"),
+        _NULL_B().alias("is_train"),
+        _NULL_B().alias("keep"),
+        F.col("vocab_size").alias("n_stop"),
+        F.col("ttr_micro").alias("q_mean_len_micro"),
+        _NULL_L().alias("q_symbol_micro"),
+        _NULL_L().alias("q_bullet_micro"),
+        _NULL_L().alias("q_ellipsis_micro"),
+        _NULL_L().alias("q_alpha_micro"),
+        _NULL_L().alias("q_dup_line_micro"),
+        _NULL_L().alias("q_dup_bigram_micro"),
+    )
     return (
         freq.unionByName(lp).unionByName(lm)
-        .unionByName(quality).unionByName(ccnet)
+        .unionByName(quality).unionByName(ccnet).unionByName(heaps)
     )
 
 
@@ -656,6 +712,11 @@ def rollup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_grams, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT)
     FROM ({_oracle("dsir_importance_weights")})
+    UNION ALL
+    SELECT 'tempmix' AS op, CAST(NULL AS BIGINT), lang, CAST(NULL AS VARCHAR),
+           CAST(NULL AS INTEGER), repeat_micro, CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), n_docs, share_micro, q_micro, alloc_docs
+    FROM ({_oracle("temperature_sampling_plan")})
     """,
 )
 def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,12 +816,30 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("max_doc_id"),
         _NULL_L().alias("doc_id_sum"),
     )
+    # Round-10 temperature-sampling leg: the per-language sqrt-
+    # smoothed allocation plan — lang rides the source slot, the four
+    # BIGINT outputs the w/n_docs/min/max/sum slots.
+    tempmix = temperature_sampling_plan(spark, sf_dir).select(
+        F.lit("tempmix").alias("op"),
+        _NULL_L().alias("doc_id"),
+        F.col("lang").alias("source"),
+        _NULL_S().alias("split"),
+        _NULL_I().alias("rk"),
+        F.col("repeat_micro").alias("w"),
+        _NULL_D().alias("skey"),
+        _NULL_I().alias("rnk"),
+        "n_docs",
+        F.col("share_micro").alias("min_doc_id"),
+        F.col("q_micro").alias("max_doc_id"),
+        F.col("alloc_docs").alias("doc_id_sum"),
+    )
     return (
         mix.unionByName(grouped)
         .unionByName(weighted)
         .unionByName(split)
         .unionByName(epoch)
         .unionByName(dsir)
+        .unionByName(tempmix)
     )
 
 

@@ -1,0 +1,388 @@
+"""Corpus-level planning and profiling statistics — the artifacts a
+training-data pipeline reads before it commits to a mixture:
+
+- ``temperature_sampling_plan``: the multilingual temperature-
+  sampling allocation (Arivazhagan et al. 2019 §4; XLM's alpha-
+  smoothed multinomial, Conneau & Lample 2019 — exponent 1/2 here,
+  the classic square-root smoothing) — how many documents of each
+  language a fixed sampling budget takes, and the implied per-
+  language repeat factor.
+- ``embedding_diversity``: per-group semantic diversity as the mean
+  pairwise cosine over quantized unit vectors, computed in ONE pass
+  via the sum identity sum_pairs<u_i,u_j> = (||S||^2 - sum||u_i||^2)/2
+  with S = sum u_i — never materializing a pair.
+- ``heaps_law_curve``: vocabulary growth (Heaps' law) + type-token
+  ratio at K cumulative checkpoints of the doc_id-ordered corpus.
+
+Determinism notes (registry.py conventions): every hash-surface
+column is BIGINT/VARCHAR. The only doubles touched are IEEE-exact
+``sqrt`` (correctly rounded by both engines on exactly-representable
+integer inputs) and the per-ROW index-ordered fold behind the vector
+norm (the similarity.py ``_dot`` convention); cross-ROW sums are
+integer-only, so aggregation order cannot perturb a bit. Ratios that
+WOULD need signed rounding (mean pairwise cosine can be negative) are
+emitted as exact (num, den) pairs instead — the nb_quality_eval
+precedent — because the round-half-up micro helpers require a
+non-negative numerator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.functions.det_round import micro_spark, micro_sql
+from namegraph_collections_spark.queries.registry import register, spread, tbl
+from namegraph_collections_spark.queries.similarity import DIM, _DOT_SQL, _dot
+
+# ---------------------------------------------------------------------------
+# Temperature sampling plan.
+# ---------------------------------------------------------------------------
+
+#: Document budget the plan allocates (constant, like DSIR's B: the
+#: plan is a per-language table, broadcast class at any corpus size).
+TEMP_SAMPLE_BUDGET = 100_000
+
+#: Scale applied under the isqrt so small language counts keep six
+#: digits of resolution: s_l = floor(sqrt(n_l * 1e6)).
+_TEMP_SQRT_SCALE = 1_000_000
+
+#: floor(ieee_sqrt(n * 1e6)) — both engines' sqrt is IEEE-754
+#: correctly rounded and n*1e6 < 2^52 is exactly representable, so
+#: the BIGINT result is identical cross-engine by construction (it
+#: may differ from the true integer sqrt by the final-ulp rounding,
+#: identically on both sides — determinism, not isqrt, is the spec).
+_ISQRT_SQL = (
+    "CAST(floor(sqrt(CAST({n} * " + str(_TEMP_SQRT_SCALE) + " AS DOUBLE))) AS BIGINT)"
+)
+
+
+@register(
+    "temperature_sampling_plan",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    smoothed AS (
+      SELECT lang, n_docs, {_ISQRT_SQL.format(n="n_docs")} AS s FROM counts
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot, CAST(SUM(s) AS BIGINT) AS s_tot
+      FROM smoothed
+    )
+    SELECT lang, n_docs,
+           CAST({micro_sql("n_docs", "n_tot")} AS BIGINT) AS share_micro,
+           CAST({micro_sql("s", "s_tot")} AS BIGINT) AS q_micro,
+           CAST(({TEMP_SAMPLE_BUDGET} * s + s_tot // 2) // s_tot AS BIGINT)
+             AS alloc_docs,
+           CAST({micro_sql(f"(({TEMP_SAMPLE_BUDGET} * s + s_tot // 2) // s_tot)", "n_docs")}
+             AS BIGINT) AS repeat_micro
+    FROM smoothed CROSS JOIN tot
+    """,
+)
+def temperature_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature sampling allocation per language:
+    q_l ∝ sqrt(n_l), the exponent-1/2 member of the p_l^alpha family
+    the multilingual recipes tune (upsamples tail languages, damps
+    the head). Emits (lang, n_docs, share_micro, q_micro, alloc_docs,
+    repeat_micro): raw corpus share, smoothed sampling share, the
+    document allocation out of a {TEMP_SAMPLE_BUDGET}-doc budget
+    (round-half-up), and the implied per-language repeat factor
+    (alloc/n — >1e6 micro means the language is seen more than once
+    per epoch). Exponent 1/2 is the one alpha whose smoothing is
+    computable in EXACT integer arithmetic cross-engine (IEEE sqrt +
+    floor), so the whole plan is a bit-stable hash surface — no libm
+    pow/exp, whose final-ulp behavior engines don't pin.
+
+    Scale shape: ONE map-side-combined count per language (the only
+    corpus-grain work), then a language-grain table that is broadcast
+    class forever. This is the operator a 100 TB multilingual ingest
+    runs nightly to re-balance its sampler.
+    """
+    counts = (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("s", F.expr(_ISQRT_SQL.format(n="n_docs")))
+        # two consumers (the plan rows + the totals) — checkpoint the
+        # language-grain frame so the corpus scan+count runs once
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.agg(
+        F.sum("n_docs").cast("long").alias("n_tot"),
+        F.sum("s").cast("long").alias("s_tot"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).selectExpr(
+        "lang",
+        "n_docs",
+        f"CAST({micro_spark('n_docs', 'n_tot')} AS BIGINT) AS share_micro",
+        f"CAST({micro_spark('s', 's_tot')} AS BIGINT) AS q_micro",
+        f"CAST(({TEMP_SAMPLE_BUDGET} * s + s_tot div 2) div s_tot AS BIGINT)"
+        " AS alloc_docs",
+        f"CAST({micro_spark(f'(({TEMP_SAMPLE_BUDGET} * s + s_tot div 2) div s_tot)', 'n_docs')}"
+        " AS BIGINT) AS repeat_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding diversity.
+# ---------------------------------------------------------------------------
+
+#: Per-component quantization of the unit vector (milli-units): two
+#: quantized components multiply to micro-units, so the mean pairwise
+#: dot lands directly on the engine's micro scale. 1e3 (not 1e6)
+#: keeps sum-of-squares inside BIGINT up to ~4e7 vectors per group.
+_DIVERSITY_Q = 1_000
+
+#: DuckDB-side quantized unit vector (index-ordered fold for the
+#: norm — the similarity.py _DOT_SQL convention).
+_QVEC_SQL = (
+    "list_transform(range(1, {dim} + 1), i -> CAST(floor("
+    "CAST(embedding[i] AS DOUBLE) / sqrt({norm_sq}) * {q}.0 + 0.5) AS BIGINT))"
+).format(
+    dim=DIM,
+    norm_sq=_DOT_SQL.format(dim=DIM, a="embedding", b="embedding"),
+    q=_DIVERSITY_Q,
+)
+
+
+@register(
+    "embedding_diversity",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(label AS BIGINT) AS label, {_QVEC_SQL} AS qv FROM embeddings
+    ),
+    per_label AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT))
+                  AS BIGINT) AS self_sq
+      FROM q GROUP BY label
+    ),
+    idx AS (SELECT unnest(range(1, {DIM} + 1)) AS dim),
+    dims AS (
+      SELECT q.label, idx.dim, CAST(SUM(q.qv[idx.dim]) AS BIGINT) AS s
+      FROM q CROSS JOIN idx
+      GROUP BY q.label, idx.dim
+    ),
+    a_label AS (
+      SELECT label, CAST(SUM(s * s) AS BIGINT) AS sum_sq FROM dims GROUP BY label
+    ),
+    rows_l AS (
+      SELECT p.label, p.n_vecs, p.self_sq,
+             CAST(a.sum_sq - p.self_sq AS BIGINT) AS pair_num,
+             CAST(p.n_vecs * (p.n_vecs - 1) AS BIGINT) AS pair_den
+      FROM per_label p JOIN a_label a USING (label)
+    ),
+    dims_all AS (
+      SELECT dim, CAST(SUM(s) AS BIGINT) AS s FROM dims GROUP BY dim
+    ),
+    row_all AS (
+      SELECT CAST(-1 AS BIGINT) AS label,
+             (SELECT CAST(SUM(n_vecs) AS BIGINT) FROM per_label) AS n_vecs,
+             (SELECT CAST(SUM(self_sq) AS BIGINT) FROM per_label) AS self_sq,
+             CAST((SELECT SUM(s * s) FROM dims_all)
+                  - (SELECT SUM(self_sq) FROM per_label) AS BIGINT) AS pair_num,
+             CAST((SELECT SUM(n_vecs) FROM per_label)
+                  * ((SELECT SUM(n_vecs) FROM per_label) - 1) AS BIGINT) AS pair_den
+    )
+    SELECT label, n_vecs, self_sq, pair_num, pair_den
+    FROM (SELECT * FROM rows_l UNION ALL SELECT * FROM row_all)
+    """,
+)
+def embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic diversity per embedding label (+ a label=-1 corpus
+    row): the mean pairwise cosine of a group, from the one-pass sum
+    identity — sum over ordered pairs of <u_i,u_j> equals
+    ||sum u_i||^2 - sum ||u_i||^2, so the metric needs one vector sum
+    per (group, dim) and never a pair join. Vectors are unit-
+    normalized then quantized to {_DIVERSITY_Q} milli-units per
+    component; from there EVERYTHING is integer arithmetic, so
+    cross-row aggregation order cannot perturb the hash. Emitted as
+    the exact rational (pair_num, pair_den): mean pairwise cosine in
+    micro-units = pair_num / pair_den (can be negative — a spread-out
+    group — which is why it ships as num/den rather than through the
+    non-negative micro rounding helpers).
+
+    A LOW mean pairwise cosine marks a diverse group, a HIGH one a
+    redundant (near-duplicate-heavy) group — the cluster-level signal
+    SemDeDup-style pruning acts on.
+
+    Scale shape: one scan; per (label, dim) integer sums with
+    map-side partial aggregation (the shuffle carries <= groups x
+    {DIM} fixed-width rows, NOT corpus grain); the per-label frame is
+    broadcast class. BIGINT-exact to ~4e7 vectors per group at
+    Q={_DIVERSITY_Q} — beyond that a deployment shards groups first
+    (documented bound, same class as the CMS grid constants).
+    """
+    emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
+    qv = (
+        emb.withColumn("norm", F.sqrt(_dot("embedding", "embedding")))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") / F.col("norm") * F.lit(float(_DIVERSITY_Q))
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("qv"),
+        )
+        # two consumers (self-square rollup + per-dim explode) —
+        # checkpoint so the scan+normalize runs once
+        .localCheckpoint(eager=False)
+    )
+    per_label = qv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(
+            F.aggregate(
+                F.transform("qv", lambda v: v * v), F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        )
+        .cast("long")
+        .alias("self_sq"),
+    )
+    dims = (
+        qv.select("label", F.posexplode("qv").alias("dim", "qc"))
+        .groupBy("label", "dim")
+        .agg(F.sum("qc").cast("long").alias("s"))
+        # feeds both the per-label and the corpus-total squares
+        .localCheckpoint(eager=False)
+    )
+    a_label = dims.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("sum_sq")
+    )
+    rows_l = per_label.join(a_label, "label").selectExpr(
+        "label",
+        "n_vecs",
+        "self_sq",
+        "CAST(sum_sq - self_sq AS BIGINT) AS pair_num",
+        "CAST(n_vecs * (n_vecs - 1) AS BIGINT) AS pair_den",
+    )
+    a_all = (
+        dims.groupBy("dim")
+        .agg(F.sum("s").cast("long").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("sum_sq"))
+    )
+    tot = per_label.agg(
+        F.sum("n_vecs").cast("long").alias("n_vecs"),
+        F.sum("self_sq").cast("long").alias("self_sq"),
+    )
+    row_all = tot.crossJoin(F.broadcast(a_all)).selectExpr(
+        "CAST(-1 AS BIGINT) AS label",
+        "n_vecs",
+        "self_sq",
+        "CAST(sum_sq - self_sq AS BIGINT) AS pair_num",
+        "CAST(n_vecs * (n_vecs - 1) AS BIGINT) AS pair_den",
+    )
+    return rows_l.unionByName(row_all)
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth.
+# ---------------------------------------------------------------------------
+
+#: Cumulative checkpoints on the doc_id-ordered corpus (k/K of the
+#: documents for k = 1..K).
+HEAPS_K = 8
+
+
+@register(
+    "heaps_law_curve",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+    firsts AS MATERIALIZED (
+      SELECT tok, CAST(MIN(rk) AS BIGINT) AS first_rk
+      FROM (
+        SELECT d.rk, unnest(string_split(lower(doc.text), ' ')) AS tok
+        FROM documents doc JOIN d USING (doc_id)
+      )
+      GROUP BY tok
+    ),
+    cps AS (
+      SELECT k, ((k * n.n_docs + {HEAPS_K} - 1) // {HEAPS_K}) AS cp
+      FROM (SELECT unnest(ARRAY{list(range(1, HEAPS_K + 1))}) AS k) CROSS JOIN n
+    ),
+    vocab AS (
+      SELECT c.k, CAST(COUNT(*) AS BIGINT) AS vocab_size
+      FROM cps c JOIN firsts f ON f.first_rk <= c.cp
+      GROUP BY c.k
+    ),
+    toks AS (
+      SELECT c.k, CAST(c.cp AS BIGINT) AS cp_docs,
+             CAST(SUM(d.n_toks) AS BIGINT) AS cum_tokens
+      FROM cps c JOIN d ON d.rk <= c.cp
+      GROUP BY c.k, c.cp
+    )
+    SELECT CAST(t.k AS BIGINT) AS k, t.cp_docs, t.cum_tokens, v.vocab_size,
+           CAST({micro_sql("v.vocab_size", "t.cum_tokens")} AS BIGINT)
+             AS ttr_micro
+    FROM toks t JOIN vocab v ON t.k = v.k
+    """,
+)
+def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth along the doc_id-ordered corpus: at each of
+    {HEAPS_K} cumulative checkpoints (first ceil(k*N/{HEAPS_K}) docs),
+    the cumulative token count, the distinct-vocabulary size, and the
+    type-token ratio in micro-units — the Heaps'-law curve a corpus
+    profile plots to extrapolate vocabulary (and hence tokenizer /
+    embedding-table) growth to the full crawl, and a saturating curve
+    is itself a duplication smell (new data adding no new types).
+
+    Scale shape: the honest cost is one token-grain shuffle computing
+    each type's FIRST position (min over an integer rank) — the same
+    grain every dedup/vocab operator here already pays; the checkpoint
+    fan-out joins the {HEAPS_K}-row broadcast against the type
+    dictionary, never the token stream. The doc rank is one global
+    row_number over the DOC table (not tokens) — the profiling-query
+    class the exact-median rows already establish; a 100 TB run
+    profiles a shard or uses doc_id directly when ids are dense.
+    """
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    d = (
+        docs.select(
+            "doc_id",
+            F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("rk"),
+            F.expr("CAST(size(split(lower(text), ' ')) AS BIGINT)").alias("n_toks"),
+        )
+        # three consumers: totals, token-first-rank join, checkpoint
+        # token sums — one rank computation for all
+        .localCheckpoint(eager=False)
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .join(d.select("doc_id", "rk"), "doc_id")
+        .groupBy("tok")
+        .agg(F.min("rk").cast("long").alias("first_rk"))
+    )
+    cps = (
+        d.sparkSession.range(1, HEAPS_K + 1)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(n))
+        .selectExpr("k", f"((k * n_docs + {HEAPS_K} - 1) div {HEAPS_K}) AS cp")
+    )
+    vocab = (
+        toks.join(F.broadcast(cps), F.col("first_rk") <= F.col("cp"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    cum = (
+        d.join(F.broadcast(cps), F.col("rk") <= F.col("cp"))
+        .groupBy("k", "cp")
+        .agg(F.sum("n_toks").cast("long").alias("cum_tokens"))
+        .selectExpr("k", "CAST(cp AS BIGINT) AS cp_docs", "cum_tokens")
+    )
+    return cum.join(vocab, "k").selectExpr(
+        "CAST(k AS BIGINT) AS k",
+        "cp_docs",
+        "cum_tokens",
+        "vocab_size",
+        f"CAST({micro_spark('vocab_size', 'cum_tokens')} AS BIGINT) AS ttr_micro",
+    )

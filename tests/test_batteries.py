@@ -31,6 +31,8 @@ BATTERIES = {
         "ann_recall_eval",
         # round 7: SemDeDup keep/drop list (shares the IVF codebook)
         "semdedup_keep_list",
+        # round 10: one-pass mean-pairwise-cosine diversity
+        "embedding_diversity",
     ],
     "unigram_text_battery": [
         "token_frequencies",
@@ -40,6 +42,8 @@ BATTERIES = {
         "doc_quality_signals",
         # round 9: CCNet perplexity bucketing (shares the LM frame)
         "ccnet_ppl_buckets",
+        # round 10: Heaps-law vocabulary growth + TTR checkpoints
+        "heaps_law_curve",
     ],
     "rollup_battery": [
         "hourly_event_rollup",
@@ -55,6 +59,8 @@ BATTERIES = {
         "epoch_shuffle_plan",
         # round 9: DSIR importance weights + threshold selection
         "dsir_importance_weights",
+        # round 10: sqrt-temperature language sampling plan
+        "temperature_sampling_plan",
     ],
     "lexical_dedup_battery": [
         "exact_dedup_groups",

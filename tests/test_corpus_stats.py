@@ -1,0 +1,68 @@
+"""Invariant tests for the round-10 corpus planning/profiling
+operators (queries/corpus_stats.py). Value-exactness is the oracle
+sweep's job; these pin the MATH the oracles can't see — the smoothing
+direction of temperature sampling, the sum-identity bounds of the
+diversity metric, the monotonicity of the Heaps curve."""
+
+from __future__ import annotations
+
+from namegraph_collections_spark.queries import REGISTRY
+from namegraph_collections_spark.queries.corpus_stats import (
+    HEAPS_K,
+    TEMP_SAMPLE_BUDGET,
+)
+from tests.conftest import SF_DIR
+
+
+def test_temperature_sampling_flattens_toward_the_tail(spark):
+    rows = REGISTRY["temperature_sampling_plan"].fn(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    # shares and smoothed shares both form (near-)partitions of unity
+    assert abs(sum(r.share_micro for r in rows) - 1_000_000) <= len(rows)
+    assert abs(sum(r.q_micro for r in rows) - 1_000_000) <= len(rows)
+    # allocations exhaust the budget up to per-language rounding
+    assert abs(sum(r.alloc_docs for r in rows) - TEMP_SAMPLE_BUDGET) <= len(rows)
+    # sqrt smoothing: the SMALLER a language, the larger its boost
+    # q/share — strictly ordered opposite to size
+    by_size = sorted(rows, key=lambda r: r.n_docs)
+    boosts = [r.q_micro / r.share_micro for r in by_size]
+    assert all(a >= b for a, b in zip(boosts, boosts[1:])), boosts
+    # head language damped (<1), tail boosted (>1)
+    assert boosts[0] > 1.0 > boosts[-1]
+
+
+def test_embedding_diversity_sum_identity_bounds(spark):
+    rows = {r.label: r for r in REGISTRY["embedding_diversity"].fn(spark, SF_DIR).collect()}
+    assert -1 in rows
+    labels = [k for k in rows if k != -1]
+    total = rows[-1]
+    assert total.n_vecs == sum(rows[k].n_vecs for k in labels)
+    assert total.self_sq == sum(rows[k].self_sq for k in labels)
+    for r in rows.values():
+        assert r.pair_den == r.n_vecs * (r.n_vecs - 1)
+        # quantized unit self-dot is ~1e6 per vector (rounding adds at
+        # most DIM*(q + 1/4) ≈ 32k either way at q=1000, dim=64)
+        assert abs(r.self_sq - r.n_vecs * 1_000_000) < r.n_vecs * 40_000
+        # mean pairwise cosine (pair_num/pair_den, micro units) of
+        # unit-ish vectors is within [-1, 1] up to quantization slack
+        assert abs(r.pair_num) <= r.pair_den * 1_050_000
+
+
+def test_heaps_curve_is_monotone_and_exhaustive(spark):
+    rows = sorted(
+        REGISTRY["heaps_law_curve"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == list(range(1, HEAPS_K + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.cp_docs <= b.cp_docs
+        assert a.cum_tokens <= b.cum_tokens
+        assert a.vocab_size <= b.vocab_size
+    last = rows[-1]
+    n_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    )
+    assert last.cp_docs == n_docs
+    for r in rows:
+        assert 0 < r.vocab_size <= r.cum_tokens
+        assert 0 < r.ttr_micro <= 1_000_000
