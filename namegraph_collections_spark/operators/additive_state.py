@@ -8,6 +8,12 @@ measure is additive, and maintenance reduces to
 
     state' = (state UNION batch_contribution) GROUP BY keys SUM measures
 
+(round 10 generalization: any per-column commutative-associative
+monoid, not just SUM — ``min`` gives "first ever seen" state like the
+vocabulary index's first-document column, ``max`` high-water marks —
+via ``maintain_keyed_state``; ``maintain_additive_state`` remains the
+all-sum special case every counting maintainer uses)
+
 persisted with the dated-snapshot rotation of operators/cdc.py so day
 N+1 merges into day N's committed state. What varies per operator is
 only the CONTRIBUTION program (how a batch of documents becomes keyed
@@ -120,20 +126,35 @@ def repoint_marker(spark: SparkSession, base_dir: str, stamp: str) -> None:
     out.close()
 
 
-def maintain_additive_state(
+#: Per-column merge operators a keyed state may declare. Each must be
+#: a commutative, associative, duplicate-tolerant-in-any-split monoid
+#: over its column (which is what makes ANY batching converge to the
+#: global aggregate — the property test's guarantee): plain counts
+#: use ``sum``; "first ever seen" uses ``min``; high-water marks use
+#: ``max``.
+_MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def maintain_keyed_state(
     spark: SparkSession,
     base_dir: str,
     contribution: DataFrame,
     key_cols: Sequence[str],
-    sum_cols: Sequence[str],
+    merge_cols: dict[str, str],
     stamp: str,
 ) -> DataFrame:
     """Merge a batch's keyed contribution into the standing state and
     rotate a dated snapshot: read the marker's current state (empty
-    before the first rotation), sum-by-key, write, repoint. Returns
-    the rotated state as read back from storage. Replay-idempotent
-    per stamp and ordering-guarded per the module docstring."""
-    cols = [*key_cols, *sum_cols]
+    before the first rotation), merge-by-key with each column's
+    declared monoid (``merge_cols``: column -> 'sum' | 'min' | 'max'),
+    write, repoint. Returns the rotated state as read back from
+    storage. Replay-idempotent per stamp and ordering-guarded per the
+    module docstring."""
+    unknown = {f for f in merge_cols.values() if f not in _MERGE_FNS}
+    if unknown:
+        raise ValueError(f"unsupported merge fns: {sorted(unknown)}")
+    cols = [*key_cols, *merge_cols]
+    aggs = [_MERGE_FNS[fn](c).alias(c) for c, fn in merge_cols.items()]
     if snapshot_committed(spark, base_dir, stamp):
         current_stamp = marker_stamp(spark, base_dir)
         if current_stamp is not None and stamp_is_older(stamp, current_stamp):
@@ -146,22 +167,38 @@ def maintain_additive_state(
         return latest_snapshot(spark, base_dir)
     current = latest_snapshot(spark, base_dir)
     if current is None:
-        # Normalize the FIRST rotation through the same sum-by-key as
-        # every later merge: a caller passing a non-pre-aggregated
+        # Normalize the FIRST rotation through the same merge-by-key
+        # as every later one: a caller passing a non-pre-aggregated
         # contribution must not seed the state with duplicate-key rows
         # that read paths would then double-count. Cheap — the
         # contribution is bounded at state grain by contract.
-        merged = (
-            contribution.select(*cols)
-            .groupBy(*key_cols)
-            .agg(*[F.sum(c).alias(c) for c in sum_cols])
-        )
+        merged = contribution.select(*cols).groupBy(*key_cols).agg(*aggs)
     else:
         merged = (
             current.select(*cols)
             .unionByName(contribution.select(*cols))
             .groupBy(*key_cols)
-            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            .agg(*aggs)
         )
     rotate_snapshot(merged.select(*cols), base_dir, stamp)
     return latest_snapshot(spark, base_dir)
+
+
+def maintain_additive_state(
+    spark: SparkSession,
+    base_dir: str,
+    contribution: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    stamp: str,
+) -> DataFrame:
+    """The all-``sum`` special case of :func:`maintain_keyed_state` —
+    the original additive contract every counting maintainer uses."""
+    return maintain_keyed_state(
+        spark,
+        base_dir,
+        contribution,
+        key_cols,
+        {c: "sum" for c in sum_cols},
+        stamp,
+    )

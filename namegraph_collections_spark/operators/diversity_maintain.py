@@ -1,0 +1,132 @@
+"""Incremental maintenance of the embedding-diversity state — the
+sum-identity metric (queries/corpus_stats.py::embedding_diversity) is
+ADDITIVE at (label, dim) grain, because every quantity it needs is a
+plain sum of per-row integers: the per-dim component sums S_ld, the
+per-row self-squares, and the row counts. So the corpus-level
+diversity of a GROWING embedding store maintains by sum-by-key on the
+shared additive-state core and re-derives exactly from state alone —
+new vectors fold in at batch cost, the store is never rescanned.
+
+State layout (one frame, all-BIGINT, all-sum — the nbq sentinel
+precedent): rows with ``dim >= 0`` carry the per-(label, dim)
+component sum in ``s``; ONE sentinel row per label (``dim = -1``)
+carries the label's vector count in ``n`` and self-square sum in
+``self2``. Bounded at labels x (DIM + 1) rows forever.
+
+Deployment story this closes: SemDeDup-style redundancy monitoring at
+ingest — each embedding micro-batch updates the state, and the read
+path answers "which clusters are going redundant" without touching
+the corpus (streaming twin: streaming/diversity_stream.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from namegraph_collections_spark.operators.additive_state import (
+    maintain_additive_state,
+)
+from namegraph_collections_spark.queries.corpus_stats import (
+    quantized_unit_vectors,
+)
+
+#: State schema: (label, dim, s, self2, n) — see module docstring.
+STATE_COLS = ["label", "dim", "s", "self2", "n"]
+
+#: Sentinel dim id for the per-label (count, self-square) row.
+SENTINEL_DIM = -1
+
+
+def diversity_state_for(emb: DataFrame) -> DataFrame:
+    """A batch's additive contribution: per-(label, dim) component
+    sums plus the per-label sentinel row — the IDENTICAL quantization
+    program as the one-shot query (``quantized_unit_vectors``)."""
+    qv = quantized_unit_vectors(emb).localCheckpoint(eager=False)
+    dims = (
+        qv.select("label", F.posexplode("qv").alias("dim", "qc"))
+        .groupBy("label", "dim")
+        .agg(F.sum("qc").cast("long").alias("s"))
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            "s",
+            F.lit(0).cast("long").alias("self2"),
+            F.lit(0).cast("long").alias("n"),
+        )
+    )
+    sentinel = qv.groupBy("label").agg(
+        F.sum(
+            F.aggregate(
+                F.transform("qv", lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        )
+        .cast("long")
+        .alias("self2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "label",
+        F.lit(SENTINEL_DIM).cast("long").alias("dim"),
+        F.lit(0).cast("long").alias("s"),
+        "self2",
+        "n",
+    )
+    return dims.unionByName(sentinel)
+
+
+def maintain_diversity_state(
+    spark: SparkSession, base_dir: str, new_emb: DataFrame, stamp: str
+) -> DataFrame:
+    """Merge an embedding batch into the standing diversity state and
+    rotate a dated snapshot (sum-by-key over <= labels x (DIM + 1)
+    rows). Same idempotence/ordering contract as every keyed-state
+    maintainer (operators/additive_state.py)."""
+    return maintain_additive_state(
+        spark,
+        base_dir,
+        diversity_state_for(new_emb),
+        key_cols=["label", "dim"],
+        sum_cols=["s", "self2", "n"],
+        stamp=stamp,
+    )
+
+
+def diversity_from_state(state: DataFrame) -> DataFrame:
+    """Re-derive the diversity table — (label, n_vecs, self_sq,
+    pair_num, pair_den) per label plus the label = -1 corpus row —
+    from the keyed state alone; equal by construction to the one-shot
+    ``embedding_diversity`` over the union of every merged batch
+    (pinned by tests/test_diversity_maintain.py)."""
+    dims = state.filter(F.col("dim") != SENTINEL_DIM)
+    per_label = state.filter(F.col("dim") == SENTINEL_DIM).select(
+        "label", F.col("n").alias("n_vecs"), F.col("self2").alias("self_sq")
+    )
+    a_label = dims.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("sum_sq")
+    )
+    rows_l = per_label.join(a_label, "label").selectExpr(
+        "label",
+        "n_vecs",
+        "self_sq",
+        "CAST(sum_sq - self_sq AS BIGINT) AS pair_num",
+        "CAST(n_vecs * (n_vecs - 1) AS BIGINT) AS pair_den",
+    )
+    a_all = (
+        dims.groupBy("dim")
+        .agg(F.sum("s").cast("long").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("sum_sq"))
+    )
+    tot = per_label.agg(
+        F.sum("n_vecs").cast("long").alias("n_vecs"),
+        F.sum("self_sq").cast("long").alias("self_sq"),
+    )
+    row_all = tot.crossJoin(F.broadcast(a_all)).selectExpr(
+        "CAST(-1 AS BIGINT) AS label",
+        "n_vecs",
+        "self_sq",
+        "CAST(sum_sq - self_sq AS BIGINT) AS pair_num",
+        "CAST(n_vecs * (n_vecs - 1) AS BIGINT) AS pair_den",
+    )
+    return rows_l.unionByName(row_all)

@@ -146,6 +146,27 @@ _QVEC_SQL = (
 )
 
 
+def quantized_unit_vectors(emb: DataFrame) -> DataFrame:
+    """(label, qv) — the per-row unit-normalize + {_DIVERSITY_Q}-
+    quantize program, shared by the one-shot diversity query and the
+    incremental maintainer (operators/diversity_maintain.py) so the
+    feature path can never drift between them. Purely row-local:
+    norm is the index-ordered fold, quantization floor-form — no
+    cross-row doubles anywhere."""
+    return emb.withColumn(
+        "norm", F.sqrt(_dot("embedding", "embedding"))
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.col("norm") * F.lit(float(_DIVERSITY_Q))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("qv"),
+    )
+
+
 @register(
     "embedding_diversity",
     oracle=f"""
@@ -215,22 +236,9 @@ def embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented bound, same class as the CMS grid constants).
     """
     emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
-    qv = (
-        emb.withColumn("norm", F.sqrt(_dot("embedding", "embedding")))
-        .select(
-            F.col("label").cast("long").alias("label"),
-            F.transform(
-                "embedding",
-                lambda x: F.floor(
-                    x.cast("double") / F.col("norm") * F.lit(float(_DIVERSITY_Q))
-                    + F.lit(0.5)
-                ).cast("long"),
-            ).alias("qv"),
-        )
-        # two consumers (self-square rollup + per-dim explode) —
-        # checkpoint so the scan+normalize runs once
-        .localCheckpoint(eager=False)
-    )
+    # two consumers (self-square rollup + per-dim explode) —
+    # checkpoint so the scan+normalize runs once
+    qv = quantized_unit_vectors(emb).localCheckpoint(eager=False)
     per_label = qv.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum(

@@ -127,3 +127,37 @@ def test_batch_stamps_order_numerically_past_any_padding_width(
         spark, base, contrib, ["k"], ["a", "b"], "b1000000"
     )
     assert _state_rows(state) == [(1, 2, 2)]
+
+
+@settings(**_SETTINGS)
+@given(rows=rows_strategy, split=splits_strategy)
+def test_mixed_monoid_batching_converges(spark, tmp_path_factory, rows, split):
+    """maintain_keyed_state with {a: min, b: sum}: any slicing of the
+    rows into batches converges to (min a, sum b) per key — the
+    guarantee the vocabulary index's first_doc column rides."""
+    from namegraph_collections_spark.operators.additive_state import (
+        maintain_keyed_state,
+    )
+
+    base = str(tmp_path_factory.mktemp("kstate"))
+    batches = {0: [], 1: [], 2: []}
+    for i, row in enumerate(rows):
+        batches[split[i % len(split)]].append(row)
+    state = None
+    stamp = 0
+    for b in range(3):
+        if not batches[b]:
+            continue
+        contrib = spark.createDataFrame(batches[b], "k long, a long, b long")
+        state = maintain_keyed_state(
+            spark, base, contrib, ["k"], {"a": "min", "b": "sum"}, f"t{stamp}"
+        )
+        stamp += 1
+    assert state is not None
+    agg: dict[int, tuple[int, int]] = {}
+    for k, a, b in rows:
+        pa, pb = agg.get(k, (None, 0))
+        agg[k] = (a if pa is None else min(pa, a), pb + b)
+    assert _state_rows(state) == sorted(
+        (k, a, b) for k, (a, b) in agg.items()
+    )

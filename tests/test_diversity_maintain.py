@@ -1,0 +1,70 @@
+"""Additive IVM for the embedding-diversity state
+(operators/diversity_maintain.py): the state merged over any batching
+must re-derive EXACTLY the one-shot embedding_diversity table —
+per-label rows AND the corpus row — plus the standard contract
+battery (streaming twin, replay idempotence)."""
+
+from __future__ import annotations
+
+from namegraph_collections_spark.operators.cdc import latest_snapshot
+from namegraph_collections_spark.operators.diversity_maintain import (
+    diversity_from_state,
+    diversity_state_for,
+    maintain_diversity_state,
+)
+from namegraph_collections_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(map(repr, (r[c] for c in cols))) for r in df.collect())
+
+
+def test_two_rotations_rederive_the_one_shot_diversity(spark, tmp_path):
+    base = str(tmp_path / "div_state")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    wave1 = emb.filter("vec_id % 2 = 0")
+    wave2 = emb.filter("vec_id % 2 = 1")
+
+    maintain_diversity_state(spark, base, wave1, "t0")
+    state = maintain_diversity_state(spark, base, wave2, "t1")
+
+    got = diversity_from_state(state)
+    want = REGISTRY["embedding_diversity"].fn(spark, SF_DIR)
+    assert _rows(got) == _rows(want)
+
+
+def test_replayed_batch_does_not_remerge(spark, tmp_path):
+    base = str(tmp_path / "div_replay")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    wave = emb.filter("vec_id % 2 = 0")
+    state1 = maintain_diversity_state(spark, base, wave, "t0")
+    replayed = maintain_diversity_state(spark, base, wave, "t0")
+    assert _rows(replayed) == _rows(state1)
+
+
+def test_streaming_twin_matches_the_one_shot(spark, tmp_path):
+    import shutil
+
+    from namegraph_collections_spark.streaming.diversity_stream import (
+        read_embeddings_stream,
+        run_diversity_maintenance_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    zone = tmp_path / "zone"
+    zone.mkdir()
+    for i, pred in enumerate(["vec_id % 2 = 0", "vec_id % 2 = 1"]):
+        d = tmp_path / f"_part{i}"
+        emb.filter(pred).coalesce(1).write.mode("overwrite").parquet(str(d))
+        for f in d.glob("part-*.parquet"):
+            shutil.copy(f, zone / f"file-{i}.parquet")
+
+    base = str(tmp_path / "div_stream_state")
+    run_diversity_maintenance_stream(
+        read_embeddings_stream(spark, str(zone)), base, str(tmp_path / "ckpt")
+    )
+    got = diversity_from_state(latest_snapshot(spark, base))
+    want = diversity_from_state(diversity_state_for(emb))
+    assert _rows(got) == _rows(want)
