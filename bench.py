@@ -146,11 +146,14 @@ HEADLINE = [
     "tokenizer_fertility",
     "lsh_tuning_eval",
     # Round 10 additions (append-only): the NB calibration curve +
-    # the corpus planning/profiling trio.
+    # the corpus planning/profiling trio + the overlap/packing audits.
     "nb_quality_calibration",
     "temperature_sampling_plan",
     "embedding_diversity",
     "heaps_law_curve",
+    "ngram_novelty_audit",
+    "source_overlap_matrix",
+    "packing_efficiency_eval",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

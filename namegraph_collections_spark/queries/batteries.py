@@ -62,6 +62,10 @@ from namegraph_collections_spark.queries.corpus_stats import (  # noqa: E402
     heaps_law_curve,
     temperature_sampling_plan,
 )
+from namegraph_collections_spark.queries.overlap_audit import (  # noqa: E402
+    ngram_novelty_audit,
+    source_overlap_matrix,
+)
 from namegraph_collections_spark.queries.quality_classifier import (
     nb_quality_calibration,  # noqa: F401  (oracle parity; battery uses the _from seam)
     nb_quality_calibration_from,
@@ -617,6 +621,7 @@ from namegraph_collections_spark.queries.training_data import (  # noqa: E402
     epoch_shuffle_plan,
     fuzzy_decontamination,  # noqa: F401  (oracle parity; battery uses the _from seam)
     fuzzy_decontamination_from,
+    packing_efficiency_eval,
     weighted_sample_topk,
 )
 
@@ -717,6 +722,12 @@ def rollup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS INTEGER), repeat_micro, CAST(NULL AS DOUBLE),
            CAST(NULL AS INTEGER), n_docs, share_micro, q_micro, alloc_docs
     FROM ({_oracle("temperature_sampling_plan")})
+    UNION ALL
+    SELECT 'packeff' AS op, CAST(NULL AS BIGINT), source, CAST(NULL AS VARCHAR),
+           CAST(n_bins AS INTEGER), fill_micro, CAST(NULL AS DOUBLE),
+           CAST(min_bins AS INTEGER), n_docs, total_tokens, max_bin_tokens,
+           capacity_tokens
+    FROM ({_oracle("packing_efficiency_eval")})
     """,
 )
 def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,6 +844,22 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_micro").alias("max_doc_id"),
         F.col("alloc_docs").alias("doc_id_sum"),
     )
+    # Round-10 packing-efficiency leg: one source-grain aggregate over
+    # the packing plan.
+    packeff = packing_efficiency_eval(spark, sf_dir).select(
+        F.lit("packeff").alias("op"),
+        _NULL_L().alias("doc_id"),
+        "source",
+        _NULL_S().alias("split"),
+        F.col("n_bins").cast("int").alias("rk"),
+        F.col("fill_micro").alias("w"),
+        _NULL_D().alias("skey"),
+        F.col("min_bins").cast("int").alias("rnk"),
+        "n_docs",
+        F.col("total_tokens").alias("min_doc_id"),
+        F.col("max_bin_tokens").alias("max_doc_id"),
+        F.col("capacity_tokens").alias("doc_id_sum"),
+    )
     return (
         mix.unionByName(grouped)
         .unionByName(weighted)
@@ -840,6 +867,7 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(epoch)
         .unionByName(dsir)
         .unionByName(tempmix)
+        .unionByName(packeff)
     )
 
 
@@ -908,6 +936,18 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("lsh_tuning_eval")})
+    UNION ALL
+    SELECT 'novelty' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           doc_id, CAST(NULL AS BIGINT), n_shingles, n_seen,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           novelty_micro, CAST(NULL AS BIGINT)
+    FROM ({_oracle("ngram_novelty_audit")})
+    UNION ALL
+    SELECT 'srcover' AS op, src_a, src_b,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n_shared, n_a,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           containment_micro, CAST(NULL AS BIGINT)
+    FROM ({_oracle("source_overlap_matrix")})
     """,
 )
 def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1110,6 +1150,36 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("n_keep"),
         _NULL_L().alias("rep_words"),
     )
+    # Round-10 overlap-audit legs: both are distinct-shingle-grain
+    # programs with their own (uncapped-by-design) existence joins —
+    # independent grain from the MinHash bands, so their scans are the
+    # honest cost (the dup-span precedent).
+    novelty = ngram_novelty_audit(spark, sf_dir).select(
+        F.lit("novelty").alias("op"),
+        _NULL_S().alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("doc_id").alias("id_a"),
+        _NULL_L().alias("id_b"),
+        F.col("n_shingles").alias("cnt"),
+        F.col("n_seen").alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        F.col("novelty_micro").alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
+    srcover = source_overlap_matrix(spark, sf_dir).select(
+        F.lit("srcover").alias("op"),
+        F.col("src_a").alias("fp"),
+        F.col("src_b").alias("s"),
+        _NULL_L().alias("id_a"),
+        _NULL_L().alias("id_b"),
+        F.col("n_shared").alias("cnt"),
+        F.col("n_a").alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        F.col("containment_micro").alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
     return (
         exact.unionByName(passage)
         .unionByName(tfidf)
@@ -1121,6 +1191,8 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(spans)
         .unionByName(fdecon)
         .unionByName(lshtune)
+        .unionByName(novelty)
+        .unionByName(srcover)
     )
 
 

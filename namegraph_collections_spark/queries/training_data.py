@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from namegraph_collections_spark.functions.det_round import round6_det
+from namegraph_collections_spark.functions.det_round import micro_spark, micro_sql, round6_det
 from namegraph_collections_spark.queries.dedup import (
     HOT_SHINGLE_DF_CAP,
     _MINHASH_BANDS_SQL,
@@ -30,6 +30,7 @@ from namegraph_collections_spark.queries.dedup import (
     _SHINGLES_SQL,
 )
 from namegraph_collections_spark.queries.registry import (
+    REGISTRY,
     ranked_topk,
     register,
     spread,
@@ -614,4 +615,76 @@ def fuzzy_decontamination_from(bands: DataFrame) -> DataFrame:
     return pairs.groupBy("train_doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_test_matches"),
         F.min("test_doc_id").alias("first_test_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: packing efficiency eval.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "packing_efficiency_eval",
+    # Embeds the packing oracle verbatim (battery construction rule):
+    # the eval can never drift from the packer it measures.
+    oracle=f"""
+    WITH packed AS MATERIALIZED ({{packing}}),
+    per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(total_tokens) AS BIGINT) AS total_tokens,
+             CAST(MAX(total_tokens) AS BIGINT) AS max_bin_tokens
+      FROM packed GROUP BY source
+    )
+    SELECT source, n_bins, n_docs, total_tokens, max_bin_tokens,
+           CAST(n_bins * {PACK_BUDGET} AS BIGINT) AS capacity_tokens,
+           CAST({{fill}} AS BIGINT) AS fill_micro,
+           CAST((total_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS BIGINT)
+             AS min_bins
+    FROM per_source
+    """.format(
+        packing="__PACKING_ORACLE__",
+        fill=micro_sql("total_tokens", f"n_bins * {PACK_BUDGET}"),
+    ).replace("__PACKING_ORACLE__", REGISTRY["sequence_packing"].oracle),
+)
+def packing_efficiency_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level efficiency of the concat-and-chop packer: per
+    source, the realized bin count vs the ideal split-anywhere count
+    (min_bins = ceil(tokens/budget) — a comparison point, not a
+    bound: the chop rule spills a document past the budget of the bin
+    its first token lands in, so realized bins can be fatter AND
+    fewer than the ideal, or thinner and more numerous), the fill
+    ratio in micro-units (can exceed 1e6 for the same reason), and
+    the fattest bin. This is the report that says whether the packing
+    order is wasting context windows — the go/no-go before burning
+    compute on a shard.
+
+    Scale shape: one aggregate over the packing plan's (source, bin)
+    rows — source grain, broadcast class; the packing plan itself is
+    the already-audited window+rollup. Rides sequence_packing's
+    lineage as a battery leg at ~zero marginal cost.
+    """
+    return packing_efficiency_from(sequence_packing(spark, sf_dir))
+
+
+def packing_efficiency_from(packed: DataFrame) -> DataFrame:
+    """The eval over an ALREADY-BUILT packing plan — the sharing seam
+    for battery use (one packing window feeds both legs)."""
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.max("total_tokens").cast("long").alias("max_bin_tokens"),
+    ).selectExpr(
+        "source",
+        "n_bins",
+        "n_docs",
+        "total_tokens",
+        "max_bin_tokens",
+        f"CAST(n_bins * {PACK_BUDGET} AS BIGINT) AS capacity_tokens",
+        f"CAST({micro_spark('total_tokens', f'n_bins * {PACK_BUDGET}')} AS BIGINT)"
+        " AS fill_micro",
+        f"CAST((total_tokens + {PACK_BUDGET} - 1) div {PACK_BUDGET} AS BIGINT)"
+        " AS min_bins",
     )

@@ -61,6 +61,8 @@ BATTERIES = {
         "dsir_importance_weights",
         # round 10: sqrt-temperature language sampling plan
         "temperature_sampling_plan",
+        # round 10: packing-efficiency eval (rides sequence_packing)
+        "packing_efficiency_eval",
     ],
     "lexical_dedup_battery": [
         "exact_dedup_groups",
@@ -83,6 +85,9 @@ BATTERIES = {
         # round 10: LSH banding tuning eval (candidate side rides the
         # battery's one bands build; VERDICT r9 #1)
         "lsh_tuning_eval",
+        # round 10: n-gram novelty audit + source containment matrix
+        "ngram_novelty_audit",
+        "source_overlap_matrix",
     ],
     "pq_battery": ["pq_adc_topk", "pq_rerank_topk"],
     "string_ops_battery": [

@@ -66,3 +66,67 @@ def test_heaps_curve_is_monotone_and_exhaustive(spark):
     for r in rows:
         assert 0 < r.vocab_size <= r.cum_tokens
         assert 0 < r.ttr_micro <= 1_000_000
+
+
+def test_novelty_audit_bounds_and_split(spark):
+    from namegraph_collections_spark.queries.training_data import (
+        TEST_BUCKET_CUTOFF,
+        _bucket16,
+    )
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["ngram_novelty_audit"].fn(spark, SF_DIR).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    test_ids = {
+        r.doc_id
+        for r in docs.filter(
+            _bucket16(F.col("doc_id")) < TEST_BUCKET_CUTOFF
+        ).collect()
+    }
+    for r in rows:
+        # only held-out docs are audited
+        assert r.doc_id in test_ids
+        assert 0 <= r.n_seen <= r.n_shingles
+        # novelty_micro is the exact ratio of unseen shingles
+        novel = r.n_shingles - r.n_seen
+        assert r.novelty_micro == (novel * 1_000_000 + r.n_shingles // 2) // r.n_shingles
+
+
+def test_source_overlap_is_directional_and_bounded(spark):
+    rows = REGISTRY["source_overlap_matrix"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_pair = {(r.src_a, r.src_b): r for r in rows}
+    for r in rows:
+        assert r.src_a != r.src_b
+        assert 0 < r.n_shared <= r.n_a
+        assert 0 < r.containment_micro <= 1_000_000
+        # the intersection is symmetric even though containment is not
+        mirror = by_pair.get((r.src_b, r.src_a))
+        if mirror is not None:
+            assert mirror.n_shared == r.n_shared
+
+
+def test_packing_efficiency_consistency(spark):
+    from namegraph_collections_spark.queries.training_data import PACK_BUDGET
+
+    packed = {r.source: r for r in
+              REGISTRY["packing_efficiency_eval"].fn(spark, SF_DIR).collect()}
+    plan = REGISTRY["sequence_packing"].fn(spark, SF_DIR).collect()
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for r in plan:
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += r.total_tokens
+        a[2] += r.n_docs
+    for src, r in packed.items():
+        n_bins, total, n_docs = agg[src]
+        assert (r.n_bins, r.total_tokens, r.n_docs) == (n_bins, total, n_docs)
+        assert r.capacity_tokens == r.n_bins * PACK_BUDGET
+        # min_bins is the ideal split-anywhere count — a comparison
+        # point, NOT a bound: the chop rule spills docs past the
+        # budget, so realized bins can land under it (fat bins) or
+        # over it (trailing underfull bins)
+        assert r.min_bins == (r.total_tokens + PACK_BUDGET - 1) // PACK_BUDGET
+        assert r.max_bin_tokens * r.n_bins >= r.total_tokens
