@@ -497,10 +497,21 @@ def nb_quality_eval_from(scores: DataFrame) -> DataFrame:
 #: keeps (approximately) the top k/K of held-out documents by margin.
 NBQ_CAL_K = 8
 
+#: Deterministic cap on the evaluation sample: the curve is computed
+#: over the first NBQ_CAL_MAX_EVAL held-out documents by doc_id
+#: (content-addressed, so the sample is reproducible on any engine).
+#: This makes the sample's boundedness PLAN-VISIBLE — the global rank
+#: windows sit above a TakeOrderedAndProject, satisfying the
+#: registry-wide no-unbounded-global-window guard — and is also the
+#: honest 100 TB design: a gate is calibrated on a bounded eval set,
+#: not on billions of held-out documents.
+NBQ_CAL_MAX_EVAL = 100_000
+
 _NBQ_CAL_ORACLE = f"""
     WITH s AS MATERIALIZED ({_NBQ_SCORES_ORACLE}),
     h AS MATERIALIZED (
       SELECT doc_id, label_hq, margin_micro FROM s WHERE NOT is_train
+      ORDER BY doc_id LIMIT {NBQ_CAL_MAX_EVAL}
     ),
     tot AS MATERIALIZED (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
@@ -586,15 +597,24 @@ def nb_quality_calibration_from(scores: DataFrame) -> DataFrame:
     the scores, eval, and calibration legs."""
     from pyspark.sql import Window
 
+    from namegraph_collections_spark.queries.registry import ranked_topk
+
     spark = scores.sparkSession
-    # localCheckpoint: the held-out slice feeds FIVE consumers (total
-    # counts, the rank window, the threshold join, the kept join, the
-    # AUC midranks) — without the cut each replays the classifier.
-    h = (
-        scores.filter("NOT is_train")
-        .select("doc_id", "label_hq", "margin_micro")
-        .localCheckpoint(eager=False)
-    )
+    # localCheckpoint the SCORES (not the sample): the held-out slice
+    # feeds FIVE consumers (total counts, the rank window, the
+    # threshold join, the kept join, the AUC midranks) — each replays
+    # only the cheap filter + TakeOrdered from the checkpointed
+    # scores. The sample itself stays UNcheckpointed so its
+    # TakeOrderedAndProject bound remains visible below the two global
+    # rank windows (the plan guard's requirement).
+    scores = scores.localCheckpoint(eager=False)
+    h = ranked_topk(
+        scores.filter("NOT is_train").select(
+            "doc_id", "label_hq", "margin_micro"
+        ),
+        NBQ_CAL_MAX_EVAL,
+        F.asc("doc_id"),
+    ).drop("rnk")
     tot = h.agg(
         F.count(F.lit(1)).cast("long").alias("n_tot"),
         F.sum(F.col("label_hq").cast("long")).cast("long").alias("p_tot"),
