@@ -150,11 +150,23 @@ def maintain_keyed_state(
     write, repoint. Returns the rotated state as read back from
     storage. Replay-idempotent per stamp and ordering-guarded per the
     module docstring."""
+    from namegraph_collections_spark.operators.cdc import pruned_stamps
+
     unknown = {f for f in merge_cols.values() if f not in _MERGE_FNS}
     if unknown:
         raise ValueError(f"unsupported merge fns: {sorted(unknown)}")
     cols = [*key_cols, *merge_cols]
     aggs = [_MERGE_FNS[fn](c).alias(c) for c, fn in merge_cols.items()]
+    if stamp in pruned_stamps(spark, base_dir):
+        # The stamp WAS committed but retention deleted its snapshot
+        # (operators/cdc.py::prune_snapshots): its idempotence marker
+        # is gone, so re-merging would silently double every measure.
+        # Refuse, like the out-of-order guard — pruned stamps are
+        # strictly older than the marker's by construction.
+        raise ValueError(
+            f"replay of pruned stamp {stamp!r}: its snapshot was removed "
+            "by retention; re-merging would double-count the batch"
+        )
     if snapshot_committed(spark, base_dir, stamp):
         current_stamp = marker_stamp(spark, base_dir)
         if current_stamp is not None and stamp_is_older(stamp, current_stamp):

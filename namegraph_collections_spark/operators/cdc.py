@@ -284,6 +284,109 @@ def latest_snapshot(spark, base_dir: str) -> DataFrame | None:
     return spark.read.parquet(f"{base_dir}/snapshot={stamp}")
 
 
+#: Ledger of snapshot stamps deleted by retention (one stamp per
+#: line). Kept so a batch-API replay of a PRUNED stamp can be refused
+#: instead of silently double-merging: ``snapshot_committed`` would
+#: return False for a deleted directory, and the merge path would
+#: fold the old batch into state a second time.
+PRUNED_LEDGER = "_PRUNED"
+
+
+def pruned_stamps(spark, base_dir: str) -> set[str]:
+    """The set of stamps retention has deleted (empty before the
+    first prune)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{PRUNED_LEDGER}")
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return set()
+    stream = fs.open(path)
+    try:
+        text = bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
+    return {line for line in text.splitlines() if line}
+
+
+def prune_snapshots(spark, base_dir: str, keep_last: int) -> list[str]:
+    """Retention for dated snapshot stores: delete all but the newest
+    ``keep_last`` snapshot directories, never touching the one the
+    latest-marker points at. Returns the pruned stamps (oldest
+    first).
+
+    Why it exists: ``rotate_snapshot`` keeps every dated copy (the
+    reference's archive semantics) — correct for a daily pipeline,
+    unbounded for the foreachBatch maintenance twins that rotate once
+    per MICRO-BATCH. A deployment calls this after (or periodically
+    between) merges; only snapshots STRICTLY OLDER than the marker's
+    are eligible, so the read path and any crash recovery of the
+    current state are untouched.
+
+    Replay contract: pruned stamps land in the ``_PRUNED`` ledger and
+    ``maintain_keyed_state`` REFUSES a replay of a ledgered stamp
+    (raising like the out-of-order guard) rather than re-merging a
+    batch whose idempotence marker was deleted. Structured Streaming
+    never replays past the latest batch, so the refusal only fires
+    for out-of-contract batch-API calls.
+
+    Ordering uses the keyed-state stamp comparison (numeric for
+    batch-shaped stamps), so 'b1000000' correctly outranks 'b999999'.
+    """
+    import functools
+
+    from namegraph_collections_spark.operators.additive_state import (
+        stamp_is_older,
+    )
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(base_dir)
+    fs = base.getFileSystem(conf)
+    if not fs.exists(base):
+        return []
+    stamps = []
+    for status in fs.listStatus(base):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("snapshot="):
+            stamps.append(name[len("snapshot="):])
+    stamps.sort(
+        key=functools.cmp_to_key(
+            lambda a, b: -1 if stamp_is_older(a, b) else (1 if stamp_is_older(b, a) else 0)
+        )
+    )
+    # never prune the marker's target or anything newer than it
+    jmarker = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{LATEST_MARKER}")
+    current = None
+    if fs.exists(jmarker):
+        stream = fs.open(jmarker)
+        try:
+            current = bytes(stream.readAllBytes()).decode("utf-8")
+        finally:
+            stream.close()
+    eligible = [
+        s
+        for s in stamps
+        if current is None or stamp_is_older(s, current)
+    ]
+    victims = eligible[: max(0, len(stamps) - keep_last)]
+    if not victims:
+        return []
+    # ledger FIRST (refuse-replay must win over a crash mid-prune: a
+    # ledgered-but-undeleted snapshot is only a leaked directory, the
+    # reverse would be a silent double-merge window)
+    ledger = pruned_stamps(spark, base_dir) | set(victims)
+    path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{PRUNED_LEDGER}")
+    out = fs.create(path, True)
+    out.write(bytearray(("\n".join(sorted(ledger)) + "\n").encode("utf-8")))
+    out.close()
+    for s in victims:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_dir}/snapshot={s}"), True)
+    return victims
+
+
 def sync_index(
     current: DataFrame,
     base_dir: str,

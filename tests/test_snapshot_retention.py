@@ -1,0 +1,92 @@
+"""Retention for dated snapshot stores
+(operators/cdc.py::prune_snapshots): the foreachBatch maintainers
+rotate one snapshot per micro-batch, so a long-lived stream needs
+pruning — and pruning must not open a double-merge window (a replayed
+stamp whose snapshot was deleted must be REFUSED, not re-merged)."""
+
+from __future__ import annotations
+
+import pytest
+
+from namegraph_collections_spark.operators.additive_state import (
+    maintain_additive_state,
+    marker_stamp,
+)
+from namegraph_collections_spark.operators.cdc import (
+    latest_snapshot,
+    prune_snapshots,
+    pruned_stamps,
+)
+
+
+def _state_rows(df):
+    return sorted((r.k, r.a) for r in df.collect())
+
+
+def _merge(spark, base, rows, stamp):
+    contrib = spark.createDataFrame(rows, "k long, a long")
+    return maintain_additive_state(spark, base, contrib, ["k"], ["a"], stamp)
+
+
+def _snapshot_dirs(tmp):
+    return sorted(p.name for p in tmp.iterdir() if p.name.startswith("snapshot="))
+
+
+def test_prune_keeps_newest_and_marker_and_state(spark, tmp_path):
+    base = str(tmp_path / "store")
+    for i in range(5):
+        _merge(spark, base, [(1, 1)], f"t{i}")
+    before = _state_rows(latest_snapshot(spark, base))
+
+    victims = prune_snapshots(spark, base, keep_last=2)
+    assert victims == ["t0", "t1", "t2"]
+    tmp = tmp_path / "store"
+    assert _snapshot_dirs(tmp) == ["snapshot=t3", "snapshot=t4"]
+    # marker untouched, state readable and unchanged
+    assert marker_stamp(spark, base) == "t4"
+    assert _state_rows(latest_snapshot(spark, base)) == before
+    assert pruned_stamps(spark, base) == {"t0", "t1", "t2"}
+    # idempotent: nothing further to prune
+    assert prune_snapshots(spark, base, keep_last=2) == []
+
+
+def test_replay_of_pruned_stamp_is_refused_not_remerged(spark, tmp_path):
+    base = str(tmp_path / "store2")
+    for i in range(3):
+        _merge(spark, base, [(1, 1)], f"t{i}")
+    prune_snapshots(spark, base, keep_last=1)
+    # at-least-once redelivery of a PRUNED batch: its idempotence
+    # marker (the committed snapshot) is gone, so the only safe answer
+    # is a refusal — re-merging would double-count
+    with pytest.raises(ValueError, match="pruned stamp"):
+        _merge(spark, base, [(1, 1)], "t0")
+    # state unharmed
+    assert _state_rows(latest_snapshot(spark, base)) == [(1, 3)]
+
+
+def test_prune_orders_batch_stamps_numerically(spark, tmp_path):
+    from namegraph_collections_spark.operators.additive_state import (
+        batch_stamp,
+    )
+
+    base = str(tmp_path / "store3")
+    # b999999 then b1000000 — lexicographically INVERTED order
+    _merge(spark, base, [(1, 1)], "b999999")
+    _merge(spark, base, [(1, 1)], "b1000000")
+    victims = prune_snapshots(spark, base, keep_last=1)
+    # the numerically-OLDER stamp must be the victim
+    assert victims == ["b999999"]
+    assert marker_stamp(spark, base) == "b1000000"
+    # and the wide-padded shared form sorts with them consistently
+    _merge(spark, base, [(1, 1)], batch_stamp(1000001))
+    assert prune_snapshots(spark, base, keep_last=1) == ["b1000000"]
+
+
+def test_marker_target_is_never_pruned_even_with_keep_last_one(
+    spark, tmp_path
+):
+    base = str(tmp_path / "store4")
+    _merge(spark, base, [(1, 1)], "t0")
+    assert prune_snapshots(spark, base, keep_last=1) == []
+    assert marker_stamp(spark, base) == "t0"
+    assert _state_rows(latest_snapshot(spark, base)) == [(1, 1)]
