@@ -77,6 +77,19 @@ def batch_stamp(batch_id: int) -> str:
     return f"b{batch_id:012d}"
 
 
+def canonical_stamp(stamp: str) -> str:
+    """Ledger-canonical spelling of a stamp: batch-shaped stamps
+    collapse to ``b<id>`` with no zero padding, so ``b999999`` and the
+    12-digit ``b000000999999`` are ONE ledger identity — they are the
+    same batch under ``stamp_is_older``, and the pruned-stamp refusal
+    must not be bypassable by re-spelling the id at a different
+    padding width (round-10 ADVICE). Non-batch stamps pass through
+    unchanged (their ordering contract is plain lexicographic, so
+    their spelling IS their identity)."""
+    m = _BATCH_STAMP_RE.match(stamp)
+    return f"b{int(m.group(1))}" if m else stamp
+
+
 def stamp_is_older(a: str, b: str) -> bool:
     """True iff stamp ``a`` is strictly older than ``b``. Batch-shaped
     stamps (``b<digits>``) compare by numeric batch id — immune to the
@@ -157,7 +170,7 @@ def maintain_keyed_state(
         raise ValueError(f"unsupported merge fns: {sorted(unknown)}")
     cols = [*key_cols, *merge_cols]
     aggs = [_MERGE_FNS[fn](c).alias(c) for c, fn in merge_cols.items()]
-    if stamp in pruned_stamps(spark, base_dir):
+    if canonical_stamp(stamp) in pruned_stamps(spark, base_dir):
         # The stamp WAS committed but retention deleted its snapshot
         # (operators/cdc.py::prune_snapshots): its idempotence marker
         # is gone, so re-merging would silently double every measure.

@@ -289,24 +289,57 @@ def latest_snapshot(spark, base_dir: str) -> DataFrame | None:
 #: instead of silently double-merging: ``snapshot_committed`` would
 #: return False for a deleted directory, and the merge path would
 #: fold the old batch into state a second time.
+#:
+#: Layout: APPEND-ONLY — each prune writes its OWN file under the
+#: ``_PRUNED.d/`` directory (named by its newest victim, so a crashed
+#: prune's rerun overwrites only its own idempotent entry) and readers
+#: union every file. Round-10 ADVICE fix: the previous single-file
+#: ledger was rewritten in place with a truncating ``fs.create``, so a
+#: crash during a LATER prune's rewrite (after truncate, before close)
+#: lost EARLIER pruned stamps whose snapshots were already deleted —
+#: exactly the double-merge window the ledger exists to close. With
+#: per-prune files, prior entries are never touched again. The legacy
+#: single ``_PRUNED`` file is still read for stores written by older
+#: builds.
 PRUNED_LEDGER = "_PRUNED"
+PRUNED_LEDGER_DIR = "_PRUNED.d"
+
+
+def _read_fs_text(fs, jvm, path_str: str) -> str:
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
+    try:
+        return bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
 
 
 def pruned_stamps(spark, base_dir: str) -> set[str]:
     """The set of stamps retention has deleted (empty before the
-    first prune)."""
+    first prune), in ledger-canonical spelling — batch-shaped stamps
+    are normalized through ``canonical_stamp`` on read so entries
+    written at any padding width match the membership test."""
+    from namegraph_collections_spark.operators.additive_state import (
+        canonical_stamp,
+    )
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{PRUNED_LEDGER}")
-    fs = path.getFileSystem(conf)
-    if not fs.exists(path):
-        return set()
-    stream = fs.open(path)
-    try:
-        text = bytes(stream.readAllBytes()).decode("utf-8")
-    finally:
-        stream.close()
-    return {line for line in text.splitlines() if line}
+    legacy = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{PRUNED_LEDGER}")
+    fs = legacy.getFileSystem(conf)
+    texts = []
+    if fs.exists(legacy):
+        texts.append(_read_fs_text(fs, jvm, f"{base_dir}/{PRUNED_LEDGER}"))
+    ldir = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{PRUNED_LEDGER_DIR}")
+    if fs.exists(ldir):
+        for status in fs.listStatus(ldir):
+            if status.isFile():
+                texts.append(_read_fs_text(fs, jvm, str(status.getPath())))
+    return {
+        canonical_stamp(line)
+        for text in texts
+        for line in text.splitlines()
+        if line
+    }
 
 
 def prune_snapshots(spark, base_dir: str, keep_last: int) -> list[str]:
@@ -376,11 +409,25 @@ def prune_snapshots(spark, base_dir: str, keep_last: int) -> list[str]:
         return []
     # ledger FIRST (refuse-replay must win over a crash mid-prune: a
     # ledgered-but-undeleted snapshot is only a leaked directory, the
-    # reverse would be a silent double-merge window)
-    ledger = pruned_stamps(spark, base_dir) | set(victims)
-    path = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{PRUNED_LEDGER}")
+    # reverse would be a silent double-merge window). Append-only:
+    # this prune writes its OWN file — earlier prunes' entries are
+    # never rewritten, so no crash here can lose them. The file is
+    # named by one of its victims (victim sets of distinct prunes are
+    # disjoint — deletion precedes the next prune's listing — so the
+    # name only repeats when a CRASHED prune reruns, and overwriting
+    # that partial file with a superset/equal set is idempotent).
+    from namegraph_collections_spark.operators.additive_state import (
+        canonical_stamp,
+    )
+
+    entries = sorted(canonical_stamp(s) for s in victims)
+    ldir = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{PRUNED_LEDGER_DIR}")
+    fs.mkdirs(ldir)
+    path = jvm.org.apache.hadoop.fs.Path(
+        f"{base_dir}/{PRUNED_LEDGER_DIR}/prune-{entries[-1]}"
+    )
     out = fs.create(path, True)
-    out.write(bytearray(("\n".join(sorted(ledger)) + "\n").encode("utf-8")))
+    out.write(bytearray(("\n".join(entries) + "\n").encode("utf-8")))
     out.close()
     for s in victims:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_dir}/snapshot={s}"), True)

@@ -28,6 +28,7 @@ from namegraph_collections_spark.operators.additive_state import (
     maintain_additive_state,
 )
 from namegraph_collections_spark.queries.corpus_stats import (
+    assert_diversity_bound,
     quantized_unit_vectors,
 )
 
@@ -100,8 +101,14 @@ def diversity_from_state(state: DataFrame) -> DataFrame:
     ``embedding_diversity`` over the union of every merged batch
     (pinned by tests/test_diversity_maintain.py)."""
     dims = state.filter(F.col("dim") != SENTINEL_DIM)
-    per_label = state.filter(F.col("dim") == SENTINEL_DIM).select(
-        "label", F.col("n").alias("n_vecs"), F.col("self2").alias("self_sq")
+    # same signed-64 exactness bound as the one-shot query: the
+    # aligned-group worst case overflows sum(s*s) near 3e6 vectors
+    # (corpus_stats.DIVERSITY_MAX_VECS) — raise, never wrap
+    per_label = assert_diversity_bound(
+        state.filter(F.col("dim") == SENTINEL_DIM).select(
+            "label", F.col("n").alias("n_vecs"), F.col("self2").alias("self_sq")
+        ),
+        "n_vecs",
     )
     a_label = dims.groupBy("label").agg(
         F.sum(F.col("s") * F.col("s")).cast("long").alias("sum_sq")
@@ -118,9 +125,12 @@ def diversity_from_state(state: DataFrame) -> DataFrame:
         .agg(F.sum("s").cast("long").alias("s"))
         .agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("sum_sq"))
     )
-    tot = per_label.agg(
-        F.sum("n_vecs").cast("long").alias("n_vecs"),
-        F.sum("self_sq").cast("long").alias("self_sq"),
+    tot = assert_diversity_bound(
+        per_label.agg(
+            F.sum("n_vecs").cast("long").alias("n_vecs"),
+            F.sum("self_sq").cast("long").alias("self_sq"),
+        ),
+        "n_vecs",
     )
     row_all = tot.crossJoin(F.broadcast(a_all)).selectExpr(
         "CAST(-1 AS BIGINT) AS label",

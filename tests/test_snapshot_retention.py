@@ -90,3 +90,60 @@ def test_marker_target_is_never_pruned_even_with_keep_last_one(
     assert prune_snapshots(spark, base, keep_last=1) == []
     assert marker_stamp(spark, base) == "t0"
     assert _state_rows(latest_snapshot(spark, base)) == [(1, 1)]
+
+
+def test_later_prune_cannot_lose_earlier_ledger_entries(spark, tmp_path):
+    """Round-10 ADVICE (medium): the single-file ledger was rewritten
+    in place, so a crash during a LATER prune's rewrite could lose
+    EARLIER pruned stamps whose snapshots were already deleted. The
+    append-only ``_PRUNED.d/`` layout writes one file per prune;
+    simulate the worst crash (the second prune's ledger file written
+    EMPTY — truncated mid-write) and the first prune's refusals must
+    survive."""
+    base = str(tmp_path / "store5")
+    for i in range(6):
+        _merge(spark, base, [(1, 1)], f"t{i}")
+    assert prune_snapshots(spark, base, keep_last=4) == ["t0", "t1"]
+    assert prune_snapshots(spark, base, keep_last=2) == ["t2", "t3"]
+    ldir = tmp_path / "store5" / "_PRUNED.d"
+    files = sorted(p.name for p in ldir.iterdir() if not p.name.startswith("."))
+    assert len(files) == 2, files  # one file per prune, never rewritten
+    # crash simulation: the SECOND prune's file truncated to nothing
+    (ldir / "prune-t3").write_text("")
+    assert pruned_stamps(spark, base) == {"t0", "t1"}
+    with pytest.raises(ValueError, match="pruned stamp"):
+        _merge(spark, base, [(1, 1)], "t0")
+
+
+def test_pruned_stamp_refusal_survives_padding_respelling(spark, tmp_path):
+    """Round-10 ADVICE: ledger membership was exact-string while stamp
+    ORDERING was numeric across padding widths — a batch pruned as
+    'b5' replayed as the canonical 12-digit spelling (or vice versa)
+    bypassed the ledger. Both spellings are one batch identity now."""
+    from namegraph_collections_spark.operators.additive_state import (
+        batch_stamp,
+    )
+
+    base = str(tmp_path / "store6")
+    _merge(spark, base, [(1, 1)], "b5")  # unpadded batch-API spelling
+    _merge(spark, base, [(1, 1)], batch_stamp(6))
+    assert prune_snapshots(spark, base, keep_last=1) == ["b5"]
+    with pytest.raises(ValueError, match="pruned stamp"):
+        _merge(spark, base, [(1, 1)], batch_stamp(5))  # padded respelling
+    base2 = str(tmp_path / "store7")
+    _merge(spark, base2, [(1, 1)], batch_stamp(5))  # padded first
+    _merge(spark, base2, [(1, 1)], batch_stamp(6))
+    prune_snapshots(spark, base2, keep_last=1)
+    with pytest.raises(ValueError, match="pruned stamp"):
+        _merge(spark, base2, [(1, 1)], "b5")  # unpadded respelling
+
+
+def test_legacy_single_file_ledger_still_read(spark, tmp_path):
+    """Stores written by older builds carry a single ``_PRUNED`` file;
+    its entries must keep refusing replays (at any padding width)."""
+    base = str(tmp_path / "store8")
+    _merge(spark, base, [(1, 1)], "b000000000007")
+    (tmp_path / "store8" / "_PRUNED").write_text("b000000000003\n")
+    assert pruned_stamps(spark, base) == {"b3"}
+    with pytest.raises(ValueError, match="pruned stamp"):
+        _merge(spark, base, [(1, 1)], "b3")
