@@ -111,14 +111,25 @@ from namegraph_collections_spark.queries import batteries  # noqa: E402,F401  (m
 #: CAST so DuckDB never promotes to HUGEINT; skew_ratio_micro emitted
 #: directly as BIGINT). The six singles AND the original six-leg
 #: battery stay registered post-window.
+#: Round 11 BISECTS the lexical-dedup family (VERDICT r10 #2): at
+#: 17s median and 13 legs it was the slowest, fastest-growing driver
+#: row — a red leg would have cost all 13 components' attribution.
+#: lexical_dedup_battery keeps the independent-scan fingerprint/audit
+#: legs (exact, passage, tfidf, winnow, spans, novelty, srcover); the
+#: new banded_dedup_battery carries the MinHash-band family that
+#: shares ONE bands/quality/closure build (incremental, rep, funnel,
+#: cstats, fdecon, lshtune). The freed slot comes from compositing
+#: the simhash + embedding-LSH singles into
+#: neardup_candidates_battery (the pricing_summary precedent); both
+#: singles stay registered post-window.
 DRIVER_WINDOW: list[str] = [
     "wiki_all_info",
     "wiki_documents",
     "wiki_validate_members",
     "lexical_dedup_battery",
+    "banded_dedup_battery",
     "ngram_jaccard_pairs",
-    "simhash_neardup_candidates",
-    "embedding_neardup_pairs",
+    "neardup_candidates_battery",
     "minhash_lsh_candidates",
     "neardup_clusters",
     "decontamination_overlap",

@@ -588,12 +588,14 @@ from namegraph_collections_spark.queries.dedup import (  # noqa: E402
     _minhash_pairs_from,
     dedup_cluster_stats,  # noqa: F401  (oracle parity; battery uses the _from seam)
     dedup_cluster_stats_from,
+    embedding_neardup_pairs,
     exact_dedup_groups,
     incremental_minhash_dedup,  # noqa: F401  (oracle parity; battery uses the _from seam)
     incremental_minhash_dedup_from,
     lsh_tuning_eval_from,
     ngram_jaccard_pairs,
     passage_dedup,
+    simhash_neardup_candidates,
     tfidf_cosine_pairs,
     winnowing_fingerprints,
 )
@@ -891,51 +893,17 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("tfidf_cosine_pairs")})
     UNION ALL
-    SELECT 'incremental' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-           new_doc, old_doc, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           jaccard, is_dup, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-    FROM ({_oracle("incremental_minhash_dedup")})
-    UNION ALL
     SELECT 'winnow' AS op, CAST(fp AS VARCHAR), CAST(NULL AS VARCHAR),
            doc_id, fp_pos, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_oracle("winnowing_fingerprints")})
     UNION ALL
-    SELECT 'rep' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-           cluster_id, rep_doc_id, cluster_size, n_dropped,
-           CAST(NULL AS DOUBLE), rep_keep, n_quality_keep, rep_n_words
-    FROM ({_oracle("neardup_representatives")})
-    UNION ALL
-    SELECT 'funnel' AS op, stage, detail, doc_id_sum,
-           CAST(NULL AS BIGINT), n_docs, n_words_total,
-           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
-           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-    FROM ({_oracle("training_pipeline_e2e")})
-    UNION ALL
-    SELECT 'cstats' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-           cluster_size, n_clusters, n_docs, n_removable,
-           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
-           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-    FROM ({_oracle("dedup_cluster_stats")})
-    UNION ALL
     SELECT 'spans' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            doc_id, span_id, start_word, end_word,
            CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
            span_words, n_shingles
     FROM ({_oracle("dup_span_extract")})
-    UNION ALL
-    SELECT 'fdecon' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-           train_doc_id, first_test_doc, n_test_matches,
-           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-           CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-    FROM ({_oracle("fuzzy_decontamination")})
-    UNION ALL
-    SELECT 'lshtune' AS op, metric, CAST(NULL AS VARCHAR),
-           thr_micro, value_micro, n_hit, n_pairs,
-           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
-           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-    FROM ({_oracle("lsh_tuning_eval")})
     UNION ALL
     SELECT 'novelty' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
            doc_id, CAST(NULL AS BIGINT), n_shingles, n_seen,
@@ -951,31 +919,19 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact fingerprint groups + cross-document passage dedup +
-    idf-weighted cosine pairs + incremental (batch-vs-corpus) MinHash
-    dedup + winnowing local fingerprints + per-cluster representative
-    selection + the end-to-end training-pipeline funnel + the
-    cluster-size histogram + (round 9) ExactSubstr-style duplicated
-    spans + (round 10) the LSH banding tuning eval in one tagged
-    result. Components unchanged: queries/dedup.py, dedup_select.py,
-    pipeline_e2e.py, span_dedup.py.
+    """Fingerprint/shingle-grain dedup legs in one tagged result:
+    exact fingerprint groups + cross-document passage dedup +
+    idf-weighted cosine pairs + winnowing local fingerprints +
+    ExactSubstr-style duplicated spans + the n-gram novelty audit +
+    the source containment matrix. Every leg is an independent scan
+    (its own honest shingle/fingerprint grain — no sharing seam
+    applies). Round-11 bisect (VERDICT r10 #2, the
+    sketch_stats_battery precedent): the MinHash-band family moved to
+    ``banded_dedup_battery`` so the slowest, fastest-growing driver
+    row splits into two balanced halves and a red leg costs only its
+    half's attribution. Components unchanged: queries/dedup.py,
+    span_dedup.py, overlap_audit.py.
     """
-    from namegraph_collections_spark.queries.registry import tbl as _tbl
-
-    # ONE bands build feeds both the incremental probe (which itself
-    # references it twice: index side + batch side) and the
-    # representative closure's pair generation; localCheckpoint
-    # because ReusedExchange does not dedup the repeated subtrees
-    # (the measured battery finding; A/B in MEASUREMENTS.md). The
-    # round-8 funnel leg extends the sharing one level further: ONE
-    # quality frame and ONE components closure (rep_full) feed both
-    # the rep leg and the funnel's fuzzy stage.
-    docs = _tbl(spark, sf_dir, "documents")
-    bands = _minhash_bands(docs).localCheckpoint(eager=False)
-    quality = doc_quality_signals(spark, sf_dir).localCheckpoint(eager=False)
-    rep_full = neardup_representatives_from(
-        docs, _minhash_pairs_from(bands), quality
-    ).localCheckpoint(eager=False)
     exact = exact_dedup_groups(spark, sf_dir).select(
         F.lit("exact").alias("op"),
         F.col("fingerprint").alias("fp"),
@@ -1015,19 +971,6 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("n_keep"),
         _NULL_L().alias("rep_words"),
     )
-    inc = incremental_minhash_dedup_from(docs, bands).select(
-        F.lit("incremental").alias("op"),
-        _NULL_S().alias("fp"),
-        _NULL_S().alias("s"),
-        F.col("new_doc").alias("id_a"),
-        F.col("old_doc").alias("id_b"),
-        _NULL_L().alias("cnt"),
-        _NULL_L().alias("nd"),
-        F.col("jaccard").alias("cosine"),
-        "is_dup",
-        _NULL_L().alias("n_keep"),
-        _NULL_L().alias("rep_words"),
-    )
     winnow = winnowing_fingerprints(spark, sf_dir).select(
         F.lit("winnow").alias("op"),
         F.col("fp").cast("string").alias("fp"),
@@ -1036,48 +979,6 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp_pos").alias("id_b"),
         _NULL_L().alias("cnt"),
         _NULL_L().alias("nd"),
-        _NULL_D().alias("cosine"),
-        _NULL_B().alias("is_dup"),
-        _NULL_L().alias("n_keep"),
-        _NULL_L().alias("rep_words"),
-    )
-    rep = rep_full.select(
-        F.lit("rep").alias("op"),
-        _NULL_S().alias("fp"),
-        _NULL_S().alias("s"),
-        F.col("cluster_id").alias("id_a"),
-        F.col("rep_doc_id").alias("id_b"),
-        F.col("cluster_size").alias("cnt"),
-        F.col("n_dropped").alias("nd"),
-        _NULL_D().alias("cosine"),
-        F.col("rep_keep").alias("is_dup"),
-        F.col("n_quality_keep").alias("n_keep"),
-        F.col("rep_n_words").alias("rep_words"),
-    )
-    funnel = training_pipeline_e2e_from(docs, rep_full, quality).select(
-        F.lit("funnel").alias("op"),
-        F.col("stage").alias("fp"),
-        F.col("detail").alias("s"),
-        F.col("doc_id_sum").alias("id_a"),
-        _NULL_L().alias("id_b"),
-        F.col("n_docs").alias("cnt"),
-        F.col("n_words_total").alias("nd"),
-        _NULL_D().alias("cosine"),
-        _NULL_B().alias("is_dup"),
-        _NULL_L().alias("n_keep"),
-        _NULL_L().alias("rep_words"),
-    )
-    # Round-8 cluster-stats leg: rep_full is already one row per
-    # cluster carrying cluster_size, so the histogram costs one tiny
-    # groupBy on the shared closure — no second components build.
-    cstats = dedup_cluster_stats_from(rep_full).select(
-        F.lit("cstats").alias("op"),
-        _NULL_S().alias("fp"),
-        _NULL_S().alias("s"),
-        F.col("cluster_size").alias("id_a"),
-        F.col("n_clusters").alias("id_b"),
-        F.col("n_docs").alias("cnt"),
-        F.col("n_removable").alias("nd"),
         _NULL_D().alias("cosine"),
         _NULL_B().alias("is_dup"),
         _NULL_L().alias("n_keep"),
@@ -1098,57 +999,6 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_B().alias("is_dup"),
         F.col("span_words").alias("n_keep"),
         F.col("n_shingles").alias("rep_words"),
-    )
-    # Round-9b fuzzy-decontamination leg: rides the SAME checkpointed
-    # bands build as the incremental probe and the rep closure.
-    # Round-10 LSH-tuning leg (VERDICT r9 #1 — the one registry row
-    # without a driver hash): the candidate side rides the SAME
-    # checkpointed bands build as the incremental probe, the rep
-    # closure, and the fdecon leg; only the exact-Jaccard truth side
-    # adds its own (df-capped, never all-pairs) shingle pass. Both
-    # pair frames are checkpointed because recall AND precision legs
-    # consume each (the lsh_tuning_eval double-subtree finding).
-    tune_truth = (
-        ngram_jaccard_pairs(spark, sf_dir)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias(
-                "j_micro"
-            ),
-        )
-        .localCheckpoint(eager=False)
-    )
-    tune_cand = (
-        _minhash_pairs_from(bands)
-        .withColumn("hit", F.lit(1))
-        .localCheckpoint(eager=False)
-    )
-    lshtune = lsh_tuning_eval_from(tune_truth, tune_cand).select(
-        F.lit("lshtune").alias("op"),
-        F.col("metric").alias("fp"),
-        _NULL_S().alias("s"),
-        F.col("thr_micro").alias("id_a"),
-        F.col("value_micro").alias("id_b"),
-        F.col("n_hit").alias("cnt"),
-        F.col("n_pairs").alias("nd"),
-        _NULL_D().alias("cosine"),
-        _NULL_B().alias("is_dup"),
-        _NULL_L().alias("n_keep"),
-        _NULL_L().alias("rep_words"),
-    )
-    fdecon = fuzzy_decontamination_from(bands).select(
-        F.lit("fdecon").alias("op"),
-        _NULL_S().alias("fp"),
-        _NULL_S().alias("s"),
-        F.col("train_doc_id").alias("id_a"),
-        F.col("first_test_doc").alias("id_b"),
-        F.col("n_test_matches").alias("cnt"),
-        _NULL_L().alias("nd"),
-        _NULL_D().alias("cosine"),
-        _NULL_B().alias("is_dup"),
-        _NULL_L().alias("n_keep"),
-        _NULL_L().alias("rep_words"),
     )
     # Round-10 overlap-audit legs: both are distinct-shingle-grain
     # programs with their own (uncapped-by-design) existence joins —
@@ -1183,17 +1033,238 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.unionByName(passage)
         .unionByName(tfidf)
-        .unionByName(inc)
         .unionByName(winnow)
-        .unionByName(rep)
-        .unionByName(funnel)
-        .unionByName(cstats)
         .unionByName(spans)
-        .unionByName(fdecon)
-        .unionByName(lshtune)
         .unionByName(novelty)
         .unionByName(srcover)
     )
+
+
+@register(
+    "banded_dedup_battery",
+    oracle=f"""
+    SELECT 'incremental' AS op, CAST(NULL AS VARCHAR) AS fp,
+           CAST(NULL AS VARCHAR) AS s,
+           new_doc AS id_a, old_doc AS id_b, CAST(NULL AS BIGINT) AS cnt,
+           CAST(NULL AS BIGINT) AS nd,
+           jaccard AS cosine, is_dup,
+           CAST(NULL AS BIGINT) AS n_keep, CAST(NULL AS BIGINT) AS rep_words
+    FROM ({_oracle("incremental_minhash_dedup")})
+    UNION ALL
+    SELECT 'rep' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           cluster_id, rep_doc_id, cluster_size, n_dropped,
+           CAST(NULL AS DOUBLE), rep_keep, n_quality_keep, rep_n_words
+    FROM ({_oracle("neardup_representatives")})
+    UNION ALL
+    SELECT 'funnel' AS op, stage, detail, doc_id_sum,
+           CAST(NULL AS BIGINT), n_docs, n_words_total,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_oracle("training_pipeline_e2e")})
+    UNION ALL
+    SELECT 'cstats' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           cluster_size, n_clusters, n_docs, n_removable,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_oracle("dedup_cluster_stats")})
+    UNION ALL
+    SELECT 'fdecon' AS op, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           train_doc_id, first_test_doc, n_test_matches,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_oracle("fuzzy_decontamination")})
+    UNION ALL
+    SELECT 'lshtune' AS op, metric, CAST(NULL AS VARCHAR),
+           thr_micro, value_micro, n_hit, n_pairs,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_oracle("lsh_tuning_eval")})
+    """,
+)
+def banded_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-band family in one tagged result: incremental
+    (batch-vs-corpus) MinHash dedup + per-cluster representative
+    selection + the end-to-end training-pipeline funnel + the
+    cluster-size histogram + MinHash-band fuzzy decontamination + the
+    LSH banding tuning eval. Split out of ``lexical_dedup_battery``
+    in round 11 (VERDICT r10 #2): these six legs share ONE bands
+    build / ONE quality frame / ONE components closure, so they stay
+    together; the independent-scan fingerprint/audit legs form the
+    other half. Components unchanged: queries/dedup.py,
+    dedup_select.py, pipeline_e2e.py, training_data.py.
+    """
+    from namegraph_collections_spark.queries.registry import tbl as _tbl
+
+    # ONE bands build feeds the incremental probe (which itself
+    # references it twice: index side + batch side), the
+    # representative closure's pair generation, the fdecon leg, and
+    # the lshtune candidate side; localCheckpoint because
+    # ReusedExchange does not dedup the repeated subtrees (the
+    # measured battery finding; A/B in MEASUREMENTS.md). ONE quality
+    # frame and ONE components closure (rep_full) feed the rep leg,
+    # the cstats histogram, and the funnel's fuzzy stage.
+    docs = _tbl(spark, sf_dir, "documents")
+    bands = _minhash_bands(docs).localCheckpoint(eager=False)
+    quality = doc_quality_signals(spark, sf_dir).localCheckpoint(eager=False)
+    rep_full = neardup_representatives_from(
+        docs, _minhash_pairs_from(bands), quality
+    ).localCheckpoint(eager=False)
+    inc = incremental_minhash_dedup_from(docs, bands).select(
+        F.lit("incremental").alias("op"),
+        _NULL_S().alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("new_doc").alias("id_a"),
+        F.col("old_doc").alias("id_b"),
+        _NULL_L().alias("cnt"),
+        _NULL_L().alias("nd"),
+        F.col("jaccard").alias("cosine"),
+        "is_dup",
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
+    rep = rep_full.select(
+        F.lit("rep").alias("op"),
+        _NULL_S().alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("cluster_id").alias("id_a"),
+        F.col("rep_doc_id").alias("id_b"),
+        F.col("cluster_size").alias("cnt"),
+        F.col("n_dropped").alias("nd"),
+        _NULL_D().alias("cosine"),
+        F.col("rep_keep").alias("is_dup"),
+        F.col("n_quality_keep").alias("n_keep"),
+        F.col("rep_n_words").alias("rep_words"),
+    )
+    funnel = training_pipeline_e2e_from(docs, rep_full, quality).select(
+        F.lit("funnel").alias("op"),
+        F.col("stage").alias("fp"),
+        F.col("detail").alias("s"),
+        F.col("doc_id_sum").alias("id_a"),
+        _NULL_L().alias("id_b"),
+        F.col("n_docs").alias("cnt"),
+        F.col("n_words_total").alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
+    # cluster-stats leg: rep_full is already one row per cluster
+    # carrying cluster_size, so the histogram costs one tiny groupBy
+    # on the shared closure — no second components build.
+    cstats = dedup_cluster_stats_from(rep_full).select(
+        F.lit("cstats").alias("op"),
+        _NULL_S().alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("cluster_size").alias("id_a"),
+        F.col("n_clusters").alias("id_b"),
+        F.col("n_docs").alias("cnt"),
+        F.col("n_removable").alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
+    fdecon = fuzzy_decontamination_from(bands).select(
+        F.lit("fdecon").alias("op"),
+        _NULL_S().alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("train_doc_id").alias("id_a"),
+        F.col("first_test_doc").alias("id_b"),
+        F.col("n_test_matches").alias("cnt"),
+        _NULL_L().alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
+    # LSH-tuning leg: the candidate side rides the SAME checkpointed
+    # bands build as the other legs; only the exact-Jaccard truth
+    # side adds its own (df-capped, never all-pairs) shingle pass.
+    # Both pair frames are checkpointed because recall AND precision
+    # legs consume each (the lsh_tuning_eval double-subtree finding).
+    tune_truth = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias(
+                "j_micro"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tune_cand = (
+        _minhash_pairs_from(bands)
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    lshtune = lsh_tuning_eval_from(tune_truth, tune_cand).select(
+        F.lit("lshtune").alias("op"),
+        F.col("metric").alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("thr_micro").alias("id_a"),
+        F.col("value_micro").alias("id_b"),
+        F.col("n_hit").alias("cnt"),
+        F.col("n_pairs").alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        _NULL_L().alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
+    return (
+        inc.unionByName(rep)
+        .unionByName(funnel)
+        .unionByName(cstats)
+        .unionByName(fdecon)
+        .unionByName(lshtune)
+    )
+
+
+@register(
+    "neardup_candidates_battery",
+    oracle=f"""
+    SELECT 'simhash' AS op, doc_a AS id_a, doc_b AS id_b,
+           a_hi, a_lo, b_hi, b_lo, hamming,
+           CAST(NULL AS DOUBLE) AS cosine
+    FROM ({_oracle("simhash_neardup_candidates")})
+    UNION ALL
+    SELECT 'emblsh' AS op, vec_a, vec_b,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS INTEGER), cosine
+    FROM ({_oracle("embedding_neardup_pairs")})
+    """,
+)
+def neardup_candidates_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball candidates + embedding sign-bit-LSH
+    cosine pairs in one tagged result — composited in round 11 to
+    free the driver-window slot the ``lexical_dedup_battery`` bisect
+    needs (the round-9 ``revenue_olap_battery`` precedent). The two
+    singles stay registered; components unchanged: queries/dedup.py.
+    """
+    sim = simhash_neardup_candidates(spark, sf_dir).select(
+        F.lit("simhash").alias("op"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "a_hi",
+        "a_lo",
+        "b_hi",
+        "b_lo",
+        "hamming",
+        _NULL_D().alias("cosine"),
+    )
+    emb = embedding_neardup_pairs(spark, sf_dir).select(
+        F.lit("emblsh").alias("op"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        _NULL_L().alias("a_hi"),
+        _NULL_L().alias("a_lo"),
+        _NULL_L().alias("b_hi"),
+        _NULL_L().alias("b_lo"),
+        _NULL_I().alias("hamming"),
+        "cosine",
+    )
+    return sim.unionByName(emb)
 
 
 # ---------------------------------------------------------------------------

@@ -64,30 +64,39 @@ BATTERIES = {
         # round 10: packing-efficiency eval (rides sequence_packing)
         "packing_efficiency_eval",
     ],
+    # round 11: the lexical-dedup bisect (VERDICT r10 #2) — the
+    # independent-scan fingerprint/audit legs stay here...
     "lexical_dedup_battery": [
         "exact_dedup_groups",
         "passage_dedup",
         "tfidf_cosine_pairs",
-        "incremental_minhash_dedup",
         # round 7: winnowing local fingerprints
         "winnowing_fingerprints",
-        # round 7: per-cluster representative selection
-        "neardup_representatives",
-        # round 8: the end-to-end training-pipeline funnel
-        "training_pipeline_e2e",
-        # round 9b: MinHash-band fuzzy decontamination (shares the
-        # battery's one bands build)
-        "fuzzy_decontamination",
-        # round 8: cluster-size histogram (shares the closure)
-        "dedup_cluster_stats",
         # round 9: ExactSubstr-style duplicated spans
         "dup_span_extract",
-        # round 10: LSH banding tuning eval (candidate side rides the
-        # battery's one bands build; VERDICT r9 #1)
-        "lsh_tuning_eval",
         # round 10: n-gram novelty audit + source containment matrix
         "ngram_novelty_audit",
         "source_overlap_matrix",
+    ],
+    # ...and the MinHash-band family (one shared bands/quality/closure
+    # build) moves to its own driver row
+    "banded_dedup_battery": [
+        "incremental_minhash_dedup",
+        # per-cluster representative selection
+        "neardup_representatives",
+        # the end-to-end training-pipeline funnel
+        "training_pipeline_e2e",
+        # cluster-size histogram (shares the closure)
+        "dedup_cluster_stats",
+        # MinHash-band fuzzy decontamination (shares the bands build)
+        "fuzzy_decontamination",
+        # LSH banding tuning eval (candidate side rides the bands)
+        "lsh_tuning_eval",
+    ],
+    # round 11: composited to free the window slot for the bisect
+    "neardup_candidates_battery": [
+        "simhash_neardup_candidates",
+        "embedding_neardup_pairs",
     ],
     "pq_battery": ["pq_adc_topk", "pq_rerank_topk"],
     "string_ops_battery": [

@@ -130,6 +130,9 @@ def test_semi_and_anti_join_physical(spark):
         "fuzzy_decontamination",
         "tokenizer_fertility",
         "lsh_tuning_eval",
+        # round 11: the lexical bisect + the composited candidates row
+        "banded_dedup_battery",
+        "neardup_candidates_battery",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):

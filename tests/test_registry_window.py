@@ -155,6 +155,23 @@ R9_COMPOSITED = [
     "dup_span_extract",  # rides lexical_dedup_battery
 ]
 
+# round 11: the lexical-dedup bisect (VERDICT r10 #2). The 13-leg
+# lexical_dedup_battery — slowest, fastest-growing driver row — splits
+# in two: the independent-scan fingerprint/audit legs keep the name
+# and slot, the MinHash-band family (one shared bands/quality/closure
+# build) takes the NEW slot directly after it. The freed slot comes
+# from compositing the simhash + embedding-LSH singles into
+# neardup_candidates_battery in place (the r9 pricing_summary
+# precedent).
+R11_REPLACED = {
+    "simhash_neardup_candidates": "neardup_candidates_battery",
+    "embedding_neardup_pairs": None,
+}
+R11_COMPOSITED = [
+    "simhash_neardup_candidates",
+    "embedding_neardup_pairs",
+]
+
 # round 8: singles composited into an existing window battery
 # (window membership unchanged — only battery legs grew)
 R8_COMPOSITED = [
@@ -204,6 +221,15 @@ def _expected_window() -> list[str]:
         out.append(R6_REPLACED.get(name) or name)
     # round-9 in-place replacements (the sketch bisect)
     out = [R9_REPLACED.get(name, name) for name in out]
+    # round-11 in-place replacements (the lexical bisect): composite
+    # two singles into one battery, spend the freed slot on the new
+    # banded half directly after the fingerprint half
+    out = [
+        R11_REPLACED.get(name, name)
+        for name in out
+        if R11_REPLACED.get(name, name) is not None
+    ]
+    out.insert(out.index("lexical_dedup_battery") + 1, "banded_dedup_battery")
     return out
 
 
@@ -221,7 +247,7 @@ def test_composited_singles_stay_registered_after_the_window():
     tail = list(REGISTRY)[WINDOW_SIZE:]
     for name in (
         R5_COMPOSITED + R5_DEMOTED + R6_COMPOSITED + R7_COMPOSITED
-        + R8_COMPOSITED + R9_COMPOSITED
+        + R8_COMPOSITED + R9_COMPOSITED + R11_COMPOSITED
     ):
         assert name in tail, f"{name} lost its local-sweep parity check"
 

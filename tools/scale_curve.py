@@ -36,6 +36,7 @@ from namegraph_collections_spark.session import get_spark  # noqa: E402
 QUERIES = [
     "graph_battery",
     "lexical_dedup_battery",
+    "banded_dedup_battery",
     "similarity_battery",
     "text_mining_battery",
     "neardup_triangles",
