@@ -102,12 +102,99 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
+#: PNG file signature (PNG spec §5.2) and the fixed layout of the
+#: IHDR chunk that MUST follow it (§11.2.2): length(4) type(4)
+#: width(4) height(4) bit-depth(1) colour-type(1) compression(1)
+#: filter(1) interlace(1) crc(4) — all integers big-endian.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: JPEG markers (ITU-T T.81 §B): segments are FF <marker> <len:u16,
+#: includes itself>; frame headers (SOFn) carry precision(1)
+#: height(2) width(2) n_components(1). C4/C8/CC are DHT/JPG/DAC —
+#: NOT frame headers despite sitting in the Cx range.
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_png_header(b: bytes) -> tuple[int, int, int, int]:
+    """From-spec PNG header parse (no codec library): verify the
+    8-byte signature, require the first chunk to be a 13-byte IHDR,
+    verify its CRC-32 (PNG §5.3 computes it over chunk type + data —
+    the standard polynomial, zlib.crc32), and return (width, height,
+    bit_depth, colour_type). Raises ValueError on any malformation —
+    a header decoder that silently mis-reads is worse than none."""
+    import zlib
+
+    if b[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    if len(b) < len(PNG_SIG) + 25:
+        raise ValueError("truncated PNG: no room for IHDR")
+    off = len(PNG_SIG)
+    (length,) = struct.unpack(">I", b[off : off + 4])
+    ctype = b[off + 4 : off + 8]
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError(f"first chunk must be IHDR(13), got {ctype!r}({length})")
+    data = b[off + 8 : off + 8 + 13]
+    (crc,) = struct.unpack(">I", b[off + 21 : off + 25])
+    if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+        raise ValueError("IHDR CRC mismatch")
+    width, height = struct.unpack(">II", data[:8])
+    bit_depth, colour_type = data[8], data[9]
+    if width == 0 or height == 0:
+        raise ValueError("PNG dimensions must be nonzero")
+    return width, height, bit_depth, colour_type
+
+
+def parse_jpeg_header(b: bytes) -> tuple[int, int, int, int]:
+    """From-spec baseline/progressive JPEG header parse (no codec
+    library): verify SOI, walk the segment stream skipping non-frame
+    segments by their declared lengths (tolerating marker fill bytes,
+    T.81 §B.1.1.2), and read (width, height, precision, n_components)
+    from the first SOFn frame header. Raises ValueError when the
+    stream is malformed or ends before a frame header."""
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG: no SOI")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        # optional fill bytes: any number of FFs may pad a marker
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1
+        if pos >= len(b):
+            break
+        marker = b[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: bare
+            continue
+        if pos + 2 > len(b):
+            raise ValueError("truncated segment length")
+        (seg_len,) = struct.unpack(">H", b[pos : pos + 2])
+        if seg_len < 2:
+            raise ValueError(f"segment length {seg_len} < 2")
+        if marker in _JPEG_SOF_MARKERS:
+            if pos + 8 > len(b):
+                raise ValueError("truncated SOF header")
+            precision = b[pos + 2]
+            height, width = struct.unpack(">HH", b[pos + 3 : pos + 7])
+            n_components = b[pos + 7]
+            if width == 0 or height == 0:
+                raise ValueError("JPEG dimensions must be nonzero")
+            return width, height, precision, n_components
+        pos += seg_len
+    raise ValueError("no SOF frame header before end of stream")
+
+
 def _decode_real(payload: bytes, kind: str):
-    """Real codec hook — requires PIL/librosa/av, not in this
-    container."""
+    """Real pixel/sample decode hook — requires PIL/librosa/av, not
+    in this container. The dimensions/metadata class no longer routes
+    here: PNG and JPEG headers are parsed from spec by
+    `parse_png_header` / `parse_jpeg_header` (round-11)."""
     raise NotImplementedError(
-        f"real {kind} decoding requires a codec library; only the FAKE "
-        "header format is supported in this environment"
+        f"real {kind} pixel decoding requires a codec library; only "
+        "header/metadata parsing (PNG, JPEG) and the FAKE format are "
+        "supported in this environment"
     )
 
 
@@ -129,6 +216,12 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                 if b[:4] == _MAGIC:
                     _, width, height = struct.unpack(_HEADER_FMT, b[:_HEADER_SIZE])
                     fmt = "fake"
+                elif b[: len(PNG_SIG)] == PNG_SIG:
+                    width, height, _, _ = parse_png_header(b)
+                    fmt = "png"
+                elif b[:2] == b"\xff\xd8":
+                    width, height, _, _ = parse_jpeg_header(b)
+                    fmt = "jpeg"
                 else:  # pragma: no cover — no real codecs in container
                     _decode_real(b, kind)
                     continue
@@ -138,6 +231,116 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, META_SCHEMA)
+
+
+IMG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+#: PNG colour types cycled by the synthesizer (greyscale, truecolour,
+#: truecolour+alpha — the three non-palette, non-grey-alpha types).
+_PNG_COLOR_TYPES = (0, 2, 6)
+
+
+def synthesize_image_files(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL image byte streams from `documents`: even
+    doc_ids become structurally-valid PNGs (signature + CRC-correct
+    IHDR + IEND), odd ones baseline JPEGs (SOI + JFIF APP0 + a COM
+    segment the parser must walk past + SOF0 + EOI). Dimensions
+    derive from n_chars (1 + n_chars % 640 x 1 + n_chars % 480 — PNG
+    forbids zero dims), so an oracle can recompute every header field
+    arithmetically while the decode side parses actual bytes.
+
+    Assembly is pure JVM expression (concat of binary literals +
+    int-to-big-endian via hex/lpad/unhex; the IHDR CRC is Spark's own
+    `crc32`, the same CRC-32 the PNG spec mandates) — synthesis never
+    leaves codegen, exactly like `synthesize_media`.
+    """
+
+    def be(col, nibbles):
+        return F.unhex(F.lpad(F.hex(col), nibbles, "0"))
+
+    width = (F.col("n_chars") % 640 + 1).cast("long")
+    height = (F.col("n_chars") % 480 + 1).cast("long")
+    color_type = F.element_at(
+        F.array(*[F.lit(c) for c in _PNG_COLOR_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    ).cast("long")
+    ihdr_body = F.concat(
+        F.lit(b"IHDR"),
+        be(width, 8),
+        be(height, 8),
+        F.lit(bytes([8])),  # bit depth
+        be(color_type, 2),
+        F.lit(bytes([0, 0, 0])),  # compression, filter, interlace
+    )
+    png = F.concat(
+        F.lit(PNG_SIG),
+        F.lit((13).to_bytes(4, "big")),
+        ihdr_body,
+        be(F.crc32(ihdr_body), 8),
+        F.lit((0).to_bytes(4, "big") + b"IEND" + (0xAE426082).to_bytes(4, "big")),
+    )
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    comment = b"synthetic header-class jpeg"
+    com = b"\xff\xfe" + (len(comment) + 2).to_bytes(2, "big") + comment
+    sof0 = F.concat(
+        F.lit(b"\xff\xc0\x00\x11\x08"),  # SOF0, len 17, precision 8
+        be(height, 4),
+        be(width, 4),
+        F.lit(bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])),  # 3 comps
+    )
+    jpeg = F.concat(F.lit(b"\xff\xd8" + app0 + com), sof0, F.lit(b"\xff\xd9"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg).alias("payload"),
+    )
+
+
+def decode_image_headers(media: DataFrame) -> DataFrame:
+    """Arrow-batched from-spec image header decode: PNG and JPEG byte
+    streams → (format, width, height, bit_depth, color, n_bytes) via
+    `parse_png_header` / `parse_jpeg_header` over mapInPandas record
+    batches. For PNG, ``color`` is the IHDR colour type; for JPEG,
+    the SOF component count. Malformed payloads RAISE (task failure),
+    they never emit garbage rows."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[: len(PNG_SIG)] == PNG_SIG:
+                    w, h, depth, color = parse_png_header(b)
+                    fmt = "png"
+                else:
+                    w, h, depth, color = parse_jpeg_header(b)
+                    fmt = "jpeg"
+                rows.append((media_id, fmt, w, h, depth, color, len(b)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "format",
+                    "width",
+                    "height",
+                    "bit_depth",
+                    "color",
+                    "n_bytes",
+                ],
+            )
+
+    return media.mapInPandas(decode, IMG_META_SCHEMA)
 
 
 def byte_histogram_features(media: DataFrame) -> DataFrame:

@@ -331,8 +331,21 @@ def related_collections_precompute(spark: SparkSession, sf_dir: str) -> DataFram
     collection×collection. Types hotter than {HOT_TYPE_DF_CAP}
     members are dropped by a broadcast anti-join before the self-join
     (the HOT_SHINGLE_DF_CAP treatment), so one mega-type can never go
-    quadratic; both windows partition by collection, so ranking never
-    funnels through a single reducer at any corpus size.
+    quadratic; both windows partition by collection AND compile to
+    WindowGroupLimit (partial top-k below the exchange), so ranking
+    never funnels through a single reducer at any corpus size.
+
+    Round-11 scale fix (the sweep's worst sf0.1→sf1 ratio, 10.26×):
+    pairs are generated once per UNORDERED pair (cid < rid) and
+    mirrored AFTER the count aggregation with a 2-element array
+    explode — n_shared and primary_type are symmetric in the pair —
+    so the d²-per-type join fan-out and the (cid, rid) count shuffle
+    run at half the rows for the identical output. The remaining
+    growth is the honest transition regime of per-type membership d
+    rising toward the cap (pair volume ~ Σ d²); it is ABSOLUTELY
+    bounded by n_types × {HOT_TYPE_DF_CAP}² because every type's
+    fan-out is capped, so the cost plateaus rather than compounds at
+    100× scale.
     """
     part = tbl(spark, sf_dir, "part")
     t1 = part.select(
@@ -355,14 +368,33 @@ def related_collections_precompute(spark: SparkSession, sf_dir: str) -> DataFram
     types = types_all.join(F.broadcast(hot), "ctype", "left_anti")
     a = types.alias("a")
     b = types.alias("b")
-    shared = (
-        a.join(b, (F.col("a.ctype") == F.col("b.ctype")) & (F.col("a.cid") != F.col("b.cid")))
+    # Generate each UNORDERED pair once (cid < rid) and mirror after
+    # aggregation: n_shared (count of shared types) and primary_type
+    # (min shared type) are symmetric in the pair, so the ordered
+    # candidate table is exactly the half-table plus its flip — but
+    # the d²-per-type join fan-out and the (cid, rid) count shuffle
+    # run at HALF the rows (round-11 fix for the sweep's worst
+    # sf0.1→sf1 ratio). The mirror is a 2-element array explode on
+    # the AGGREGATED rows — one map pass, no self-union, no second
+    # read of the join.
+    shared_half = (
+        a.join(b, (F.col("a.ctype") == F.col("b.ctype")) & (F.col("a.cid") < F.col("b.cid")))
         .groupBy(F.col("a.cid").alias("cid"), F.col("b.cid").alias("rid"))
         .agg(
             F.count(F.lit(1)).alias("n_shared"),
             F.min(F.col("a.ctype")).alias("primary_type"),
         )
     )
+    shared = shared_half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("cid").alias("cid"), F.col("rid").alias("rid")),
+                F.struct(F.col("rid").alias("cid"), F.col("cid").alias("rid")),
+            )
+        ).alias("p"),
+        "n_shared",
+        "primary_type",
+    ).select("p.cid", "p.rid", "n_shared", "primary_type")
     w_type = Window.partitionBy("cid", "primary_type").orderBy(
         F.col("n_shared").desc(), F.col("rid").asc()
     )

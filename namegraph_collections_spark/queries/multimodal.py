@@ -12,11 +12,50 @@ from pyspark.sql import DataFrame, SparkSession
 from namegraph_collections_spark.functions.multimodal import (
     N_HIST_BINS,
     byte_histogram_features,
+    decode_image_headers,
     decode_media_meta,
     frame_sample,
+    synthesize_image_files,
     synthesize_media,
 )
 from namegraph_collections_spark.queries.registry import register, spread, tbl
+
+_IMG_HDR_ORACLE = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(n_chars % 640 + 1 AS INT) AS width,
+           CAST(n_chars % 480 + 1 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN [0, 2, 6][CAST(doc_id % 3 AS INT) + 1]
+                     ELSE 3 END AS INT) AS color,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 72 END AS BIGINT)
+             AS n_bytes
+    FROM documents
+"""
+
+
+@register("image_header_decode", oracle=_IMG_HDR_ORACLE)
+def image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image header decoding end-to-end (round-11 closing of the
+    multimodal decode seam's dimensions/metadata class): documents →
+    structurally-valid PNG / baseline-JPEG byte streams synthesized
+    JVM-side (CRC-correct IHDR; a COM segment the JPEG walker must
+    skip) → from-spec Arrow-batched header parse
+    (functions/multimodal.py::parse_png_header / parse_jpeg_header —
+    signature + CRC-verified IHDR; SOI + declared-length segment walk
+    to SOFn) → (format, width, height, bit_depth, color, n_bytes).
+
+    The oracle recomputes every field arithmetically from the source
+    columns the synthesizer used, so a single mis-read big-endian
+    offset or a walker that lands off-segment mismatches the value
+    hash. The parser is the genuine library boundary made REAL for
+    the metadata class (`_decode_real` now covers only pixel/sample
+    decode); everything around it is columnar and map-only — one
+    pass, no shuffle, partition-parallel at any corpus size.
+    """
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    return decode_image_headers(synthesize_image_files(docs))
 
 _HIST_ORACLE = f"""
     SELECT doc_id AS media_id,
@@ -28,7 +67,7 @@ _HIST_ORACLE = f"""
     FROM documents
 """
 
-_DECODE_ORACLE = """
+_DECODE_ORACLE = f"""
     WITH base AS (
       SELECT doc_id AS media_id,
              ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -40,16 +79,23 @@ _DECODE_ORACLE = """
     )
     SELECT 'meta' AS op, media_id, kind, width, height, n_bytes,
            'fake' AS format, CAST(NULL AS INTEGER) AS frame_idx,
-           CAST(NULL AS VARCHAR) AS frame_md5
+           CAST(NULL AS VARCHAR) AS frame_md5,
+           CAST(NULL AS INTEGER) AS bit_depth, CAST(NULL AS INTEGER) AS color
     FROM base
     UNION ALL
     SELECT 'frame' AS op, media_id, CAST(NULL AS VARCHAR),
            CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
            CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
            CAST(i AS INT) AS frame_idx,
-           md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+           md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5,
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
     FROM base, unnest(range(0, length(text) // 64, 2)) AS u(i)
     WHERE kind = 'video'
+    UNION ALL
+    SELECT 'imghdr' AS op, media_id, CAST(NULL AS VARCHAR) AS kind,
+           width, height, n_bytes, format,
+           CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), bit_depth, color
+    FROM ({_IMG_HDR_ORACLE})
 """
 
 
@@ -66,12 +112,13 @@ def _hist_leg(media: DataFrame) -> DataFrame:
     )
 
 
-def _decode_legs(media: DataFrame) -> DataFrame:
+def _decode_legs(media: DataFrame, docs: DataFrame) -> DataFrame:
     """`decode_media_meta` (Arrow mapInPandas header parse into typed
     metadata) unioned with `frame_sample` (the row-exploding
     one-row→many-frames mapInPandas shape, every 2nd 64-byte frame of
     video payload bodies, emitted as an md5 so the driver
-    canonicalizer can hash it)."""
+    canonicalizer can hash it) and (round 11) the REAL PNG/JPEG
+    header-decode leg over `synthesize_image_files(docs)`."""
     from pyspark.sql import functions as F
 
     null_i = F.lit(None).cast("int")
@@ -86,6 +133,8 @@ def _decode_legs(media: DataFrame) -> DataFrame:
         "format",
         null_i.alias("frame_idx"),
         null_s.alias("frame_md5"),
+        null_i.alias("bit_depth"),
+        null_i.alias("color"),
     )
     frames = frame_sample(media, every_n=2).select(
         F.lit("frame").alias("op"),
@@ -97,8 +146,23 @@ def _decode_legs(media: DataFrame) -> DataFrame:
         null_s.alias("format"),
         "frame_idx",
         F.md5("frame").alias("frame_md5"),
+        null_i.alias("bit_depth"),
+        null_i.alias("color"),
     )
-    return meta.unionByName(frames)
+    imghdr = decode_image_headers(synthesize_image_files(docs)).select(
+        F.lit("imghdr").alias("op"),
+        "media_id",
+        null_s.alias("kind"),
+        "width",
+        "height",
+        "n_bytes",
+        "format",
+        null_i.alias("frame_idx"),
+        null_s.alias("frame_md5"),
+        "bit_depth",
+        "color",
+    )
+    return meta.unionByName(frames).unionByName(imghdr)
 
 
 @register(
@@ -107,11 +171,12 @@ def _decode_legs(media: DataFrame) -> DataFrame:
     SELECT 'hist' AS op, media_id, hist, CAST(NULL AS VARCHAR) AS kind,
            CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
            CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS VARCHAR) AS format,
-           CAST(NULL AS INTEGER) AS frame_idx, CAST(NULL AS VARCHAR) AS frame_md5
+           CAST(NULL AS INTEGER) AS frame_idx, CAST(NULL AS VARCHAR) AS frame_md5,
+           CAST(NULL AS INTEGER) AS bit_depth, CAST(NULL AS INTEGER) AS color
     FROM ({_HIST_ORACLE})
     UNION ALL
     SELECT op, media_id, CAST(NULL AS VARCHAR) AS hist, kind, width,
-           height, n_bytes, format, frame_idx, frame_md5
+           height, n_bytes, format, frame_idx, frame_md5, bit_depth, color
     FROM ({_DECODE_ORACLE})
     """,
 )
@@ -148,8 +213,10 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_s.alias("format"),
         null_i.alias("frame_idx"),
         null_s.alias("frame_md5"),
+        null_i.alias("bit_depth"),
+        null_i.alias("color"),
     )
-    decode = _decode_legs(media).select(
+    decode = _decode_legs(media, docs).select(
         "op",
         "media_id",
         null_s.alias("hist"),
@@ -160,6 +227,8 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format",
         "frame_idx",
         "frame_md5",
+        "bit_depth",
+        "color",
     )
     return hist.unionByName(decode)
 
@@ -173,10 +242,12 @@ def multimodal_decode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle sees through the stub because the corpus is ASCII:
     payload body bytes == text character codes, so header fields
     derive from (doc_id, n_chars) arithmetic and each frame is a
-    64-char substr. The Python stages are the genuine library
-    boundary (real codecs would slot into `_decode_real`), Arrow-
-    batched and partition-parallel; everything around them is
-    columnar.
+    64-char substr. The round-11 `imghdr` leg needs no such
+    see-through: its payloads are structurally-valid PNG/JPEG byte
+    streams and the parse is from-spec (image_header_decode). The
+    Python stages are the genuine library boundary (real PIXEL codecs
+    would slot into `_decode_real`), Arrow-batched and
+    partition-parallel; everything around them is columnar.
     """
     docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
-    return _decode_legs(synthesize_media(docs))
+    return _decode_legs(synthesize_media(docs), docs)

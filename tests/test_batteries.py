@@ -174,8 +174,10 @@ BATTERIES = {
     "cdc_battery": ["cdc_three_way_ops", "cdc_driven_rollup"],
     "set_prune_battery": ["customer_key_set_algebra", "bloom_pruned_semi_join"],
     # round 8: the decode/frame-sample battery rides the widened
-    # byte-histogram composite (the multimodal driver-window row)
+    # byte-histogram composite (the multimodal driver-window row);
+    # round 11: + the from-spec PNG/JPEG header-decode leg
     "multimodal_byte_histogram": ["multimodal_decode_battery"],
+    "multimodal_decode_battery": ["image_header_decode"],
 }
 
 

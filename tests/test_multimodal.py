@@ -70,3 +70,90 @@ def test_frame_sample_explodes_rows(spark, media):
 def test_real_codec_gate():
     with pytest.raises(NotImplementedError):
         _decode_real(b"\x89PNG", "image")
+
+
+# ---------------------------------------------------------------------------
+# Round 11: from-spec PNG/JPEG header parsing — the dimensions/
+# metadata class of the real-codec seam, now real. Positive paths are
+# driver-hashed (image_header_decode); these pin the REFUSAL paths a
+# value hash cannot see.
+# ---------------------------------------------------------------------------
+import struct
+import zlib
+
+from namegraph_collections_spark.functions.multimodal import (
+    PNG_SIG,
+    decode_image_headers,
+    parse_jpeg_header,
+    parse_png_header,
+    synthesize_image_files,
+)
+
+
+def _png(width=17, height=9, depth=8, color=2):
+    body = b"IHDR" + struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + (13).to_bytes(4, "big")
+        + body
+        + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _jpeg(width=17, height=9, precision=8, ncomp=3):
+    sof = b"\xff\xc0\x00\x11" + bytes([precision]) + struct.pack(">HH", height, width)
+    sof += bytes([ncomp, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    com = b"\xff\xfe\x00\x04ab"
+    return b"\xff\xd8" + com + sof + b"\xff\xd9"
+
+
+def test_png_header_roundtrip_and_refusals():
+    assert parse_png_header(_png()) == (17, 9, 8, 2)
+    # corrupted CRC must REFUSE, not emit a plausible header
+    bad = bytearray(_png())
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png_header(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        parse_png_header(b"\x89PNX" + _png()[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_png_header(_png()[:20])
+    # first chunk must be IHDR
+    swapped = bytearray(_png())
+    swapped[12:16] = b"IDAT"
+    with pytest.raises(ValueError, match="IHDR"):
+        parse_png_header(bytes(swapped))
+
+
+def test_jpeg_header_walk_and_refusals():
+    assert parse_jpeg_header(_jpeg()) == (17, 9, 8, 3)
+    # marker fill bytes before a segment are legal (T.81 B.1.1.2)
+    padded = b"\xff\xd8\xff\xff\xff\xfe\x00\x04ab" + _jpeg()[2:]
+    assert parse_jpeg_header(padded) == (17, 9, 8, 3)
+    # DHT (C4) sits in the Cx range but is NOT a frame header — the
+    # walker must skip it by length and land on the real SOF0
+    dht = b"\xff\xc4\x00\x05" + b"\x00" * 3
+    with_dht = b"\xff\xd8" + dht + _jpeg()[2:]
+    assert parse_jpeg_header(with_dht) == (17, 9, 8, 3)
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg_header(b"\x89PNG1234")
+    with pytest.raises(ValueError, match="no SOF"):
+        parse_jpeg_header(b"\xff\xd8\xff\xd9")
+    # a lying segment length that runs off the stream
+    with pytest.raises(ValueError):
+        parse_jpeg_header(b"\xff\xd8\xff\xfe\xff\xff")
+
+
+def test_synthesized_images_are_structurally_valid(spark):
+    """The JVM-side synthesizer and the Python-side parser agree on
+    every header field — including the crc32(JVM) == zlib.crc32
+    identity the PNG leg rests on."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    media = synthesize_image_files(docs)
+    meta = {r["media_id"]: r for r in decode_image_headers(media).collect()}
+    for d in docs.select("doc_id", "n_chars").collect():
+        m = meta[d["doc_id"]]
+        assert m["width"] == d["n_chars"] % 640 + 1
+        assert m["height"] == d["n_chars"] % 480 + 1
+        assert m["format"] == ("png" if d["doc_id"] % 2 == 0 else "jpeg")
+        assert m["bit_depth"] == 8
