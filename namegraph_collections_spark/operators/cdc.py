@@ -409,13 +409,25 @@ def prune_snapshots(spark, base_dir: str, keep_last: int) -> list[str]:
         return []
     # ledger FIRST (refuse-replay must win over a crash mid-prune: a
     # ledgered-but-undeleted snapshot is only a leaked directory, the
-    # reverse would be a silent double-merge window). Append-only:
-    # this prune writes its OWN file — earlier prunes' entries are
-    # never rewritten, so no crash here can lose them. The file is
-    # named by one of its victims (victim sets of distinct prunes are
-    # disjoint — deletion precedes the next prune's listing — so the
-    # name only repeats when a CRASHED prune reruns, and overwriting
-    # that partial file with a superset/equal set is idempotent).
+    # reverse would be a silent double-merge window).
+    write_prune_ledger(fs, jvm, base_dir, victims)
+    for s in victims:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_dir}/snapshot={s}"), True)
+    return victims
+
+
+def write_prune_ledger(fs, jvm, base_dir: str, victims: list[str]) -> None:
+    """Record ``victims`` in the append-only ``_PRUNED.d/`` ledger
+    BEFORE anything is deleted. Append-only: each prune writes its
+    OWN file — earlier prunes' entries are never rewritten, so no
+    crash here can lose them. The file is named by one of its victims
+    (victim sets of distinct prunes are disjoint — deletion precedes
+    the next prune's listing — so the name only repeats when a
+    CRASHED prune reruns, and overwriting that partial file with a
+    superset/equal set is idempotent). Shared by the keyed-state
+    snapshot retention AND the scored-batch sink retention
+    (streaming/idempotent_sink.py) so both durability surfaces honor
+    ONE refuse-replay contract."""
     from namegraph_collections_spark.operators.additive_state import (
         canonical_stamp,
     )
@@ -429,9 +441,6 @@ def prune_snapshots(spark, base_dir: str, keep_last: int) -> list[str]:
     out = fs.create(path, True)
     out.write(bytearray(("\n".join(entries) + "\n").encode("utf-8")))
     out.close()
-    for s in victims:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_dir}/snapshot={s}"), True)
-    return victims
 
 
 def sync_index(

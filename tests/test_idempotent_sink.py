@@ -47,3 +47,54 @@ def test_redelivery_does_not_touch_other_batches(spark, tmp_path):
     write_scored_batch(b0b, out, 0)
     got = spark.read.parquet(out).drop(INGEST_BATCH_COL)
     assert _rows(got) == _rows(b0b.unionByName(b1))
+
+
+def test_prune_keeps_newest_and_refuses_pruned_replay(spark, tmp_path):
+    """Retention mirror of test_snapshot_retention (round-10 VERDICT
+    #6): the sink's per-micro-batch partitions grow unboundedly, so
+    pruning exists — and a redelivery of a PRUNED batch must be
+    REFUSED, never quietly re-materialized."""
+    import pytest
+
+    from namegraph_collections_spark.streaming.idempotent_sink import (
+        prune_scored_batches,
+    )
+
+    out = str(tmp_path / "scored3")
+    for i in range(5):
+        b = spark.createDataFrame([(i, i * 10)], "doc_id long, score long")
+        write_scored_batch(b, out, i)
+    victims = prune_scored_batches(spark, out, keep_last=2)
+    assert victims == [f"b{i:012d}" for i in range(3)]
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == [3, 4]
+    # idempotent: nothing further to prune
+    assert prune_scored_batches(spark, out, keep_last=2) == []
+    # a late at-least-once redelivery of a pruned batch is refused —
+    # at ANY padding respelling of the id (shared canonical ledger)
+    b0 = spark.createDataFrame([(0, 0)], "doc_id long, score long")
+    with pytest.raises(ValueError, match="pruned scored batch"):
+        write_scored_batch(b0, out, 0)
+    # surviving batches still overwrite their own partition fine
+    b4 = spark.createDataFrame([(4, 41)], "doc_id long, score long")
+    write_scored_batch(b4, out, 4)
+    got = spark.read.parquet(out)
+    assert sorted((r["doc_id"], r["score"]) for r in got.collect()) == [
+        (3, 30),
+        (4, 41),
+    ]
+
+
+def test_sink_prune_orders_batch_stamps_numerically(spark, tmp_path):
+    from namegraph_collections_spark.streaming.idempotent_sink import (
+        prune_scored_batches,
+    )
+
+    out = str(tmp_path / "scored4")
+    for i in (999999, 1000000):
+        b = spark.createDataFrame([(i, 1)], "doc_id long, score long")
+        write_scored_batch(b, out, i)
+    # the numerically-older stamp must be the victim
+    assert prune_scored_batches(spark, out, keep_last=1) == ["b000000999999"]
+    got = spark.read.parquet(out)
+    assert [r["doc_id"] for r in got.collect()] == [1000000]
