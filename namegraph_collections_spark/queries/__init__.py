@@ -69,6 +69,7 @@ from namegraph_collections_spark.queries import span_dedup  # noqa: E402,F401
 from namegraph_collections_spark.queries import quality_classifier  # noqa: E402,F401  (after data_selection: shares its target-source constant)
 from namegraph_collections_spark.queries import corpus_stats  # noqa: E402,F401  (after similarity: reuses its dot-product convention)
 from namegraph_collections_spark.queries import overlap_audit  # noqa: E402,F401  (after dedup/training_data: shares shingle + split rules)
+from namegraph_collections_spark.queries import chunking  # noqa: E402,F401  (after training_data: shares the bucket16 rule)
 from namegraph_collections_spark.queries import pipeline_e2e  # noqa: E402,F401  (after dedup_select/quality_signals: embeds their oracles)
 from namegraph_collections_spark.queries import batteries  # noqa: E402,F401  (must import last: wraps other modules' oracles)
 

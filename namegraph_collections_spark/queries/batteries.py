@@ -60,7 +60,12 @@ from namegraph_collections_spark.queries.span_dedup import dup_span_extract
 from namegraph_collections_spark.queries.corpus_stats import (  # noqa: E402
     embedding_diversity,
     heaps_law_curve,
+    source_unigram_drift,
     temperature_sampling_plan,
+)
+from namegraph_collections_spark.queries.chunking import (  # noqa: E402
+    padding_waste_eval,
+    passage_chunking,
 )
 from namegraph_collections_spark.queries.overlap_audit import (  # noqa: E402
     ngram_novelty_audit,
@@ -453,6 +458,14 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT)
     FROM ({_oracle("heaps_law_curve")})
+    UNION ALL
+    SELECT 'drift' AS op, source, CAST(NULL AS BIGINT), n_tokens,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), drift_num,
+           drift_den, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM ({_oracle("source_unigram_drift")})
     """,
 )
 def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,9 +587,32 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_L().alias("q_dup_line_micro"),
         _NULL_L().alias("q_dup_bigram_micro"),
     )
+    # Round-11 per-source unigram drift leg: source rides the token
+    # slot, the exact TV rational (num, den) the n_stop/first-micro
+    # slots — the mixture-QA twin of the heaps vocabulary leg.
+    drift = source_unigram_drift(spark, sf_dir).select(
+        F.lit("drift").alias("op"),
+        F.col("source").alias("token"),
+        _NULL_L().alias("doc_id"),
+        F.col("n_tokens").alias("n"),
+        _NULL_L().alias("df"),
+        _NULL_D().alias("logp"),
+        _NULL_D().alias("nll"),
+        _NULL_B().alias("is_train"),
+        _NULL_B().alias("keep"),
+        F.col("drift_num").alias("n_stop"),
+        F.col("drift_den").alias("q_mean_len_micro"),
+        _NULL_L().alias("q_symbol_micro"),
+        _NULL_L().alias("q_bullet_micro"),
+        _NULL_L().alias("q_ellipsis_micro"),
+        _NULL_L().alias("q_alpha_micro"),
+        _NULL_L().alias("q_dup_line_micro"),
+        _NULL_L().alias("q_dup_bigram_micro"),
+    )
     return (
         freq.unionByName(lp).unionByName(lm)
         .unionByName(quality).unionByName(ccnet).unionByName(heaps)
+        .unionByName(drift)
     )
 
 
@@ -730,6 +766,12 @@ def rollup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min_bins AS INTEGER), n_docs, total_tokens, max_bin_tokens,
            capacity_tokens
     FROM ({_oracle("packing_efficiency_eval")})
+    UNION ALL
+    SELECT 'padwaste' AS op, bucket, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(batch AS INTEGER), waste, CAST(NULL AS DOUBLE),
+           CAST(NULL AS INTEGER), n_docs, max_words, sum_words,
+           eff_micro
+    FROM ({_oracle("padding_waste_eval")})
     """,
 )
 def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,6 +904,22 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_bin_tokens").alias("max_doc_id"),
         F.col("capacity_tokens").alias("doc_id_sum"),
     )
+    # Round-11 padding-waste leg: the length-bucketed-batching
+    # efficiency table (bounded (bucket, batch) grain).
+    padwaste = padding_waste_eval(spark, sf_dir).select(
+        F.lit("padwaste").alias("op"),
+        F.col("bucket").alias("doc_id"),
+        _NULL_S().alias("source"),
+        _NULL_S().alias("split"),
+        F.col("batch").cast("int").alias("rk"),
+        F.col("waste").alias("w"),
+        _NULL_D().alias("skey"),
+        _NULL_I().alias("rnk"),
+        "n_docs",
+        F.col("max_words").alias("min_doc_id"),
+        F.col("sum_words").alias("max_doc_id"),
+        F.col("eff_micro").alias("doc_id_sum"),
+    )
     return (
         mix.unionByName(grouped)
         .unionByName(weighted)
@@ -870,6 +928,7 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir)
         .unionByName(tempmix)
         .unionByName(packeff)
+        .unionByName(padwaste)
     )
 
 
@@ -916,6 +975,12 @@ def sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
            containment_micro, CAST(NULL AS BIGINT)
     FROM ({_oracle("source_overlap_matrix")})
+    UNION ALL
+    SELECT 'chunk' AS op, chunk_hash, CAST(NULL AS VARCHAR),
+           doc_id, chunk_id, start_word, end_word,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           n_words, CAST(NULL AS BIGINT)
+    FROM ({_oracle("passage_chunking")})
     """,
 )
 def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,6 +1095,22 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("containment_micro").alias("n_keep"),
         _NULL_L().alias("rep_words"),
     )
+    # Round-11 passage-chunking leg: the chunk content hash rides the
+    # fingerprint slot — chunk-grain fingerprinting is the passage_
+    # dedup family at a fixed window, so it belongs to this half.
+    chunk = passage_chunking(spark, sf_dir).select(
+        F.lit("chunk").alias("op"),
+        F.col("chunk_hash").alias("fp"),
+        _NULL_S().alias("s"),
+        F.col("doc_id").alias("id_a"),
+        F.col("chunk_id").alias("id_b"),
+        F.col("start_word").alias("cnt"),
+        F.col("end_word").alias("nd"),
+        _NULL_D().alias("cosine"),
+        _NULL_B().alias("is_dup"),
+        F.col("n_words").alias("n_keep"),
+        _NULL_L().alias("rep_words"),
+    )
     return (
         exact.unionByName(passage)
         .unionByName(tfidf)
@@ -1037,6 +1118,7 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(spans)
         .unionByName(novelty)
         .unionByName(srcover)
+        .unionByName(chunk)
     )
 
 

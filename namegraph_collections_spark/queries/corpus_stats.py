@@ -449,3 +449,110 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_size",
         f"CAST({micro_spark('vocab_size', 'cum_tokens')} AS BIGINT) AS ttr_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram drift (round 11).
+# ---------------------------------------------------------------------------
+
+#: Signed-64 exactness bound on the corpus token total: every term of
+#: the drift numerator is |c_ws*N - c_w*N_s| <= N_s*N <= N^2, and the
+#: per-source SUM of terms is <= 2*N_s*N <= 2*N^2, so silent
+#: wraparound begins near N = sqrt(2^63 / 2) ~ 2.1e9 tokens. Enforced
+#: like DIVERSITY_MAX_VECS (raise, never wrap); a 100 TB deployment
+#: profiles drift per shard, which is what a drift MONITOR does
+#: anyway.
+DRIFT_MAX_TOKENS = 2_000_000_000
+
+
+@register(
+    "source_unigram_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    cws AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_ws
+      FROM toks GROUP BY source, tok
+    ),
+    cw AS (SELECT tok, CAST(SUM(c_ws) AS BIGINT) AS c_w FROM cws GROUP BY tok),
+    ns AS (
+      SELECT source, CAST(SUM(c_ws) AS BIGINT) AS n_s FROM cws GROUP BY source
+    ),
+    n AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM ns),
+    j AS (
+      SELECT s.source, ABS(s.c_ws * n.n_tot - w.c_w * x.n_s) AS term,
+             w.c_w, x.n_s, n.n_tot
+      FROM cws s JOIN cw w USING (tok) JOIN ns x USING (source) CROSS JOIN n
+    )
+    SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+           CAST(SUM(term) + MIN(n_s) * (MIN(n_tot) - SUM(c_w)) AS BIGINT)
+             AS drift_num,
+           CAST(2 * MIN(n_s) * MIN(n_tot) AS BIGINT) AS drift_den
+    FROM j GROUP BY source
+    """,
+)
+def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram drift: the exact total-variation distance
+    between each source's unigram distribution and the corpus-wide
+    one, as the rational (drift_num, drift_den) with TV = num/den in
+    [0, 1] — the mixture-QA signal that flags a source whose token
+    distribution has wandered from the blend it was weighted for
+    (scrape drift, a broken extractor, a language shift).
+
+    Exactness: TV = 1/2 * sum_w |c_ws/N_s - c_w/N| =
+    (sum_w |c_ws*N - c_w*N_s|) / (2*N_s*N) — all integers. Words
+    ABSENT from a source contribute c_w*N_s each; their total is
+    N_s*(N - S_s) with S_s the corpus count of the source's support,
+    so the per-(source, word) join only ever touches words the source
+    CONTAINS — never the support union. Emitted as the exact (num,
+    den) pair (the embedding_diversity precedent: no engine division
+    at all on the hash surface). BIGINT-exact to {DRIFT_MAX_TOKENS}
+    corpus tokens, ENFORCED via the assert_true guard.
+
+    Scale shape: one token-grain shuffle to (source, word) counts
+    (map-side combined — the same grain every vocab operator pays);
+    the word-dictionary join is dictionary-grain; source totals and
+    the corpus total are broadcast-class.
+    """
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    cws = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ws"))
+        # three consumers: word dictionary, source totals, the join
+        .localCheckpoint(eager=False)
+    )
+    cw = cws.groupBy("tok").agg(F.sum("c_ws").cast("long").alias("c_w"))
+    ns = cws.groupBy("source").agg(F.sum("c_ws").cast("long").alias("n_s"))
+    n = ns.agg(F.sum("n_s").cast("long").alias("n_tot")).filter(
+        F.assert_true(
+            F.col("n_tot") <= F.lit(DRIFT_MAX_TOKENS),
+            F.concat(
+                F.lit("source_unigram_drift: corpus of "),
+                F.col("n_tot").cast("string"),
+                F.lit(
+                    f" tokens exceeds the signed-64 exactness bound "
+                    f"({DRIFT_MAX_TOKENS}); profile drift per shard"
+                ),
+            ),
+        ).isNull()
+    )
+    j = (
+        cws.join(cw, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    return j.groupBy("source").agg(
+        F.min("n_s").cast("long").alias("n_tokens"),
+        (
+            F.sum(F.abs(F.col("c_ws") * F.col("n_tot") - F.col("c_w") * F.col("n_s")))
+            + F.min("n_s") * (F.min("n_tot") - F.sum("c_w"))
+        )
+        .cast("long")
+        .alias("drift_num"),
+        (F.lit(2) * F.min("n_s") * F.min("n_tot")).cast("long").alias("drift_den"),
+    )

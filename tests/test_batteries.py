@@ -44,6 +44,8 @@ BATTERIES = {
         "ccnet_ppl_buckets",
         # round 10: Heaps-law vocabulary growth + TTR checkpoints
         "heaps_law_curve",
+        # round 11: per-source unigram TV drift
+        "source_unigram_drift",
     ],
     "rollup_battery": [
         "hourly_event_rollup",
@@ -63,6 +65,8 @@ BATTERIES = {
         "temperature_sampling_plan",
         # round 10: packing-efficiency eval (rides sequence_packing)
         "packing_efficiency_eval",
+        # round 11: length-bucketed batching padding-waste eval
+        "padding_waste_eval",
     ],
     # round 11: the lexical-dedup bisect (VERDICT r10 #2) — the
     # independent-scan fingerprint/audit legs stay here...
@@ -77,6 +81,8 @@ BATTERIES = {
         # round 10: n-gram novelty audit + source containment matrix
         "ngram_novelty_audit",
         "source_overlap_matrix",
+        # round 11: overlapping passage chunking (content-hash grain)
+        "passage_chunking",
     ],
     # ...and the MinHash-band family (one shared bands/quality/closure
     # build) moves to its own driver row

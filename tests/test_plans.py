@@ -133,6 +133,10 @@ def test_semi_and_anti_join_physical(spark):
         # round 11: the lexical bisect + the composited candidates row
         "banded_dedup_battery",
         "neardup_candidates_battery",
+        # round 11 new operators
+        "passage_chunking",
+        "padding_waste_eval",
+        "source_unigram_drift",
     ],
 )
 def test_no_python_in_relational_hot_paths(spark, name):

@@ -102,6 +102,10 @@ def test_real_libraries_goldens(monkeypatch):
     """When the genuine libraries exist, the reference goldens hold in
     real mode too (test_wiki_api.py:143-148)."""
     monkeypatch.setenv("NGCS_REAL_LIBS", "1")
+    # guard against silently green-on-stand-in: the dispatch must
+    # actually be REAL mode, or this leg proves nothing
+    assert real_adapter.use_real_normalize()
+    assert real_adapter.use_real_wordsplit()
     for raw, want in GOLDENS:
         assert force_normalize(raw) == want
     with pytest.raises(DisallowedLabel):
