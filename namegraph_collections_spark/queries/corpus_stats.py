@@ -184,17 +184,19 @@ _QVEC_SQL = (
 )
 
 
-def quantized_unit_vectors(emb: DataFrame) -> DataFrame:
-    """(label, qv) — the per-row unit-normalize + {_DIVERSITY_Q}-
-    quantize program, shared by the one-shot diversity query and the
-    incremental maintainer (operators/diversity_maintain.py) so the
-    feature path can never drift between them. Purely row-local:
-    norm is the index-ordered fold, quantization floor-form — no
-    cross-row doubles anywhere."""
+def quantized_unit_vectors(emb: DataFrame, key: str = "label") -> DataFrame:
+    """(key, qv) — the per-row unit-normalize + {_DIVERSITY_Q}-
+    quantize program, shared by the one-shot diversity query, the
+    incremental diversity maintainer (operators/diversity_maintain.py)
+    and the IVF sufficient-statistics maintainer (operators/
+    ivf_maintain.py keys it on the inverted-list id instead of the
+    label) so the feature path can never drift between them. Purely
+    row-local: norm is the index-ordered fold, quantization
+    floor-form — no cross-row doubles anywhere."""
     return emb.withColumn(
         "norm", F.sqrt(_dot("embedding", "embedding"))
     ).select(
-        F.col("label").cast("long").alias("label"),
+        F.col(key).cast("long").alias(key),
         F.transform(
             "embedding",
             lambda x: F.floor(
