@@ -154,6 +154,14 @@ HEADLINE = [
     "ngram_novelty_audit",
     "source_overlap_matrix",
     "packing_efficiency_eval",
+    # round 11: the lexical bisect halves + the composited candidates
+    # row + the four new operators
+    "banded_dedup_battery",
+    "neardup_candidates_battery",
+    "image_header_decode",
+    "passage_chunking",
+    "padding_waste_eval",
+    "source_unigram_drift",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas
