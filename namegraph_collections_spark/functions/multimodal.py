@@ -174,11 +174,22 @@ def parse_jpeg_header(b: bytes) -> tuple[int, int, int, int]:
         if seg_len < 2:
             raise ValueError(f"segment length {seg_len} < 2")
         if marker in _JPEG_SOF_MARKERS:
+            # the declared length must cover the fixed fields we read:
+            # len(2) + precision(1) + height(2) + width(2) + Nf(1) = 8
+            # (T.81 §B.2.2: Lf = 8 + 3*Nf). Without this a malformed
+            # SOF declaring seg_len < 8 would read bytes belonging to
+            # the NEXT segment as a plausible header (round-11 ADVICE).
+            if seg_len < 8:
+                raise ValueError(f"SOF segment length {seg_len} < 8")
             if pos + 8 > len(b):
                 raise ValueError("truncated SOF header")
             precision = b[pos + 2]
             height, width = struct.unpack(">HH", b[pos + 3 : pos + 7])
             n_components = b[pos + 7]
+            if seg_len != 8 + 3 * n_components:
+                raise ValueError(
+                    f"SOF length {seg_len} != 8 + 3*{n_components} (T.81 §B.2.2)"
+                )
             if width == 0 or height == 0:
                 raise ValueError("JPEG dimensions must be nonzero")
             return width, height, precision, n_components

@@ -291,9 +291,9 @@ def latest_snapshot(spark, base_dir: str) -> DataFrame | None:
 #: fold the old batch into state a second time.
 #:
 #: Layout: APPEND-ONLY — each prune writes its OWN file under the
-#: ``_PRUNED.d/`` directory (named by its newest victim, so a crashed
-#: prune's rerun overwrites only its own idempotent entry) and readers
-#: union every file. Round-10 ADVICE fix: the previous single-file
+#: ``_PRUNED.d/`` directory (named by the lexicographic-max canonical
+#: victim, so a crashed prune's rerun overwrites only its own
+#: idempotent entry) and readers union every file. Round-10 ADVICE fix: the previous single-file
 #: ledger was rewritten in place with a truncating ``fs.create``, so a
 #: crash during a LATER prune's rewrite (after truncate, before close)
 #: lost EARLIER pruned stamps whose snapshots were already deleted —
@@ -313,33 +313,60 @@ def _read_fs_text(fs, jvm, path_str: str) -> str:
         stream.close()
 
 
+#: Per-file parse cache for ledger reads, keyed by (path, length).
+#: Safe because every ledger write monotonically GROWS its file: new
+#: prunes append new files, a crashed prune's rerun overwrites its own
+#: file with a superset (strictly longer) or the identical set (same
+#: bytes), and the legacy single-file ledger was rewritten as a
+#: growing union by older builds. So an unchanged (path, length) pair
+#: implies unchanged content. The directory is still LISTED on every
+#: call — a prune from another process shows up immediately; only
+#: re-READING unchanged files is skipped (round-11 ADVICE: the sink
+#: re-opened every prune file per micro-batch, O(total prunes) FS
+#: round trips per write).
+_LEDGER_FILE_CACHE: dict[tuple[str, int], frozenset] = {}
+
+
+def _ledger_file_stamps(fs, jvm, path_str: str, length: int) -> frozenset:
+    from namegraph_collections_spark.operators.additive_state import (
+        canonical_stamp,
+    )
+
+    key = (path_str, length)
+    hit = _LEDGER_FILE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    text = _read_fs_text(fs, jvm, path_str)
+    stamps = frozenset(
+        canonical_stamp(line) for line in text.splitlines() if line
+    )
+    _LEDGER_FILE_CACHE[key] = stamps
+    return stamps
+
+
 def pruned_stamps(spark, base_dir: str) -> set[str]:
     """The set of stamps retention has deleted (empty before the
     first prune), in ledger-canonical spelling — batch-shaped stamps
     are normalized through ``canonical_stamp`` on read so entries
     written at any padding width match the membership test."""
-    from namegraph_collections_spark.operators.additive_state import (
-        canonical_stamp,
-    )
-
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     legacy = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{PRUNED_LEDGER}")
     fs = legacy.getFileSystem(conf)
-    texts = []
+    out: set[str] = set()
     if fs.exists(legacy):
-        texts.append(_read_fs_text(fs, jvm, f"{base_dir}/{PRUNED_LEDGER}"))
+        st = fs.getFileStatus(legacy)
+        out |= _ledger_file_stamps(
+            fs, jvm, f"{base_dir}/{PRUNED_LEDGER}", st.getLen()
+        )
     ldir = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/{PRUNED_LEDGER_DIR}")
     if fs.exists(ldir):
         for status in fs.listStatus(ldir):
             if status.isFile():
-                texts.append(_read_fs_text(fs, jvm, str(status.getPath())))
-    return {
-        canonical_stamp(line)
-        for text in texts
-        for line in text.splitlines()
-        if line
-    }
+                out |= _ledger_file_stamps(
+                    fs, jvm, str(status.getPath()), status.getLen()
+                )
+    return out
 
 
 def prune_snapshots(spark, base_dir: str, keep_last: int) -> list[str]:
@@ -420,11 +447,14 @@ def write_prune_ledger(fs, jvm, base_dir: str, victims: list[str]) -> None:
     """Record ``victims`` in the append-only ``_PRUNED.d/`` ledger
     BEFORE anything is deleted. Append-only: each prune writes its
     OWN file — earlier prunes' entries are never rewritten, so no
-    crash here can lose them. The file is named by one of its victims
-    (victim sets of distinct prunes are disjoint — deletion precedes
-    the next prune's listing — so the name only repeats when a
-    CRASHED prune reruns, and overwriting that partial file with a
-    superset/equal set is idempotent). Shared by the keyed-state
+    crash here can lose them. The file is named by the LEXICOGRAPHIC
+    max of the canonicalized victims — NOT the newest by stamp order
+    (for unpadded stamps crossing a digit-length boundary, victims
+    {b9, b10} name the file ``prune-b9``); uniqueness is what matters
+    and it holds either way (victim sets of distinct prunes are
+    disjoint — deletion precedes the next prune's listing — so the
+    name only repeats when a CRASHED prune reruns, and overwriting
+    that partial file with a superset/equal set is idempotent). Shared by the keyed-state
     snapshot retention AND the scored-batch sink retention
     (streaming/idempotent_sink.py) so both durability surfaces honor
     ONE refuse-replay contract."""

@@ -155,10 +155,15 @@ def assert_diversity_bound(df: DataFrame, n_col: str) -> DataFrame:
     count exceeds ``DIVERSITY_MAX_VECS``. Spelled as a filter over
     ``assert_true(...).isNull()`` — always-true when the bound holds
     (assert_true returns NULL), and a filter predicate cannot be
-    pruned away the way an unused projected column would be."""
+    pruned away the way an unused projected column would be.
+
+    Null-safe (round-11 ADVICE): a global agg over an EMPTY corpus
+    yields NULL counts, and ``NULL <= bound`` is NULL — which
+    assert_true treats as a failure. Empty input must flow through as
+    empty output, so the predicate coalesces NULL to pass."""
     return df.filter(
         F.assert_true(
-            F.col(n_col) <= F.lit(DIVERSITY_MAX_VECS),
+            F.coalesce(F.col(n_col) <= F.lit(DIVERSITY_MAX_VECS), F.lit(True)),
             F.concat(
                 F.lit(
                     "embedding diversity: group of "
@@ -530,9 +535,11 @@ def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cw = cws.groupBy("tok").agg(F.sum("c_ws").cast("long").alias("c_w"))
     ns = cws.groupBy("source").agg(F.sum("c_ws").cast("long").alias("n_s"))
+    # null-safe: an empty corpus sums to NULL n_tot, which must pass
+    # (empty in → empty out), not trip the assert (round-11 ADVICE)
     n = ns.agg(F.sum("n_s").cast("long").alias("n_tot")).filter(
         F.assert_true(
-            F.col("n_tot") <= F.lit(DRIFT_MAX_TOKENS),
+            F.coalesce(F.col("n_tot") <= F.lit(DRIFT_MAX_TOKENS), F.lit(True)),
             F.concat(
                 F.lit("source_unigram_drift: corpus of "),
                 F.col("n_tot").cast("string"),

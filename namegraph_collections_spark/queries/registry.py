@@ -178,15 +178,42 @@ def bucketed_global_rank(
     ``key`` must be unique (ties within a bucket would make the
     within-bucket row_number nondeterministic) — callers rank by
     primary keys (doc_id).
+
+    Key-range precondition (enforced, round-11 ADVICE): ``_hi - _lo``
+    must fit in signed-64 — a key set spanning more than ±2^62 (e.g. a
+    full-range 64-bit hash) overflows the subtraction, which in
+    non-ANSI mode would wrap negative and silently produce negative
+    bucket indices and wrong ranks. The span is therefore computed
+    with ``try_subtract`` (NULL on overflow in EVERY ANSI mode) and
+    guarded: NULL span with non-NULL extents raises the precondition
+    message. Null-safe: an EMPTY input yields NULL extents and must
+    return empty, not raise.
     """
-    ext = df.agg(
-        F.min(key).cast("long").alias("_lo"), F.max(key).cast("long").alias("_hi")
+    ext = (
+        df.agg(
+            F.min(key).cast("long").alias("_lo"),
+            F.max(key).cast("long").alias("_hi"),
+        )
+        .withColumn("_span", F.expr("try_subtract(_hi, _lo)"))
+        .filter(
+            F.assert_true(
+                F.coalesce(
+                    F.col("_span") >= 0,  # always true when no overflow
+                    F.col("_lo").isNull(),  # empty input: pass through
+                ),
+                F.lit(
+                    "bucketed_global_rank: key range exceeds signed-64 "
+                    "(_hi - _lo overflows); pre-shift or hash-fold the "
+                    "key into a narrower range first"
+                ),
+            ).isNull()
+        )
     )
     # integer bucket width: ceil-ish so the index never exceeds
-    # `buckets`; (key-_lo) stays in BIGINT for any long key range.
+    # `buckets`; (key-_lo) stays in BIGINT within the enforced range.
     b = df.crossJoin(F.broadcast(ext)).withColumn(
         "_bkt",
-        F.expr(f"CAST(({key} - _lo) div ((_hi - _lo) div {buckets} + 1) AS INT)"),
+        F.expr(f"CAST(({key} - _lo) div (_span div {buckets} + 1) AS INT)"),
     )
     counts = (
         b.groupBy("_bkt")
@@ -211,7 +238,7 @@ def bucketed_global_rank(
     return (
         b.join(F.broadcast(offs), "_bkt")
         .withColumn(rk, (F.col("_off") + F.row_number().over(w)).cast("long"))
-        .drop("_bkt", "_lo", "_hi", "_off")
+        .drop("_bkt", "_lo", "_hi", "_span", "_off")
     )
 
 

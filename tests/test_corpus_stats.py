@@ -130,3 +130,26 @@ def test_packing_efficiency_consistency(spark):
         # over it (trailing underfull bins)
         assert r.min_bins == (r.total_tokens + PACK_BUDGET - 1) // PACK_BUDGET
         assert r.max_bin_tokens * r.n_bins >= r.total_tokens
+
+
+def test_exactness_guards_pass_through_empty_corpus(spark, tmp_path):
+    """Round-11 ADVICE: the signed-64 exactness guards
+    (assert_diversity_bound, the drift token bound) must be null-safe —
+    a global agg over ZERO rows yields NULL counts, and assert_true on
+    a bare NULL predicate raises. The guard must pass NULL through so
+    the empty corpus produces exactly what the DuckDB oracle produces
+    (for diversity that is one all-NULL label=-1 total row — both
+    engines' scalar-subquery semantics — not zero rows)."""
+    from tests.conftest import write_single_parquet
+    from tests.oracle_harness import TABLES, compare
+
+    for name in TABLES:
+        write_single_parquet(
+            spark.read.parquet(f"{SF_DIR}/{name}.parquet").limit(0),
+            str(tmp_path / f"{name}.parquet"),
+        )
+    empty_sf = str(tmp_path)
+    for qname in ("embedding_diversity", "source_unigram_drift"):
+        spec = REGISTRY[qname]
+        res = compare(spark, empty_sf, qname, spec.fn, spec.oracle)
+        assert res["ok"], res

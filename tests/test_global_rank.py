@@ -47,6 +47,27 @@ def test_rank_is_dense_and_total_at_scale(spark):
     assert all(got[k] == i + 1 for i, k in enumerate(ordered))
 
 
+def test_empty_input_returns_empty(spark):
+    """An empty frame has NULL extents; the key-range guard must let
+    it flow through as an empty result, not raise (null-safe assert)."""
+    df = spark.createDataFrame([], "k long")
+    assert bucketed_global_rank(df, "k").collect() == []
+
+
+def test_key_range_overflow_raises(spark):
+    """Round-11 ADVICE: a key set spanning more than signed-64 wraps
+    (_hi - _lo) negative and would silently produce wrong ranks — the
+    guard must raise the clear precondition message instead. Keys here
+    span 2^64 - 2. The assert fires inside an AQE broadcast-stage
+    materialization, so it surfaces as the wrapped Py4J error rather
+    than a converted SparkRuntimeException — match on the message."""
+    df = spark.createDataFrame(
+        [(-(2**63) + 1,), (0,), (2**63 - 1,)], "k long"
+    )
+    with pytest.raises(Exception, match="key range exceeds signed-64"):
+        bucketed_global_rank(df, "k").collect()
+
+
 def test_plan_has_no_unbounded_global_window(spark):
     """The helper's REASON to exist: its only empty-spec window sits
     above a guard-visible Limit. Reuses the registry-wide guard."""

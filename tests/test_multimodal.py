@@ -142,6 +142,18 @@ def test_jpeg_header_walk_and_refusals():
     # a lying segment length that runs off the stream
     with pytest.raises(ValueError):
         parse_jpeg_header(b"\xff\xd8\xff\xfe\xff\xff")
+    # round-11 ADVICE: a malformed SOF declaring seg_len < 8 must
+    # REFUSE, not read the next segment's bytes as a plausible header
+    tiny_sof = b"\xff\xd8\xff\xc0\x00\x03\x08" + _jpeg()[2:]
+    with pytest.raises(ValueError, match="SOF segment length"):
+        parse_jpeg_header(tiny_sof)
+    # and Lf must equal 8 + 3*Nf exactly (T.81 §B.2.2)
+    bad_lf = bytearray(_jpeg())
+    # _jpeg's SOF0 sits right after the 6-byte COM: FF C0 <len:2>
+    assert bad_lf[8:10] == b"\xff\xc0"
+    bad_lf[10:12] = (0x12).to_bytes(2, "big")  # 18 != 8 + 3*3
+    with pytest.raises(ValueError, match="8 \\+ 3"):
+        parse_jpeg_header(bytes(bad_lf))
 
 
 def test_synthesized_images_are_structurally_valid(spark):

@@ -147,3 +147,30 @@ def test_legacy_single_file_ledger_still_read(spark, tmp_path):
     assert pruned_stamps(spark, base) == {"b3"}
     with pytest.raises(ValueError, match="pruned stamp"):
         _merge(spark, base, [(1, 1)], "b3")
+
+
+def test_ledger_read_cache_stays_fresh_and_skips_reopens(spark, tmp_path):
+    """Round-11 ADVICE: pruned_stamps re-opened every prune file on
+    every call — O(total prunes) FS round trips per micro-batch write.
+    The per-(path, length) parse cache must (a) skip re-READING
+    unchanged files on repeat calls, and (b) never go stale: a NEW
+    prune (even one written by another process — simulated by writing
+    the ledger file directly) must be visible on the very next call,
+    because the directory is still listed every time."""
+    from namegraph_collections_spark.operators import cdc
+
+    base = str(tmp_path / "store9")
+    for i in range(4):
+        _merge(spark, base, [(1, 1)], f"t{i}")
+    assert prune_snapshots(spark, base, keep_last=3) == ["t0"]
+    assert pruned_stamps(spark, base) == {"t0"}
+    before = dict(cdc._LEDGER_FILE_CACHE)
+    # repeat call: same files, same lengths — served from cache
+    assert pruned_stamps(spark, base) == {"t0"}
+    assert cdc._LEDGER_FILE_CACHE == before
+    # a second prune adds a new file; it must be read immediately
+    assert prune_snapshots(spark, base, keep_last=2) == ["t1"]
+    assert pruned_stamps(spark, base) == {"t0", "t1"}
+    # out-of-band writer (another process): new file, no prune() call
+    (tmp_path / "store9" / "_PRUNED.d" / "prune-t2").write_text("t2\n")
+    assert pruned_stamps(spark, base) == {"t0", "t1", "t2"}
