@@ -162,6 +162,13 @@ HEADLINE = [
     "passage_chunking",
     "padding_waste_eval",
     "source_unigram_drift",
+    # round 12: the text-mining bisect half + the two new composites
+    # (text_mining_battery keeps its row above — now the tokenizer
+    # half; training_mix_battery unions already-benched singles;
+    # maintainer_state_battery prices the folded-state read paths)
+    "nbq_mining_battery",
+    "training_mix_battery",
+    "maintainer_state_battery",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

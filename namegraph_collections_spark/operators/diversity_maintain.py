@@ -43,7 +43,14 @@ def diversity_state_for(emb: DataFrame) -> DataFrame:
     """A batch's additive contribution: per-(label, dim) component
     sums plus the per-label sentinel row — the IDENTICAL quantization
     program as the one-shot query (``quantized_unit_vectors``)."""
-    qv = quantized_unit_vectors(emb).localCheckpoint(eager=False)
+    # persist, not localCheckpoint: both share the scan+normalize
+    # across the two consumers (dims + sentinel), but a lazy
+    # checkpoint physically PLANS the subtree on the driver at build
+    # time (~1s per call — round-12 finding while building the
+    # maintainer battery, which constructs this program once per fold
+    # batch), while persist defers to execution and keeps the full
+    # lineage visible to the plan guards.
+    qv = quantized_unit_vectors(emb).persist()
     dims = (
         qv.select("label", F.posexplode("qv").alias("dim", "qc"))
         .groupBy("label", "dim")

@@ -65,6 +65,24 @@ def maintain_vocab_state(
     )
 
 
+def vocab_head_from_state(state: DataFrame, k: int = 25) -> DataFrame:
+    """The head of the maintained dictionary — the top-``k`` types by
+    (occurrence desc, tok asc) with their first-seen doc ids: the OOV/
+    stopword monitoring read an ingest pipeline actually serves, and
+    the read that exercises the state's MIN monoid (``first_doc``),
+    which the one-row stats summary never touches. Bounded top-k via
+    ``ranked_topk`` (TakeOrderedAndProject — per-partition partial
+    top-k, never a global sort)."""
+    from namegraph_collections_spark.queries.registry import ranked_topk
+
+    return ranked_topk(
+        state.select("tok", "first_doc", "occ"),
+        k,
+        F.col("occ").desc(),
+        F.col("tok").asc(),
+    )
+
+
 def vocab_stats_from_state(state: DataFrame) -> DataFrame:
     """The corpus vocabulary summary re-derived from state alone —
     one row: (n_types, n_tokens, ttr_micro, hapax_types) where hapax

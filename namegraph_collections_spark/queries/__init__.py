@@ -71,6 +71,7 @@ from namegraph_collections_spark.queries import corpus_stats  # noqa: E402,F401 
 from namegraph_collections_spark.queries import overlap_audit  # noqa: E402,F401  (after dedup/training_data: shares shingle + split rules)
 from namegraph_collections_spark.queries import chunking  # noqa: E402,F401  (after training_data: shares the bucket16 rule)
 from namegraph_collections_spark.queries import pipeline_e2e  # noqa: E402,F401  (after dedup_select/quality_signals: embeds their oracles)
+from namegraph_collections_spark.queries import maintainer_reads  # noqa: E402,F401  (after percentiles/rollups/corpus_stats/quality_classifier: embeds their oracles)
 from namegraph_collections_spark.queries import batteries  # noqa: E402,F401  (must import last: wraps other modules' oracles)
 
 #: The 50 rows the external driver value-hashes, in check order.
@@ -123,6 +124,18 @@ from namegraph_collections_spark.queries import batteries  # noqa: E402,F401  (m
 #: the simhash + embedding-LSH singles into
 #: neardup_candidates_battery (the pricing_summary precedent); both
 #: singles stay registered post-window.
+#: Round 12 (VERDICT r11 #2/#3): text_mining_battery — at 12.7s and
+#: 11 legs the new slowest row — BISECTS along its shared-build seam
+#: into the tokenizer half (text_mining_battery keeps bpe/encode/
+#: fertility on one merge loop + langid/lid_eval on one scan) and
+#: nbq_mining_battery (nbq/eval/cal on one fit + suffix/pmi/rep); the
+#: new maintainer_state_battery gives every keyed-state maintainer's
+#: read path (IVF centroids/balance, vocab stats/head, diversity, NB
+#: model, histogram quantiles, CMS probes — previously pytest-only) a
+#: driver-hashed home from a deterministically-folded state fixture.
+#: The two slots come from compositing decontamination_overlap +
+#: sequence_packing + domain_mix_plan into training_mix_battery (the
+#: singles stay registered post-window).
 DRIVER_WINDOW: list[str] = [
     "wiki_all_info",
     "wiki_documents",
@@ -133,9 +146,8 @@ DRIVER_WINDOW: list[str] = [
     "neardup_candidates_battery",
     "minhash_lsh_candidates",
     "neardup_clusters",
-    "decontamination_overlap",
-    "sequence_packing",
-    "domain_mix_plan",
+    "training_mix_battery",
+    "maintainer_state_battery",
     "sampling_battery",
     "multimodal_byte_histogram",
     "sketch_probe_battery",
@@ -164,6 +176,7 @@ DRIVER_WINDOW: list[str] = [
     "merge_collections_two_level",
     "letter_range_normalize",
     "text_mining_battery",
+    "nbq_mining_battery",
     "command_driven_sorts",
     "related_collections_precompute",
     "sqldump_extract",

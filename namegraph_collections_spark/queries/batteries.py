@@ -1730,17 +1730,9 @@ def skew_salt_trim_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_mining_battery",
     oracle=f"""
-    SELECT 'suffix' AS op, suffix AS s1, CAST(NULL AS VARCHAR) AS s2,
-           examples AS s3, n_names AS n, CAST(NULL AS BIGINT) AS n2,
-           CAST(NULL AS DOUBLE) AS d, CAST(NULL AS INTEGER) AS rnk
-    FROM ({_oracle("suffix_mining")})
-    UNION ALL
-    SELECT 'pmi' AS op, a, b, CAST(NULL AS VARCHAR), n_pair,
-           CAST(NULL AS BIGINT), pmi, rnk
-    FROM ({_oracle("bigram_pmi")})
-    UNION ALL
-    SELECT 'bpe' AS op, a, b, merged, cnt, CAST(NULL AS BIGINT),
-           CAST(NULL AS DOUBLE), round
+    SELECT 'bpe' AS op, a AS s1, b AS s2, merged AS s3, cnt AS n,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS d,
+           round AS rnk
     FROM ({_oracle("bpe_merge_table")})
     UNION ALL
     SELECT 'bpe_encode' AS op, token, CAST(NULL AS VARCHAR),
@@ -1753,44 +1745,10 @@ def skew_salt_trim_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_words AS DOUBLE), rnk
     FROM ({_oracle("language_id")})
     UNION ALL
-    SELECT 'rep' AS op, m.metric, CAST(NULL AS VARCHAR),
-           CAST(NULL AS VARCHAR), r.doc_id,
-           CASE m.metric
-             WHEN 'top2' THEN r.top2_micro
-             WHEN 'top3' THEN r.top3_micro
-             WHEN 'top4' THEN r.top4_micro
-             WHEN 'dup5' THEN r.dup5_micro
-             WHEN 'dup8' THEN r.dup8_micro
-             WHEN 'chars' THEN r.total_chars
-             ELSE CASE WHEN r.rep_keep THEN 1 ELSE 0 END
-           END,
-           CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER)
-    FROM ({_oracle("repetition_signals")}) r
-    CROSS JOIN (VALUES ('top2'), ('top3'), ('top4'), ('dup5'), ('dup8'),
-                       ('chars'), ('keep')) m(metric)
-    UNION ALL
     SELECT 'lid_eval' AS op, label_lang, pred_lang, CAST(NULL AS VARCHAR),
            n_docs, label_total, CAST(NULL AS DOUBLE),
            CAST(share_micro AS INTEGER)
     FROM ({_oracle("language_id_eval")})
-    UNION ALL
-    SELECT 'nbq' AS op,
-           CASE WHEN label_hq THEN 'hq' ELSE 'lq' END,
-           CASE WHEN pred_hq THEN 'hq' ELSE 'lq' END,
-           CASE WHEN is_train THEN 'train' ELSE 'test' END,
-           doc_id, margin_micro, CAST(NULL AS DOUBLE),
-           CAST(n_grams AS INTEGER)
-    FROM ({_oracle("nb_quality_scores")})
-    UNION ALL
-    SELECT 'nbq_eval' AS op, metric, CAST(NULL AS VARCHAR),
-           CAST(NULL AS VARCHAR), num, den, CAST(NULL AS DOUBLE),
-           CAST(value_micro AS INTEGER)
-    FROM ({_oracle("nb_quality_eval")})
-    UNION ALL
-    SELECT 'nbq_cal' AS op, metric, CAST(thr_micro AS VARCHAR),
-           CAST(k AS VARCHAR), num, den, CAST(NULL AS DOUBLE),
-           CAST(value_micro AS INTEGER)
-    FROM ({_oracle("nb_quality_calibration")})
     UNION ALL
     SELECT 'fertility' AS op, f.lang, m.metric, CAST(NULL AS VARCHAR),
            CASE m.metric
@@ -1807,36 +1765,17 @@ def skew_salt_trim_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suffix mining + bigram PMI collocations + BPE merge learning +
-    BPE corpus encoding + multi-profile language identification (+ its
-    confusion-matrix eval, fed from the SAME classifier scan) + Gopher
-    n-gram repetition signals + the NB quality filter's scores,
-    held-out eval, and (round 10) threshold-sweep calibration curve —
-    all three riding ONE classifier fit — in one tagged result.
-    Components unchanged: queries/collections_ops.py,
-    text_analysis.py, bpe.py, quality_signals.py,
-    quality_classifier.py.
+    """The TOKENIZER half of the round-12 text-mining bisect (VERDICT
+    r11 #3 — at 12.7s and 11 legs the combined battery was the slowest
+    driver row; one red leg would have cost every component's
+    attribution): BPE merge learning + BPE corpus encoding + tokenizer
+    fertility — all three riding ONE merge-loop run — plus
+    multi-profile language identification and its confusion-matrix
+    eval, fed from the SAME classifier scan. The NB-classifier and
+    corpus-mining legs moved to ``nbq_mining_battery`` (the r11
+    lexical-bisect precedent: shared-build groups stay together).
+    Components unchanged: queries/bpe.py, text_analysis.py.
     """
-    suf = suffix_mining(spark, sf_dir).select(
-        F.lit("suffix").alias("op"),
-        F.col("suffix").alias("s1"),
-        _NULL_S().alias("s2"),
-        F.col("examples").alias("s3"),
-        F.col("n_names").alias("n"),
-        _NULL_L().alias("n2"),
-        _NULL_D().alias("d"),
-        _NULL_I().alias("rnk"),
-    )
-    pmi = bigram_pmi(spark, sf_dir).select(
-        F.lit("pmi").alias("op"),
-        F.col("a").alias("s1"),
-        F.col("b").alias("s2"),
-        _NULL_S().alias("s3"),
-        F.col("n_pair").alias("n"),
-        _NULL_L().alias("n2"),
-        F.col("pmi").alias("d"),
-        "rnk",
-    )
     # ONE merge-loop run feeds both BPE legs (the similarity_battery
     # treatment): _learn's per-round frames are already eagerly
     # localCheckpointed, so the union leg and the vocabulary leg read
@@ -1892,45 +1831,6 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_D().alias("d"),
         F.col("share_micro").cast("int").alias("rnk"),
     )
-    # Round-8 repetition leg, melted long-form so the battery schema
-    # needs no widening: one stack() row per (doc, metric) — the same
-    # values the wide single emits, including the keep flag as 0/1.
-    # Round-9b: ONE NB classifier fit feeds both the per-doc scores
-    # leg and the held-out eval leg (the LID-eval sharing treatment).
-    nbs = nb_quality_scores(spark, sf_dir).localCheckpoint(eager=False)
-    nbq = nbs.selectExpr(
-        "'nbq' AS op",
-        "CASE WHEN label_hq THEN 'hq' ELSE 'lq' END AS s1",
-        "CASE WHEN pred_hq THEN 'hq' ELSE 'lq' END AS s2",
-        "CASE WHEN is_train THEN 'train' ELSE 'test' END AS s3",
-        "doc_id AS n",
-        "margin_micro AS n2",
-        "CAST(NULL AS DOUBLE) AS d",
-        "CAST(n_grams AS INTEGER) AS rnk",
-    )
-    nbq_eval = nb_quality_eval_from(nbs).selectExpr(
-        "'nbq_eval' AS op",
-        "metric AS s1",
-        "CAST(NULL AS STRING) AS s2",
-        "CAST(NULL AS STRING) AS s3",
-        "num AS n",
-        "den AS n2",
-        "CAST(NULL AS DOUBLE) AS d",
-        "CAST(value_micro AS INTEGER) AS rnk",
-    )
-    # Round-10 calibration leg (VERDICT r9 #3): the threshold-sweep
-    # curve + AUC ride the SAME checkpointed scores frame as the
-    # scores and eval legs — one classifier fit feeds all three.
-    nbq_cal = nb_quality_calibration_from(nbs).selectExpr(
-        "'nbq_cal' AS op",
-        "metric AS s1",
-        "CAST(thr_micro AS STRING) AS s2",
-        "CAST(k AS STRING) AS s3",
-        "num AS n",
-        "den AS n2",
-        "CAST(NULL AS DOUBLE) AS d",
-        "CAST(value_micro AS INTEGER) AS rnk",
-    )
     # Round-9b fertility leg: rides the SAME _learn loop as the two
     # BPE legs (d_final already materialized by the eager checkpoints
     # inside _learn) — the tokenizer trains once for all three.
@@ -1952,6 +1852,126 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_D().alias("d"),
         _NULL_I().alias("rnk"),
     )
+    return (
+        bpe.unionByName(enc).unionByName(langid).unionByName(lid_eval)
+        .unionByName(fert)
+    )
+
+
+@register(
+    "nbq_mining_battery",
+    oracle=f"""
+    SELECT 'suffix' AS op, suffix AS s1, CAST(NULL AS VARCHAR) AS s2,
+           examples AS s3, n_names AS n, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS d, CAST(NULL AS INTEGER) AS rnk
+    FROM ({_oracle("suffix_mining")})
+    UNION ALL
+    SELECT 'pmi' AS op, a, b, CAST(NULL AS VARCHAR), n_pair,
+           CAST(NULL AS BIGINT), pmi, rnk
+    FROM ({_oracle("bigram_pmi")})
+    UNION ALL
+    SELECT 'rep' AS op, m.metric, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), r.doc_id,
+           CASE m.metric
+             WHEN 'top2' THEN r.top2_micro
+             WHEN 'top3' THEN r.top3_micro
+             WHEN 'top4' THEN r.top4_micro
+             WHEN 'dup5' THEN r.dup5_micro
+             WHEN 'dup8' THEN r.dup8_micro
+             WHEN 'chars' THEN r.total_chars
+             ELSE CASE WHEN r.rep_keep THEN 1 ELSE 0 END
+           END,
+           CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER)
+    FROM ({_oracle("repetition_signals")}) r
+    CROSS JOIN (VALUES ('top2'), ('top3'), ('top4'), ('dup5'), ('dup8'),
+                       ('chars'), ('keep')) m(metric)
+    UNION ALL
+    SELECT 'nbq' AS op,
+           CASE WHEN label_hq THEN 'hq' ELSE 'lq' END,
+           CASE WHEN pred_hq THEN 'hq' ELSE 'lq' END,
+           CASE WHEN is_train THEN 'train' ELSE 'test' END,
+           doc_id, margin_micro, CAST(NULL AS DOUBLE),
+           CAST(n_grams AS INTEGER)
+    FROM ({_oracle("nb_quality_scores")})
+    UNION ALL
+    SELECT 'nbq_eval' AS op, metric, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), num, den, CAST(NULL AS DOUBLE),
+           CAST(value_micro AS INTEGER)
+    FROM ({_oracle("nb_quality_eval")})
+    UNION ALL
+    SELECT 'nbq_cal' AS op, metric, CAST(thr_micro AS VARCHAR),
+           CAST(k AS VARCHAR), num, den, CAST(NULL AS DOUBLE),
+           CAST(value_micro AS INTEGER)
+    FROM ({_oracle("nb_quality_calibration")})
+    """,
+)
+def nbq_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NB-CLASSIFIER/corpus-mining half of the round-12
+    text-mining bisect (same seam rule as the r11 lexical bisect:
+    shared-build groups move whole): the NB quality filter's scores,
+    held-out eval, and threshold-sweep calibration — all three riding
+    ONE classifier fit — plus suffix mining, bigram PMI collocations,
+    and the Gopher n-gram repetition signals. Schema identical to
+    ``text_mining_battery``'s. Components unchanged:
+    queries/collections_ops.py, text_analysis.py, quality_signals.py,
+    quality_classifier.py.
+    """
+    suf = suffix_mining(spark, sf_dir).select(
+        F.lit("suffix").alias("op"),
+        F.col("suffix").alias("s1"),
+        _NULL_S().alias("s2"),
+        F.col("examples").alias("s3"),
+        F.col("n_names").alias("n"),
+        _NULL_L().alias("n2"),
+        _NULL_D().alias("d"),
+        _NULL_I().alias("rnk"),
+    )
+    pmi = bigram_pmi(spark, sf_dir).select(
+        F.lit("pmi").alias("op"),
+        F.col("a").alias("s1"),
+        F.col("b").alias("s2"),
+        _NULL_S().alias("s3"),
+        F.col("n_pair").alias("n"),
+        _NULL_L().alias("n2"),
+        F.col("pmi").alias("d"),
+        "rnk",
+    )
+    # ONE NB classifier fit feeds the per-doc scores leg, the held-out
+    # eval leg, AND the threshold-sweep calibration curve.
+    nbs = nb_quality_scores(spark, sf_dir).localCheckpoint(eager=False)
+    nbq = nbs.selectExpr(
+        "'nbq' AS op",
+        "CASE WHEN label_hq THEN 'hq' ELSE 'lq' END AS s1",
+        "CASE WHEN pred_hq THEN 'hq' ELSE 'lq' END AS s2",
+        "CASE WHEN is_train THEN 'train' ELSE 'test' END AS s3",
+        "doc_id AS n",
+        "margin_micro AS n2",
+        "CAST(NULL AS DOUBLE) AS d",
+        "CAST(n_grams AS INTEGER) AS rnk",
+    )
+    nbq_eval = nb_quality_eval_from(nbs).selectExpr(
+        "'nbq_eval' AS op",
+        "metric AS s1",
+        "CAST(NULL AS STRING) AS s2",
+        "CAST(NULL AS STRING) AS s3",
+        "num AS n",
+        "den AS n2",
+        "CAST(NULL AS DOUBLE) AS d",
+        "CAST(value_micro AS INTEGER) AS rnk",
+    )
+    nbq_cal = nb_quality_calibration_from(nbs).selectExpr(
+        "'nbq_cal' AS op",
+        "metric AS s1",
+        "CAST(thr_micro AS STRING) AS s2",
+        "CAST(k AS STRING) AS s3",
+        "num AS n",
+        "den AS n2",
+        "CAST(NULL AS DOUBLE) AS d",
+        "CAST(value_micro AS INTEGER) AS rnk",
+    )
+    # Repetition leg, melted long-form: one stack() row per
+    # (doc, metric) — the same values the wide single emits, including
+    # the keep flag as 0/1.
     rep = repetition_signals(spark, sf_dir).selectExpr(
         "doc_id",
         "stack(7,"
@@ -1969,11 +1989,75 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_I().alias("rnk"),
     )
     return (
-        suf.unionByName(pmi).unionByName(bpe).unionByName(enc)
-        .unionByName(langid).unionByName(rep).unionByName(lid_eval)
+        suf.unionByName(pmi).unionByName(rep)
         .unionByName(nbq).unionByName(nbq_eval).unionByName(nbq_cal)
-        .unionByName(fert)
     )
+
+
+@register(
+    "training_mix_battery",
+    oracle=f"""
+    SELECT 'decon' AS op, CAST(NULL AS VARCHAR) AS src,
+           test_doc_id AS k1, n_train_docs AS v1,
+           n_shared_shingles AS v2, CAST(NULL AS BIGINT) AS v3,
+           CAST(NULL AS BIGINT) AS v4, CAST(NULL AS DOUBLE) AS d
+    FROM ({_oracle("decontamination_overlap")})
+    UNION ALL
+    SELECT 'pack' AS op, source, bin_id, n_docs, total_tokens,
+           first_doc_id, last_doc_id, CAST(NULL AS DOUBLE)
+    FROM ({_oracle("sequence_packing")})
+    UNION ALL
+    SELECT 'mix' AS op, source, CAST(NULL AS BIGINT), n_docs,
+           expected_docs, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           share
+    FROM ({_oracle("domain_mix_plan")})
+    """,
+)
+def training_mix_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination overlap + FFD sequence packing + domain mix
+    plan in one tagged result — the round-12 composite that freed the
+    driver-window slots for the text-mining bisect and the maintainer
+    battery (the pricing_summary precedent; the singles stay
+    registered post-window for the local sweep). Components unchanged:
+    queries/training_data.py.
+    """
+    from namegraph_collections_spark.queries.training_data import (
+        decontamination_overlap,
+        domain_mix_plan,
+        sequence_packing,
+    )
+
+    decon = decontamination_overlap(spark, sf_dir).select(
+        F.lit("decon").alias("op"),
+        _NULL_S().alias("src"),
+        F.col("test_doc_id").alias("k1"),
+        F.col("n_train_docs").alias("v1"),
+        F.col("n_shared_shingles").alias("v2"),
+        _NULL_L().alias("v3"),
+        _NULL_L().alias("v4"),
+        _NULL_D().alias("d"),
+    )
+    pack = sequence_packing(spark, sf_dir).select(
+        F.lit("pack").alias("op"),
+        F.col("source").alias("src"),
+        F.col("bin_id").alias("k1"),
+        F.col("n_docs").alias("v1"),
+        F.col("total_tokens").alias("v2"),
+        F.col("first_doc_id").alias("v3"),
+        F.col("last_doc_id").alias("v4"),
+        _NULL_D().alias("d"),
+    )
+    mix = domain_mix_plan(spark, sf_dir).select(
+        F.lit("mix").alias("op"),
+        F.col("source").alias("src"),
+        _NULL_L().alias("k1"),
+        F.col("n_docs").alias("v1"),
+        F.col("expected_docs").alias("v2"),
+        _NULL_L().alias("v3"),
+        _NULL_L().alias("v4"),
+        F.col("share").alias("d"),
+    )
+    return decon.unionByName(pack).unionByName(mix)
 
 
 @register(

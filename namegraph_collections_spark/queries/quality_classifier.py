@@ -246,8 +246,11 @@ def nbq_score_against(
     )
 
 
-_NBQ_SCORES_ORACLE = f"""
-    WITH toked AS MATERIALIZED (
+#: The fit's CTE chain (feature program -> bucket counts -> smoothed
+#: weight table -> prior), shared VERBATIM by the scores oracle below
+#: and by maintainer_reads' state-derived model legs (the battery
+#: construction rule: one SQL definition, zero drift).
+_NBQ_FIT_CTES = f"""toked AS MATERIALIZED (
       SELECT doc_id, {_NBQ_POS_PRED} AS label_hq,
              {_NBQ_IS_TRAIN_SQL.format(c="doc_id")} AS is_train,
              list_filter(string_split(lower(replace(text, chr(10), ' ')), ' '),
@@ -293,7 +296,10 @@ _NBQ_SCORES_ORACLE = f"""
                SUM(CASE WHEN label_hq THEN 0 ELSE 1 END) AS nn
         FROM toked WHERE is_train
       )
-    ),
+    )"""
+
+_NBQ_SCORES_ORACLE = f"""
+    WITH {_NBQ_FIT_CTES},
     db AS (
       SELECT doc_id, label_hq, is_train, bucket, COUNT(*) AS c
       FROM hashed GROUP BY 1, 2, 3, 4

@@ -145,26 +145,40 @@ BATTERIES = {
         "salted_skew_agg",
         "length_percentile_trim",
     ],
+    # round 12: the text-mining bisect (VERDICT r11 #3) — the
+    # tokenizer half keeps the name (one BPE merge loop feeds three
+    # legs, one classifier scan feeds two)...
     "text_mining_battery": [
+        "bpe_merge_table",
+        "bpe_encode_tokens",
+        "language_id",
+        "language_id_eval",
+        "tokenizer_fertility",
+    ],
+    # ...and the NB-classifier/corpus-mining half (one classifier fit
+    # feeds three legs) moves to its own driver row
+    "nbq_mining_battery": [
         "suffix_mining",
         "bigram_pmi",
-        "bpe_merge_table",
-        # round 7: the BPE apply/encode half
-        "bpe_encode_tokens",
-        # round 8: multi-profile language identification
-        "language_id",
-        # round 8: Gopher n-gram repetition signals (melted long-form)
         "repetition_signals",
-        # round 8: the classifier's confusion-matrix eval
-        "language_id_eval",
-        # round 9b: supervised NB quality filter + its held-out eval
         "nb_quality_scores",
         "nb_quality_eval",
-        # round 10: threshold-sweep calibration curve + AUC (shares
-        # the same one classifier fit; VERDICT r9 #3)
         "nb_quality_calibration",
-        # round 9b: per-language tokenizer fertility (shares _learn)
-        "tokenizer_fertility",
+    ],
+    # round 12: composited to free the window slots for the bisect and
+    # the maintainer battery
+    "training_mix_battery": [
+        "decontamination_overlap",
+        "sequence_packing",
+        "domain_mix_plan",
+    ],
+    # round 12: the maintainer read-path battery embeds the one-shot
+    # component oracles whose outputs its state-derived reads equal
+    # by the monoid-fold identity
+    "maintainer_state_battery": [
+        "embedding_diversity",
+        "histogram_quantiles",
+        "cms_heavy_hitters",
     ],
     "graph_battery": ["transitive_closure_reachability", "neardup_triangles"],
     "revenue_olap_battery": [

@@ -172,6 +172,26 @@ R11_COMPOSITED = [
     "embedding_neardup_pairs",
 ]
 
+# round 12: the text-mining bisect (VERDICT r11 #3) + the maintainer
+# read-path battery (VERDICT r11 #2). text_mining_battery — 12.7s and
+# 11 legs, the slowest driver row — keeps its name/slot with the
+# tokenizer half (one BPE merge loop + one language-id scan); the NB/
+# mining half (one classifier fit + suffix/pmi/repetition) takes a NEW
+# slot directly after it. maintainer_state_battery gives every
+# keyed-state maintainer's read path a driver-hashed home. The two
+# slots come from compositing the three training-data planning singles
+# into training_mix_battery in place (first member keeps the slot).
+R12_REPLACED = {
+    "decontamination_overlap": "training_mix_battery",
+    "sequence_packing": "maintainer_state_battery",
+    "domain_mix_plan": None,
+}
+R12_COMPOSITED = [
+    "decontamination_overlap",
+    "sequence_packing",
+    "domain_mix_plan",
+]
+
 # round 8: singles composited into an existing window battery
 # (window membership unchanged — only battery legs grew)
 R8_COMPOSITED = [
@@ -230,6 +250,16 @@ def _expected_window() -> list[str]:
         if R11_REPLACED.get(name, name) is not None
     ]
     out.insert(out.index("lexical_dedup_battery") + 1, "banded_dedup_battery")
+    # round-12 in-place replacements (the text-mining bisect + the
+    # maintainer battery): composite the three training-data singles,
+    # spend one freed slot on the NB/mining bisect half directly after
+    # the tokenizer half and the other on the maintainer battery
+    out = [
+        R12_REPLACED.get(name, name)
+        for name in out
+        if R12_REPLACED.get(name, name) is not None
+    ]
+    out.insert(out.index("text_mining_battery") + 1, "nbq_mining_battery")
     return out
 
 
@@ -247,7 +277,7 @@ def test_composited_singles_stay_registered_after_the_window():
     tail = list(REGISTRY)[WINDOW_SIZE:]
     for name in (
         R5_COMPOSITED + R5_DEMOTED + R6_COMPOSITED + R7_COMPOSITED
-        + R8_COMPOSITED + R9_COMPOSITED + R11_COMPOSITED
+        + R8_COMPOSITED + R9_COMPOSITED + R11_COMPOSITED + R12_COMPOSITED
     ):
         assert name in tail, f"{name} lost its local-sweep parity check"
 
