@@ -169,6 +169,7 @@ HEADLINE = [
     "nbq_mining_battery",
     "training_mix_battery",
     "maintainer_state_battery",
+    "av_header_decode",
 ]
 
 RUNS_PER_QUERY = 3  # report the median — n=1 noise swamps round deltas

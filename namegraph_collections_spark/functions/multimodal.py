@@ -398,3 +398,217 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.filter(F.col("kind") == "video").mapInPandas(sample, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 widening of the from-spec header class (VERDICT r11 #7):
+# GIF logical-screen descriptor and WAV/RIFF fmt chunk — pure-
+# arithmetic parses like the PNG/JPEG work, extending the multimodal
+# metadata coverage to animation and AUDIO containers. Same contract:
+# refuse malformation, never emit a plausible mis-read.
+# ---------------------------------------------------------------------------
+
+#: GIF signatures (GIF89a spec §17): 6-byte header, then the 7-byte
+#: logical-screen descriptor — width(2,LE) height(2,LE) packed(1)
+#: background(1) aspect(1). All integers LITTLE-endian (§4).
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+#: RIFF/WAVE layout (RIFF spec / RFC 2361): 'RIFF' size(4,LE) 'WAVE',
+#: then chunks of id(4) size(4,LE) data[size] (+1 pad byte when size
+#: is odd); the 'fmt ' chunk carries audio_format(2) channels(2)
+#: sample_rate(4) byte_rate(4) block_align(2) bits_per_sample(2),
+#: all little-endian.
+WAV_FMT_MIN = 16
+
+
+def parse_gif_header(b: bytes) -> tuple[str, int, int, int, int]:
+    """From-spec GIF header parse (no codec library): verify the
+    GIF87a/GIF89a signature and read the logical-screen descriptor —
+    (version, width, height, color_resolution, gct_flag). Integers are
+    little-endian per spec §4; ``color_resolution`` is the descriptor's
+    3-bit field + 1 (bits per primary). Raises ValueError on any
+    malformation."""
+    if len(b) < 13:
+        raise ValueError("truncated GIF: no room for the screen descriptor")
+    if b[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF: bad signature")
+    version = b[3:6].decode("ascii")
+    width, height = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    color_resolution = ((packed >> 4) & 0x7) + 1
+    gct_flag = packed >> 7
+    if width == 0 or height == 0:
+        raise ValueError("GIF dimensions must be nonzero")
+    return version, width, height, color_resolution, gct_flag
+
+
+def parse_wav_header(b: bytes) -> tuple[int, int, int, int]:
+    """From-spec WAV header parse (no codec library): verify the
+    RIFF/WAVE container, walk chunks by their declared little-endian
+    sizes (honoring the odd-size pad byte) to the first ``fmt `` chunk,
+    validate its internal consistency (PCM block_align = channels *
+    bits/8; byte_rate = sample_rate * block_align), and return
+    (channels, sample_rate, bits_per_sample, data_bytes) where
+    ``data_bytes`` is the declared size of the ``data`` chunk (0 when
+    the stream ends before one). Raises ValueError on malformation."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data_bytes = 0
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)} < {size}")
+        if cid == b"fmt ":
+            if size < WAV_FMT_MIN:
+                raise ValueError(f"fmt chunk {size} < {WAV_FMT_MIN}")
+            audio_format, channels, sample_rate, byte_rate, block_align, bits = (
+                struct.unpack("<HHIIHH", body[:16])
+            )
+            if channels == 0 or sample_rate == 0 or bits == 0:
+                raise ValueError("WAV fmt fields must be nonzero")
+            if audio_format == 1:  # PCM: derived fields must agree
+                if block_align != channels * bits // 8:
+                    raise ValueError(
+                        f"block_align {block_align} != channels*bits/8"
+                    )
+                if byte_rate != sample_rate * block_align:
+                    raise ValueError(
+                        f"byte_rate {byte_rate} != rate*block_align"
+                    )
+            fmt = (channels, sample_rate, bits)
+        elif cid == b"data":
+            data_bytes = size
+        pos += 8 + size + (size & 1)  # odd sizes carry a pad byte
+    if fmt is None:
+        raise ValueError("no fmt chunk before end of stream")
+    return fmt[0], fmt[1], fmt[2], data_bytes
+
+
+AV_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("color_res", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+#: The synthesizer's LIST junk chunk the WAV walker must skip (the
+#: JPEG COM-segment treatment), and the PCM bit depths it cycles.
+_WAV_JUNK = b"synthetic av-header wav"
+_WAV_BITS = (8, 16, 24)
+
+
+def synthesize_av_files(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL animation/audio byte streams from
+    `documents`: even doc_ids become GIF89a headers (signature +
+    logical-screen descriptor + trailer), odd ones PCM WAVs (RIFF +
+    a LIST junk chunk the walker must skip + consistent fmt + empty
+    data chunk). Every field derives from (doc_id, n_chars)
+    arithmetic so an oracle can recompute it without parsing bytes.
+    Assembly is pure JVM expression — little-endian u16/u32 are built
+    by concatenating the reversed big-endian bytes (hex/lpad/unhex +
+    per-byte substr), so synthesis never leaves codegen."""
+
+    def be(col, nibbles):
+        return F.unhex(F.lpad(F.hex(col), nibbles, "0"))
+
+    def le(col, nbytes):
+        b = be(col, nbytes * 2)
+        return F.concat(
+            *[F.substring(b, i, 1) for i in range(nbytes, 0, -1)]
+        )
+
+    width = (F.col("n_chars") % 640 + 1).cast("long")
+    height = (F.col("n_chars") % 480 + 1).cast("long")
+    # packed: GCT flag 0, color-resolution bits = doc_id % 8
+    packed = ((F.col("doc_id") % 8) * 16).cast("long")
+    gif = F.concat(
+        F.lit(b"GIF89a"),
+        le(width, 2),
+        le(height, 2),
+        be(packed, 2),
+        F.lit(bytes([0, 0])),  # background index, aspect ratio
+        F.lit(b"\x3b"),  # trailer
+    )
+    channels = (F.col("doc_id") % 3 + 1).cast("long")
+    bits = F.element_at(
+        F.array(*[F.lit(x) for x in _WAV_BITS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    ).cast("long")
+    rate = (F.col("n_chars") % 40000 + 8000).cast("long")
+    block_align = (channels * bits / 8).cast("long")
+    byte_rate = rate * block_align
+    junk = b"LIST" + len(_WAV_JUNK).to_bytes(4, "little") + _WAV_JUNK
+    junk += b"\x00" * (len(_WAV_JUNK) & 1)  # pad to even
+    fmt_chunk = F.concat(
+        F.lit(b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")),
+        le(channels, 2),
+        le(rate, 4),
+        le(byte_rate, 4),
+        le(block_align, 2),
+        le(bits, 2),
+    )
+    data_chunk = b"data" + (0).to_bytes(4, "little")
+    riff_size = 4 + len(junk) + (8 + 16) + len(data_chunk)
+    wav = F.concat(
+        F.lit(b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + junk),
+        fmt_chunk,
+        F.lit(data_chunk),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, gif).otherwise(wav).alias("payload"),
+    )
+
+
+def decode_av_headers(media: DataFrame) -> DataFrame:
+    """Arrow-batched from-spec GIF/WAV header decode over mapInPandas
+    record batches: (media_id, format, width, height, color_res,
+    channels, sample_rate, bits_per_sample, n_bytes) with the
+    inapplicable fields NULL per format. Malformed payloads RAISE
+    (task failure), never garbage rows — the decode contract the
+    PNG/JPEG class established."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:6] in GIF_SIGS:
+                    _, w, h, cres, _ = parse_gif_header(b)
+                    rows.append(
+                        (media_id, "gif", w, h, cres, None, None, None, len(b))
+                    )
+                else:
+                    ch, rate, bits, _ = parse_wav_header(b)
+                    rows.append(
+                        (media_id, "wav", None, None, None, ch, rate, bits, len(b))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "format",
+                    "width",
+                    "height",
+                    "color_res",
+                    "channels",
+                    "sample_rate",
+                    "bits_per_sample",
+                    "n_bytes",
+                ],
+            )
+
+    return media.mapInPandas(decode, AV_META_SCHEMA)

@@ -12,9 +12,27 @@ golden tests (tests/test_wiki_api.py:143-148):
     'ιοσρβυνγ'               → DisallowedLabel          (non-Latin dropped)
 
 Spec: NFKC → casefold → remove space/hyphen/apostrophe/quote/dot →
+fold Latin-script letters to their ASCII base (round 12, below) →
 every remaining char must be a Latin letter, a digit, or an emoji,
 else DisallowedLabel. Pure Python (no deps), so it runs identically
 driver-side, in pandas UDFs, and in the test oracle.
+
+Round-12 fidelity narrowing (VERDICT r11 #6): the reference recipe
+unidecodes every LATIN-script char (create_merged.py:174-175 —
+``unidecode(c) if myunicode.script_of(c) == 'Latin' else c``), so
+'Pérez' folds to 'perez'. The stand-in now carries that fold for the
+Latin-1 Supplement + Latin Extended-A range (U+00C0–U+017F) without
+any install: NFD-decompose and drop combining marks, plus an embedded
+table (public Unicode data) for the letters that do not decompose
+(ø→o, æ→ae, þ→th, đ→d, ł→l, …) — byte-for-byte what unidecode emits
+for this range. Latin letters beyond U+017F (Extended-B and later)
+still pass through unfolded — the residual gap ``NGCS_REAL_LIBS=1``
+closes with the real unidecode. NOTE: the reference's own golden
+(tests/test_wiki_api.py::test_curate_members, 'adolfopérezesquivel')
+predates the recipe's "convert to ascii" block and no longer matches
+the reference's shipped code, which folds; the engine follows the
+CODE, and the goldens in tests/test_functions.py carry the folded
+expectations in both stand-in and real-adapter modes.
 """
 
 from __future__ import annotations
@@ -22,6 +40,47 @@ from __future__ import annotations
 import unicodedata
 
 _REMOVE = set(" _-'\"." + "’‘")  # incl. underscores and curly apostrophes
+
+#: unidecode-compatible ASCII folds for the Latin-1 + Latin
+#: Extended-A letters WITHOUT a canonical decomposition (casefolded
+#: forms only — the fold runs after NFKC+casefold). Public Unicode
+#: data; ß/ſ need no entry (casefold/NFKC already yield ss/s).
+_LATIN_FOLD = {
+    "æ": "ae",  # æ
+    "ð": "d",   # ð
+    "ø": "o",   # ø
+    "þ": "th",  # þ
+    "đ": "d",   # đ
+    "ħ": "h",   # ħ
+    "ı": "i",   # ı (dotless i)
+    "ĸ": "k",   # ĸ (kra)
+    "ł": "l",   # ł
+    "ŋ": "ng",  # ŋ
+    "œ": "oe",  # œ
+    "ŧ": "t",   # ŧ
+}
+
+#: Upper bound (inclusive) of the vendored fold range: Latin-1
+#: Supplement + Latin Extended-A.
+_FOLD_MAX_CP = 0x017F
+
+
+def _fold_latin(ch: str) -> str:
+    """ASCII fold of one casefolded Latin-script char in the vendored
+    range — decomposition-strip first (é→e), table for the rest
+    (ø→o); identity outside the range or for non-Latin scripts (the
+    reference folds ONLY Latin-script chars)."""
+    cp = ord(ch)
+    if cp < 0x80 or cp > _FOLD_MAX_CP or not _is_latin_letter(ch):
+        return ch
+    hit = _LATIN_FOLD.get(ch)
+    if hit is not None:
+        return hit
+    base = "".join(
+        c for c in unicodedata.normalize("NFD", ch)
+        if unicodedata.category(c) != "Mn"
+    )
+    return base if base.isascii() else ch
 
 
 class DisallowedLabel(ValueError):
@@ -63,6 +122,7 @@ def force_normalize(label: str) -> str:
         return real_adapter.force_normalize_real(label)
     s = unicodedata.normalize("NFKC", label).casefold()
     s = "".join(ch for ch in s if ch not in _REMOVE)
+    s = "".join(_fold_latin(ch) for ch in s)
     if not s:
         raise DisallowedLabel(f"empty after normalization: {label!r}")
     for ch in s:

@@ -196,8 +196,9 @@ BATTERIES = {
     # round 8: the decode/frame-sample battery rides the widened
     # byte-histogram composite (the multimodal driver-window row);
     # round 11: + the from-spec PNG/JPEG header-decode leg
+    # round 12: + the GIF/WAV header-decode leg
     "multimodal_byte_histogram": ["multimodal_decode_battery"],
-    "multimodal_decode_battery": ["image_header_decode"],
+    "multimodal_decode_battery": ["image_header_decode", "av_header_decode"],
 }
 
 

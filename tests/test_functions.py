@@ -51,13 +51,28 @@ def test_ens_namehash_vectors():
 # --- force_normalize (C4 ★) -------------------------------------------------
 def test_force_normalize_goldens():
     assert force_normalize("Betty Williams") == "bettywilliams"
-    assert force_normalize("Adolfo Pérez Esquivel") == "adolfopérezesquivel"
+    # round 12: the stand-in now carries the reference recipe's
+    # Latin-script ASCII fold (create_merged.py:174-175), so accented
+    # Latin names fold exactly as unidecode folds them — the
+    # reference's own test_wiki_api golden ('adolfopérezesquivel')
+    # predates that block of its code and no longer matches it
+    assert force_normalize("Adolfo Pérez Esquivel") == "adolfoperezesquivel"
     with pytest.raises(DisallowedLabel):
         force_normalize("ιοσρβυνγ")  # non-Latin (test_wiki_api.py:147)
     with pytest.raises(DisallowedLabel):
         force_normalize("---")  # empty after stripping
     assert try_force_normalize("ιοσρβυνγ") is None
     assert force_normalize("O'Brien-Smith") == "obriensmith"
+    # the vendored Latin-1/Extended-A fold: decomposable accents strip,
+    # non-decomposable letters map through the embedded table — all
+    # byte-for-byte what unidecode emits for this range
+    assert force_normalize("Łukasz Gbur") == "lukaszgbur"
+    assert force_normalize("Søren Ñandú") == "sorennandu"
+    assert force_normalize("Þórður Æðal") == "thorduraedal"
+    assert force_normalize("Müller-Œuvre") == "mulleroeuvre"
+    # Greek stays unfolded (the reference folds ONLY Latin script)
+    with pytest.raises(DisallowedLabel):
+        force_normalize("café ιοσ")
 
 
 # --- curate_member (C5 ★; goldens test_wiki_api.py:143-148) -----------------
@@ -68,8 +83,8 @@ def test_curate_member_goldens():
     )
     # underscore form stays one token (test_wiki_api.py:146-148)
     assert curate_member("Adolfo_Pérez_Esquivel") == (
-        "adolfopérezesquivel",
-        ["adolfopérezesquivel"],
+        "adolfoperezesquivel",
+        ["adolfoperezesquivel"],
     )
     assert curate_member("ιοσρβυνγ") is None
     assert curate_member("ab") is None  # F11 min length 3

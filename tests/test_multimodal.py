@@ -169,3 +169,90 @@ def test_synthesized_images_are_structurally_valid(spark):
         assert m["height"] == d["n_chars"] % 480 + 1
         assert m["format"] == ("png" if d["doc_id"] % 2 == 0 else "jpeg")
         assert m["bit_depth"] == 8
+
+
+def test_gif_header_roundtrip_and_refusals():
+    from namegraph_collections_spark.functions.multimodal import (
+        parse_gif_header,
+    )
+
+    gif = b"GIF89a" + struct.pack("<HH", 17, 9) + bytes([0x30, 0, 0]) + b"\x3b"
+    assert parse_gif_header(gif) == ("89a", 17, 9, 4, 0)
+    # 87a is equally legal; the GCT flag is the packed byte's top bit
+    old = b"GIF87a" + struct.pack("<HH", 640, 480) + bytes([0xF7, 5, 0])
+    assert parse_gif_header(old) == ("87a", 640, 480, 8, 1)
+    with pytest.raises(ValueError, match="signature"):
+        parse_gif_header(b"GIF90a" + gif[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_gif_header(gif[:10])
+    zero = b"GIF89a" + struct.pack("<HH", 0, 9) + bytes([0, 0, 0])
+    with pytest.raises(ValueError, match="nonzero"):
+        parse_gif_header(zero)
+
+
+def _wav(channels=2, rate=44100, bits=16, junk=True, data_size=0):
+    chunks = b""
+    if junk:
+        payload = b"skip me please!"  # odd length -> exercises padding
+        chunks += b"LIST" + len(payload).to_bytes(4, "little") + payload
+        chunks += b"\x00" * (len(payload) & 1)
+    block = channels * bits // 8
+    chunks += b"fmt " + (16).to_bytes(4, "little") + struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block, block, bits
+    )
+    chunks += b"data" + data_size.to_bytes(4, "little")
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_header_walk_and_refusals():
+    from namegraph_collections_spark.functions.multimodal import (
+        parse_wav_header,
+    )
+
+    # the walker must skip the odd-length LIST chunk (with pad byte)
+    assert parse_wav_header(_wav()) == (2, 44100, 16, 0)
+    assert parse_wav_header(_wav(1, 8000, 8, junk=False)) == (1, 8000, 8, 0)
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav_header(b"RIFX" + _wav()[4:])
+    with pytest.raises(ValueError, match="no fmt"):
+        parse_wav_header(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE")
+    # a lying chunk size that runs off the stream must refuse
+    bad = bytearray(_wav(junk=False))
+    bad[16:20] = (9999).to_bytes(4, "little")  # fmt size
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wav_header(bytes(bad))
+    # PCM internal consistency: block_align must equal channels*bits/8
+    lying = bytearray(_wav(junk=False))
+    # fmt body starts at 20; block_align is bytes 32:34 (<H)
+    lying[32:34] = (7).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="block_align"):
+        parse_wav_header(bytes(lying))
+
+
+def test_synthesized_av_files_parse_to_the_oracle_fields(spark):
+    """The JVM-side GIF/WAV synthesizer and the Python-side from-spec
+    parsers agree on every header field — including the little-endian
+    u16/u32 assembly (reversed big-endian bytes) and the LIST-junk
+    skip. Mirrors test_synthesized_images_are_structurally_valid."""
+    from namegraph_collections_spark.functions.multimodal import (
+        decode_av_headers,
+        synthesize_av_files,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    src = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    got = {r.media_id: r for r in decode_av_headers(synthesize_av_files(docs)).collect()}
+    assert set(got) == set(src)
+    for doc_id, n_chars in src.items():
+        r = got[doc_id]
+        if doc_id % 2 == 0:
+            assert r.format == "gif"
+            assert (r.width, r.height) == (n_chars % 640 + 1, n_chars % 480 + 1)
+            assert r.color_res == doc_id % 8 + 1
+            assert r.n_bytes == 14
+        else:
+            assert r.format == "wav"
+            assert r.channels == doc_id % 3 + 1
+            assert r.sample_rate == n_chars % 40000 + 8000
+            assert r.bits_per_sample == (8, 16, 24)[doc_id % 3]
+            assert r.n_bytes == 76

@@ -60,6 +60,7 @@ PYTHON_SANCTIONED = frozenset({
     "sqldump_extract",
     # codec/header parsing over binary payloads
     "image_header_decode",
+    "av_header_decode",
     "multimodal_byte_histogram",
     "multimodal_decode_battery",
 })

