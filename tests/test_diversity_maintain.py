@@ -77,9 +77,10 @@ def test_exactness_bound_raises_instead_of_wrapping(spark, monkeypatch):
     worst case (~3e6 vectors/group), and it must RAISE — non-ANSI
     Spark would otherwise wrap sum(s*s) silently. The bound constant
     is monkeypatched down so the guard path is exercised without 3e6
-    rows."""
-    from pyspark.errors import SparkRuntimeException
-
+    rows. The assert can fire inside an AQE broadcast-stage
+    materialization (since the qv share moved from localCheckpoint to
+    persist), where it surfaces as the wrapped Py4J stage error rather
+    than a converted SparkRuntimeException — match on the message."""
     from namegraph_collections_spark.queries import corpus_stats
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -87,5 +88,5 @@ def test_exactness_bound_raises_instead_of_wrapping(spark, monkeypatch):
     # sanity: within the real bound nothing trips
     diversity_from_state(state).collect()
     monkeypatch.setattr(corpus_stats, "DIVERSITY_MAX_VECS", 2)
-    with pytest.raises(SparkRuntimeException, match="exceeds the signed-64"):
+    with pytest.raises(Exception, match="exceeds the signed-64"):
         diversity_from_state(state).collect()
