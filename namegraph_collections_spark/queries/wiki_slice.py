@@ -153,13 +153,36 @@ def _lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _opt_triple(cond, subj, pred, obj):
+    """One optional (subject, predicate, object) branch of a
+    single-pass triple explode: NULL when ``cond`` doesn't hold."""
+    s = F.struct(
+        subj.alias("subject"), F.lit(pred).alias("predicate"), obj.alias("object")
+    )
+    return s if cond is None else F.when(cond, s)
+
+
+def _explode_triples(df: DataFrame, branches: list) -> DataFrame:
+    """All of a source frame's triple branches in ONE projection+explode
+    (round-12 driver-cost optimization): the fixture previously built
+    one filtered select PER BRANCH and unioned 19 of them, which made
+    the triples tree ~19 plans deep/wide — every lazy localCheckpoint
+    of it (and of everything derived from it) re-planned that whole
+    union on the driver, dominating wiki_* build time. One
+    explode(filter(array(...), not null)) per source keeps the plan a
+    single scan→generate chain with identical output rows."""
+    return df.select(
+        F.explode(F.filter(F.array(*branches), lambda s: s.isNotNull())).alias("_t")
+    ).select("_t.subject", "_t.predicate", "_t.object")
+
+
 def _fixture(spark: SparkSession, sf_dir: str):
     """Build (triples, wikimapper, categorylinks, pagelinks, qrank,
     domains, scores) — the synthetic wiki universe, all derived from
     the star tables."""
-    # One eager checkpoint of the shared per-customer base: every union
-    # branch below reuses it, so the branches read a materialized block
-    # instead of re-scanning parquet and re-joining nation 18 times.
+    # One eager checkpoint of the shared per-customer base: every
+    # consumer below reuses it, so the consumers read a materialized
+    # block instead of re-scanning parquet and re-joining nation.
     cust = _customers(spark, sf_dir).localCheckpoint(eager=True)
     cats = _nation_cats(spark, sf_dir)
     lists = _lists(spark, sf_dir)
@@ -167,70 +190,80 @@ def _fixture(spark: SparkSession, sf_dir: str):
     n = F.col("n")
     lit = F.lit
 
-    def t(df, subj, pred, obj):
-        return df.select(subj.alias("subject"), lit(pred).alias("predicate"), obj.alias("object"))
-
     leaf = lambda c: _q(500000, c)  # noqa: E731
     root_of_n = _q(400000, n % 2)
 
-    triples = [
-        # member entities
-        t(cust, F.col("qid"), "label", F.concat(lit("Kunde "), k.cast("string"))),
-        t(cust.filter(k % 11 != 0), F.col("qid"), "instance_of", leaf(F.col("seg"))),
-        t(cust.filter(k % 11 == 0), F.col("qid"), "same_as", _q(700000, k)),
-        t(cust.filter(k % 11 == 0), _q(700000, k), "instance_of", leaf(F.col("eff_seg"))),
-        t(cust.filter("about_route"), F.col("title"), "about", F.col("qid")),
-        # nation categories: types
-        t(cats.filter(n == 23), F.col("item"), "category_contains", lit("Q13406463")),
-        t(cats.filter(n != 23), F.col("item"), "category_contains", root_of_n),
-        t(cats.filter(n == 22), F.col("item"), "category_contains", lit("Q4167836")),
-        t(cats.filter(n % 7 == 0), F.col("item"), "category_contains", _q(500000, n % 5)),
-        # nation categories: aux description / image / banner
-        t(cats.filter(n % 5 == 0), F.col("item"), "description", lit("Wikimedia list article")),
-        t(
-            cats.filter(n % 5 == 1),
-            F.col("item"),
-            "description",
-            lit("Wikimedia customer collection"),
-        ),
-        t(
-            cats.filter(n % 5 == 2),
-            F.col("item"),
-            "description",
-            F.concat(lit("Customers from "), F.col("n_name")),
-        ),
-        t(cats.filter(n % 2 == 0), F.col("item"), "image", F.concat(lit("Img%20"), n.cast("string"))),
-        t(
-            cats.filter(n % 3 == 0),
-            F.col("item"),
-            "page_banner",
-            F.concat(lit("Banner_"), n.cast("string")),
-        ),
-        # merge edge (b): nation r+5's N–Z category → region list r
-        t(
-            cats.filter((n >= 5) & (n <= 9) & (F.col("v") == 1)),
-            F.col("item"),
-            "list_related_to_category",
-            _q(600000, n - 5),
-        ),
-        # region lists
-        t(lists, F.col("item"), "is_a_list_of", _q(400000, F.col("r") % 2)),
-        # merge edge (a): list r names nation r's A–M category
-        t(lists, F.col("item"), "category_related_to_list", _q(300000, 2 * F.col("r"))),
-        t(
-            lists.filter(F.col("r") % 2 == 0),
-            F.col("item"),
-            "description",
-            F.concat(lit("Great customers of "), F.col("r_name")),
-        ),
-    ]
+    cust_triples = _explode_triples(
+        cust,
+        [
+            # member entities
+            _opt_triple(None, F.col("qid"), "label", F.concat(lit("Kunde "), k.cast("string"))),
+            _opt_triple(k % 11 != 0, F.col("qid"), "instance_of", leaf(F.col("seg"))),
+            _opt_triple(k % 11 == 0, F.col("qid"), "same_as", _q(700000, k)),
+            _opt_triple(k % 11 == 0, _q(700000, k), "instance_of", leaf(F.col("eff_seg"))),
+            _opt_triple(F.col("about_route"), F.col("title"), "about", F.col("qid")),
+        ],
+    )
+    cats_triples = _explode_triples(
+        cats,
+        [
+            # nation categories: types
+            _opt_triple(n == 23, F.col("item"), "category_contains", lit("Q13406463")),
+            _opt_triple(n != 23, F.col("item"), "category_contains", root_of_n),
+            _opt_triple(n == 22, F.col("item"), "category_contains", lit("Q4167836")),
+            _opt_triple(n % 7 == 0, F.col("item"), "category_contains", _q(500000, n % 5)),
+            # nation categories: aux description / image / banner
+            _opt_triple(n % 5 == 0, F.col("item"), "description", lit("Wikimedia list article")),
+            _opt_triple(
+                n % 5 == 1, F.col("item"), "description", lit("Wikimedia customer collection")
+            ),
+            _opt_triple(
+                n % 5 == 2,
+                F.col("item"),
+                "description",
+                F.concat(lit("Customers from "), F.col("n_name")),
+            ),
+            _opt_triple(
+                n % 2 == 0, F.col("item"), "image", F.concat(lit("Img%20"), n.cast("string"))
+            ),
+            _opt_triple(
+                n % 3 == 0, F.col("item"), "page_banner", F.concat(lit("Banner_"), n.cast("string"))
+            ),
+            # merge edge (b): nation r+5's N–Z category → region list r
+            _opt_triple(
+                (n >= 5) & (n <= 9) & (F.col("v") == 1),
+                F.col("item"),
+                "list_related_to_category",
+                _q(600000, n - 5),
+            ),
+        ],
+    )
+    lists_triples = _explode_triples(
+        lists,
+        [
+            # region lists
+            _opt_triple(None, F.col("item"), "is_a_list_of", _q(400000, F.col("r") % 2)),
+            # merge edge (a): list r names nation r's A–M category
+            _opt_triple(
+                None, F.col("item"), "category_related_to_list", _q(300000, 2 * F.col("r"))
+            ),
+            _opt_triple(
+                F.col("r") % 2 == 0,
+                F.col("item"),
+                "description",
+                F.concat(lit("Great customers of "), F.col("r_name")),
+            ),
+        ],
+    )
     static = spark.createDataFrame(
         _TYPE_TRIPLES + [(it, "category_contains", tq) for it, _, tq in _SPECIALS],
         "subject string, predicate string, object string",
     )
-    all_triples = static
-    for frag in triples:
-        all_triples = all_triples.unionByName(frag)
+    all_triples = (
+        static.unionByName(cust_triples)
+        .unionByName(cats_triples)
+        .unionByName(lists_triples)
+    )
 
     wm_schema = [
         F.col("wikipedia_title"),
@@ -256,16 +289,40 @@ def _fixture(spark: SparkSession, sf_dir: str):
             F.col("page_id"),
             F.when(~F.col("about_route") & ~F.col("no_map"), F.col("qid")),
         )
-        .unionByName(wm(cats, F.col("article"), 30000 + 2 * n + F.col("v"), F.col("item")))
         .unionByName(
-            wm(
-                cats.filter(F.col("v") == 0),
-                F.concat(lit("Customers_of_"), F.col("n_name"), lit("_redirect")),
-                90000 + 2 * n,
-                F.col("item"),
-                redirect=True,
-                primary=False,
-            )
+            # both per-category mapping rows (primary + v==0 redirect)
+            # in ONE pass over cats — same single-pass-explode shape
+            # as the triples build above
+            cats.select(
+                F.explode(
+                    F.filter(
+                        F.array(
+                            F.struct(
+                                F.col("article").alias("wikipedia_title"),
+                                (30000 + 2 * n + F.col("v"))
+                                .cast("bigint")
+                                .alias("wikipedia_id"),
+                                F.col("item").alias("wikidata_id"),
+                                lit(False).alias("redirect"),
+                                lit(True).alias("primary_mapping"),
+                            ),
+                            F.when(
+                                F.col("v") == 0,
+                                F.struct(
+                                    F.concat(
+                                        lit("Customers_of_"), F.col("n_name"), lit("_redirect")
+                                    ).alias("wikipedia_title"),
+                                    (90000 + 2 * n).cast("bigint").alias("wikipedia_id"),
+                                    F.col("item").alias("wikidata_id"),
+                                    lit(True).alias("redirect"),
+                                    lit(False).alias("primary_mapping"),
+                                ),
+                            ),
+                        ),
+                        lambda s: s.isNotNull(),
+                    )
+                ).alias("_m")
+            ).select("_m.*")
         )
         .unionByName(
             wm(
@@ -290,20 +347,33 @@ def _fixture(spark: SparkSession, sf_dir: str):
         F.broadcast(tbl(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("n"), "n_name")),
         "n",
     )
-    cl = cust_nat.select(F.col("page_id").alias("cl_from"), cat_key.alias("cl_to"))
     spec_links = [
         (0, 7, "Customers_in_AFRICA"),
         (1, 9, "Wikipedia:Customer_cleanup"),
         (2, 9, "Customers_by_country"),
         (3, 5, "Customers_of_NATION_3"),
     ]
-    for nat, mod, key in spec_links:
-        cl = cl.unionByName(
-            cust.filter((n == nat) & (k % mod == 0)).select(
-                F.col("page_id").alias("cl_from"), lit(key).alias("cl_to")
+
+    def _cl(cond, key_col):
+        s = F.struct(F.col("page_id").alias("cl_from"), key_col.alias("cl_to"))
+        return s if cond is None else F.when(cond, s)
+
+    # nation-category link + the four special links in ONE pass over
+    # the customer base (was 5 filtered selects + a 5-way union).
+    categorylinks = cust_nat.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    _cl(None, cat_key),
+                    *[
+                        _cl((n == nat) & (k % mod == 0), lit(key))
+                        for nat, mod, key in spec_links
+                    ],
+                ),
+                lambda s: s.isNotNull(),
             )
-        )
-    categorylinks = cl
+        ).alias("_l")
+    ).select("_l.cl_from", "_l.cl_to")
 
     pagelinks = cust.filter(k % 10 < 3).select(
         (60000 + F.col("r")).alias("pl_from"), F.col("title").alias("pl_title")
@@ -355,26 +425,17 @@ def _fixture(spark: SparkSession, sf_dir: str):
     )
 
 
-#: Session-scoped memo of the materialized validated-collections stage,
-#: keyed by (applicationId, sf_dir). The reference pipeline materializes
-#: this stage too (the RocksDB stores + validated TSVs that every later
-#: Airflow task reads back — create_kv.py / create_collections.py); the
-#: Spark-native analogue is computing the checkpointed stage once per
-#: session and letting all three pipeline-slice queries (validate /
-#: all-info / documents) build on the same materialized block instead of
-#: re-deriving ~15 sequential checkpoint barriers each. Keyed on
-#: applicationId so a new SparkContext (whose checkpointed RDDs are
-#: gone) never sees stale handles.
-_VALIDATED_MEMO: dict = {}
-
-
 def _validated(spark: SparkSession, sf_dir: str):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _VALIDATED_MEMO:
-        return _VALIDATED_MEMO[key]
-    out = _validated_uncached(spark, sf_dir)
-    _VALIDATED_MEMO[key] = out
-    return out
+    # NO memo here (optimization round 12). Earlier rounds kept a
+    # session-scoped memo of the materialized validated stage keyed by
+    # (applicationId, sf_dir), mirroring the reference pipeline's
+    # materialized TSV/RocksDB stage boundary — but under the bench
+    # contract that is cross-run result caching: runs 2..n of any wiki
+    # query were reading run 1's checkpointed RDDs instead of
+    # computing from the parquet inputs. Every invocation now derives
+    # the stage from scratch; sharing WITHIN one query's plan is still
+    # done via the per-invocation persist/checkpoint sites below.
+    return _validated_uncached(spark, sf_dir)
 
 
 def _validated_uncached(spark: SparkSession, sf_dir: str):
@@ -717,20 +778,12 @@ def _all_info_merged(spark: SparkSession, sf_dir: str):
     return merge_lists_and_categories(all_info, entities), entities
 
 
-#: Session-scoped memo of the MATERIALIZED enrich+merge output — the
-#: stage boundary between create_merged's all-info build and the
-#: document factory, which the reference also materializes (the merged
-#: JSONL every downstream task reads back). wiki_all_info itself stays
-#: lazy (executing enrich+merge is that query's own work); only
-#: wiki_documents, which BUILDS ON the stage, reads the checkpoint.
-_MERGED_MEMO: dict = {}
-
-
 def _merged_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _MERGED_MEMO:
-        _MERGED_MEMO[key] = _all_info_merged(spark, sf_dir)[0].localCheckpoint(eager=True)
-    return _MERGED_MEMO[key]
+    # Per-invocation materialization of the enrich+merge stage for the
+    # document factory's multi-consumer reads — no session memo (see
+    # _validated: a memo here was cross-run result caching under the
+    # bench contract).
+    return _all_info_merged(spark, sf_dir)[0].localCheckpoint(eager=True)
 
 
 @register(
