@@ -45,10 +45,15 @@ from namegraph_collections_spark.queries.rollups import (
 STATE_COLS = ["d", "bucket", "c"]
 
 
-def cms_state_for(docs: DataFrame) -> DataFrame:
+def cms_state_for(docs: DataFrame, extra: str | None = None) -> DataFrame:
     """A batch's additive contribution: the IDENTICAL bigram + cell
-    program as the one-shot sketch, over the batch's documents only."""
-    return cms_sketch_of(cms_bigrams_of(docs.select("text")))
+    program as the one-shot sketch, over the batch's documents only.
+    ``extra`` names a pass-through grouping column (the single-pass
+    fold fixture's batch tag — see ivf_state_for's docstring)."""
+    cols = ["text"] if extra is None else [extra, "text"]
+    return cms_sketch_of(
+        cms_bigrams_of(docs.select(*cols), extra=extra), extra=extra
+    )
 
 
 def maintain_cms_state(

@@ -39,10 +39,14 @@ STATE_COLS = ["label", "dim", "s", "self2", "n"]
 SENTINEL_DIM = -1
 
 
-def diversity_state_for(emb: DataFrame) -> DataFrame:
+def diversity_state_for(emb: DataFrame, extra: str | None = None) -> DataFrame:
     """A batch's additive contribution: per-(label, dim) component
     sums plus the per-label sentinel row — the IDENTICAL quantization
-    program as the one-shot query (``quantized_unit_vectors``)."""
+    program as the one-shot query (``quantized_unit_vectors``).
+
+    ``extra`` names a pass-through grouping column (the single-pass
+    fold fixture's batch tag — see ivf_state_for's docstring)."""
+    grp = [extra] if extra is not None else []
     # persist, not localCheckpoint: both share the scan+normalize
     # across the two consumers (dims + sentinel), but a lazy
     # checkpoint physically PLANS the subtree on the driver at build
@@ -50,20 +54,21 @@ def diversity_state_for(emb: DataFrame) -> DataFrame:
     # maintainer battery, which constructs this program once per fold
     # batch), while persist defers to execution and keeps the full
     # lineage visible to the plan guards.
-    qv = quantized_unit_vectors(emb).persist()
+    qv = quantized_unit_vectors(emb, extra=extra).persist()
     dims = (
-        qv.select("label", F.posexplode("qv").alias("dim", "qc"))
-        .groupBy("label", "dim")
+        qv.select("label", *grp, F.posexplode("qv").alias("dim", "qc"))
+        .groupBy("label", "dim", *grp)
         .agg(F.sum("qc").cast("long").alias("s"))
         .select(
             "label",
             F.col("dim").cast("long").alias("dim"),
+            *grp,
             "s",
             F.lit(0).cast("long").alias("self2"),
             F.lit(0).cast("long").alias("n"),
         )
     )
-    sentinel = qv.groupBy("label").agg(
+    sentinel = qv.groupBy("label", *grp).agg(
         F.sum(
             F.aggregate(
                 F.transform("qv", lambda v: v * v),
@@ -77,6 +82,7 @@ def diversity_state_for(emb: DataFrame) -> DataFrame:
     ).select(
         "label",
         F.lit(SENTINEL_DIM).cast("long").alias("dim"),
+        *grp,
         F.lit(0).cast("long").alias("s"),
         "self2",
         "n",

@@ -37,10 +37,12 @@ from namegraph_collections_spark.queries.percentiles import (
 STATE_COLS = ["bucket", "c"]
 
 
-def hist_state_for(li: DataFrame) -> DataFrame:
+def hist_state_for(li: DataFrame, extra: str | None = None) -> DataFrame:
     """A batch's additive contribution: the IDENTICAL grid program as
-    the one-shot histogram, over the batch's rows only."""
-    return hist_buckets_of(li)
+    the one-shot histogram, over the batch's rows only. ``extra``
+    names a pass-through grouping column (the single-pass fold
+    fixture's batch tag — see ivf_state_for's docstring)."""
+    return hist_buckets_of(li, extra=extra)
 
 
 def maintain_hist_state(

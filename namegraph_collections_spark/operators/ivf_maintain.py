@@ -48,30 +48,40 @@ STATE_COLS = ["cluster", "dim", "s", "n"]
 SENTINEL_DIM = -1
 
 
-def ivf_state_for(emb: DataFrame) -> DataFrame:
+def ivf_state_for(emb: DataFrame, extra: str | None = None) -> DataFrame:
     """A batch's additive contribution: per-(cluster, dim) quantized
     unit-vector component sums plus the per-cluster sentinel count
-    row, under the deterministic ``vec_id % KMEANS_K`` assignment."""
+    row, under the deterministic ``vec_id % KMEANS_K`` assignment.
+
+    ``extra`` names a pass-through grouping column: the single-pass
+    fold fixture (queries/maintainer_reads.py) tags every row with
+    its batch id and computes ALL batches' contributions in one scan
+    by grouping on (state keys, tag) — row-disjoint batches make the
+    per-(keys, tag) groups exactly the per-batch contributions."""
+    grp = [extra] if extra is not None else []
     qv = quantized_unit_vectors(
         emb.withColumn("cluster", (F.col("vec_id") % KMEANS_K).cast("long")),
         key="cluster",
+        extra=extra,
     )
     dims = (
-        qv.select("cluster", F.posexplode("qv").alias("dim", "qc"))
-        .groupBy("cluster", "dim")
+        qv.select("cluster", *grp, F.posexplode("qv").alias("dim", "qc"))
+        .groupBy("cluster", "dim", *grp)
         .agg(F.sum("qc").cast("long").alias("s"))
         .select(
             "cluster",
             F.col("dim").cast("long").alias("dim"),
+            *grp,
             "s",
             F.lit(0).cast("long").alias("n"),
         )
     )
-    sentinel = qv.groupBy("cluster").agg(
+    sentinel = qv.groupBy("cluster", *grp).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     ).select(
         "cluster",
         F.lit(SENTINEL_DIM).cast("long").alias("dim"),
+        *grp,
         F.lit(0).cast("long").alias("s"),
         "n",
     )

@@ -46,18 +46,29 @@ PRIOR_BUCKET = -1
 
 
 def nbq_state_for(
-    docs: DataFrame, positive_pred: str = _NBQ_POS_PRED
+    docs: DataFrame,
+    positive_pred: str = _NBQ_POS_PRED,
+    extra: str | None = None,
 ) -> DataFrame:
     """A labeled batch's additive contribution: TRAIN-split gram
     counts per (bucket, class) — the IDENTICAL feature program as the
-    one-shot fit — plus the sentinel prior row."""
-    hashed = nbq_hashed_grams_of(docs, positive_pred)
-    grams = hashed.filter("is_train").groupBy("bucket").agg(
+    one-shot fit — plus the sentinel prior row.
+
+    ``extra`` names a pass-through grouping column (the single-pass
+    fold fixture's batch tag — see ivf_state_for's docstring). In
+    extra mode the prior groups by the tag too, so a batch with zero
+    train documents contributes no prior row instead of a (0, 0) row;
+    the SUM-merged state is identical whenever the corpus has at
+    least one train document (always true of the driver fixtures)."""
+    grp = [extra] if extra is not None else []
+    hashed = nbq_hashed_grams_of(docs, positive_pred, extra=extra)
+    grams = hashed.filter("is_train").groupBy("bucket", *grp).agg(
         F.sum(F.col("label_hq").cast("long")).alias("cp"),
         F.sum((~F.col("label_hq")).cast("long")).alias("cn"),
     )
     prior = (
         docs.selectExpr(
+            *grp,
             f"{positive_pred} AS label_hq",
             _NBQ_IS_TRAIN_SPARK.format(c="doc_id") + " AS is_train",
         )
@@ -70,13 +81,14 @@ def nbq_state_for(
         # from the first rotation; the model itself still needs at
         # least one train doc PER CLASS before the prior is usable —
         # that precondition is the caller's (first-rotation) contract.
+        .groupBy(*grp)  # empty grp = the global agg (always one row)
         .agg(
             F.coalesce(F.sum(F.col("label_hq").cast("long")), F.lit(0)).alias("cp"),
             F.coalesce(F.sum((~F.col("label_hq")).cast("long")), F.lit(0)).alias("cn"),
         )
-        .select(F.lit(PRIOR_BUCKET).cast("long").alias("bucket"), "cp", "cn")
+        .select(F.lit(PRIOR_BUCKET).cast("long").alias("bucket"), *grp, "cp", "cn")
     )
-    return grams.select("bucket", "cp", "cn").unionByName(prior)
+    return grams.select("bucket", *grp, "cp", "cn").unionByName(prior)
 
 
 def maintain_nbq_state(

@@ -32,15 +32,20 @@ from namegraph_collections_spark.operators.additive_state import (
 STATE_COLS = ["tok", "first_doc", "occ"]
 
 
-def vocab_state_for(docs: DataFrame) -> DataFrame:
+def vocab_state_for(docs: DataFrame, extra: str | None = None) -> DataFrame:
     """A batch's contribution: per-type (min doc_id, occurrence
     count) over the engine's standard whitespace/lowercase
-    tokenization — the same token grain as heaps_law_curve."""
+    tokenization — the same token grain as heaps_law_curve.
+
+    ``extra`` names a pass-through grouping column (the single-pass
+    fold fixture's batch tag — see ivf_state_for's docstring)."""
+    grp = [extra] if extra is not None else []
     return (
         docs.select(
-            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+            "doc_id", *grp,
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
         )
-        .groupBy("tok")
+        .groupBy("tok", *grp)
         .agg(
             F.min("doc_id").cast("long").alias("first_doc"),
             F.count(F.lit(1)).cast("long").alias("occ"),

@@ -189,7 +189,9 @@ _QVEC_SQL = (
 )
 
 
-def quantized_unit_vectors(emb: DataFrame, key: str = "label") -> DataFrame:
+def quantized_unit_vectors(
+    emb: DataFrame, key: str = "label", extra: str | None = None
+) -> DataFrame:
     """(key, qv) — the per-row unit-normalize + {_DIVERSITY_Q}-
     quantize program, shared by the one-shot diversity query, the
     incremental diversity maintainer (operators/diversity_maintain.py)
@@ -197,11 +199,16 @@ def quantized_unit_vectors(emb: DataFrame, key: str = "label") -> DataFrame:
     ivf_maintain.py keys it on the inverted-list id instead of the
     label) so the feature path can never drift between them. Purely
     row-local: norm is the index-ordered fold, quantization
-    floor-form — no cross-row doubles anywhere."""
+    floor-form — no cross-row doubles anywhere. ``extra`` names one
+    additional pass-through column (the single-pass fold fixture's
+    batch tag — queries/maintainer_reads.py)."""
+    keep = [F.col(key).cast("long").alias(key)]
+    if extra is not None:
+        keep.append(F.col(extra))
     return emb.withColumn(
         "norm", F.sqrt(_dot("embedding", "embedding"))
     ).select(
-        F.col(key).cast("long").alias(key),
+        *keep,
         F.transform(
             "embedding",
             lambda x: F.floor(

@@ -83,19 +83,30 @@ def folded_state(
     monoid (``sum`` / ``min`` per column — exactly what
     ``maintain_additive_state`` / ``maintain_keyed_state`` apply
     snapshot-to-snapshot, minus the filesystem). Pure plan — no
-    side effects, so it is registry-safe."""
-    parts = [
-        contrib(src.filter(F.col(batch_key) % FOLD_BATCHES == i))
-        for i in range(FOLD_BATCHES)
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+    side effects, so it is registry-safe.
+
+    Single-pass shape (optimization round 12, guide §2.3/§2.4): the
+    original fixture built each batch as ``contrib(src.filter(key %
+    {FOLD_BATCHES} == i))`` — {FOLD_BATCHES} scans of the source and
+    {FOLD_BATCHES} feature-extraction pipelines per maintainer, i.e.
+    {FOLD_BATCHES} corpus passes at cluster scale. Because the
+    batches partition the rows, tagging every row with its batch id
+    and grouping each ``*_state_for`` aggregation by (state keys,
+    tag) yields EXACTLY the same per-batch contribution rows in ONE
+    scan — the ``extra`` parameter every maintainer's state program
+    now takes. The merge is the unchanged monoid groupBy, so the
+    driver row still witnesses fold-of-{FOLD_BATCHES} == one-shot
+    (equality with the legacy 3-filter shape is pinned by
+    tests/test_maintainer_reads.py)."""
+    tagged = src.withColumn(
+        "_fold_b", (F.col(batch_key) % FOLD_BATCHES).cast("int")
+    )
+    per_batch = contrib(tagged, extra="_fold_b")
     aggs = [
         (F.sum(c) if how == "sum" else F.min(c)).cast("long").alias(c)
         for c, how in merge_cols.items()
     ]
-    return u.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
+    return per_batch.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
 
 
 def _NULL_L():

@@ -166,24 +166,36 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hist_buckets_of(li: DataFrame) -> DataFrame:
+def hist_buckets_of(li: DataFrame, extra: str | None = None) -> DataFrame:
     """The ONE data pass as a pure transformation — (bucket, c) grid
     counts of a lineitem frame, clamped to [0, {HIST_MAX_B}). Shared
     by the one-shot query and the incremental maintenance
     (operators/hist_maintain.py): grid counts are plain sums, so
     histograms from different shards/days merge by adding bucket
-    counts — the property the maintainer exploits."""
-    return (
+    counts — the property the maintainer exploits.
+
+    ``extra`` names a pass-through grouping column (the single-pass
+    fold fixture's batch tag — queries/maintainer_reads.py). The
+    no-op row bound is only stated in the un-tagged shape (where the
+    quantile window consumes it directly); the tagged shape's row
+    count is bounded by tag cardinality x {HIST_MAX_B} instead, and
+    its consumer re-states the bound after the merge — a limit sized
+    to the un-tagged grid would TRUNCATE tagged rows."""
+    grp = [extra] if extra is not None else []
+    out = (
         li.select(
+            *grp,
             F.least(
                 F.floor(F.col("l_extendedprice") / HIST_BIN).cast("long"),
                 F.lit(HIST_MAX_B - 1),
-            ).alias("bucket")
+            ).alias("bucket"),
         )
-        .groupBy("bucket")
+        .groupBy("bucket", *grp)
         .agg(F.count(F.lit(1)).alias("c"))
-        .limit(HIST_MAX_B)  # no-op by construction; states the bound
     )
+    if extra is None:
+        out = out.limit(HIST_MAX_B)  # no-op by construction; states the bound
+    return out
 
 
 def hist_quantiles_from_buckets(b: DataFrame) -> DataFrame:

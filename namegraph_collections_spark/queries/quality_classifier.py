@@ -112,16 +112,23 @@ def _lnr_micro_sql(num: str, den: str) -> str:
     )
 
 
-def nbq_hashed_grams_of(docs: DataFrame, positive_pred: str = _NBQ_POS_PRED) -> DataFrame:
+def nbq_hashed_grams_of(
+    docs: DataFrame,
+    positive_pred: str = _NBQ_POS_PRED,
+    extra: str | None = None,
+) -> DataFrame:
     """The feature program as a pure transformation — (doc_id,
     label_hq, is_train, bucket), one row per lowercased unigram/bigram
     occurrence. Shared by the one-shot query and any incremental
     maintenance so the paths can never drift (the DSIR seam shape).
     ``positive_pred`` parameterizes the label column for callers
     fitting against a different reference corpus (and the closed-form
-    tests)."""
+    tests); ``extra`` names one pass-through column (the single-pass
+    fold fixture's batch tag — queries/maintainer_reads.py)."""
+    grp = [extra] if extra is not None else []
     toked = docs.selectExpr(
         "doc_id",
+        *grp,
         f"{positive_pred} AS label_hq",
         _NBQ_IS_TRAIN_SPARK.format(c="doc_id") + " AS is_train",
         "filter(split(lower(replace(text, chr(10), ' ')), ' '),"
@@ -129,6 +136,7 @@ def nbq_hashed_grams_of(docs: DataFrame, positive_pred: str = _NBQ_POS_PRED) -> 
     )
     grams = toked.select(
         "doc_id",
+        *grp,
         "label_hq",
         "is_train",
         F.explode(
@@ -143,6 +151,7 @@ def nbq_hashed_grams_of(docs: DataFrame, positive_pred: str = _NBQ_POS_PRED) -> 
     )
     return grams.select(
         "doc_id",
+        *grp,
         "label_hq",
         "is_train",
         F.expr(_NBQ_BUCKET_SPARK).alias("bucket"),

@@ -389,37 +389,45 @@ _BIGRAMS_SQL = """
 """
 
 
-def cms_bigrams_of(docs: DataFrame) -> DataFrame:
+def cms_bigrams_of(docs: DataFrame, extra: str | None = None) -> DataFrame:
     """The token stream the sketch summarizes — one (token) row per
     bigram occurrence, per document. A pure transformation so the
     one-shot query and the incremental maintenance
     (operators/cms_maintain.py) share one program and cannot drift.
     Bigrams never cross documents, so ANY partition of the corpus
     into batches partitions this stream too — the property that makes
-    the CMS state exactly additive across batches."""
-    toked = docs.select(F.split(F.lower(F.col("text")), " ").alias("toks"))
+    the CMS state exactly additive across batches. ``extra`` names
+    one pass-through column (the single-pass fold fixture's batch
+    tag — queries/maintainer_reads.py)."""
+    grp = [extra] if extra is not None else []
+    toked = docs.select(
+        *grp, F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
     toks = F.col("toks")
     bigrams = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
     )
-    return toked.select(F.explode(bigrams).alias("token"))
+    return toked.select(*grp, F.explode(bigrams).alias("token"))
 
 
-def cms_sketch_of(occ: DataFrame) -> DataFrame:
+def cms_sketch_of(occ: DataFrame, extra: str | None = None) -> DataFrame:
     """(d, bucket, c) cell counts of a token stream — the CMS itself,
-    at most CMS_D x CMS_W rows whatever the input size."""
+    at most CMS_D x CMS_W rows whatever the input size (times the tag
+    cardinality when ``extra`` groups per fold batch)."""
+    grp = [extra] if extra is not None else []
     return (
         occ.select(
+            *grp,
             F.explode(
                 F.array(*[
                     F.struct(F.lit(d).alias("d"), _cms_bucket(F.col("token"), d).alias("bucket"))
                     for d in range(CMS_D)
                 ])
-            ).alias("db")
+            ).alias("db"),
         )
-        .select(F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
-        .groupBy("d", "bucket")
+        .select(*grp, F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+        .groupBy("d", "bucket", *grp)
         .agg(F.count(F.lit(1)).alias("c"))
     )
 

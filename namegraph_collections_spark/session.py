@@ -42,6 +42,22 @@ def get_spark(app_name: str = "namegraph-collections-spark", cpus: int | None = 
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
+    # Shuffle/spill scratch (guide §2.1: local disk bandwidth for
+    # shuffle files can be the tighter limit). The sandbox's default
+    # /tmp sits on the virtio root disk, where creating the M x R
+    # shuffle block files dominates small-stage wall time (measured:
+    # a 2-exchange toy aggregation ran 3.6s on /tmp vs 2.3s on tmpfs,
+    # task wall ~1.3s at ~0.26s CPU — the gap is file I/O wait).
+    # Parameterized: SPARK_GRAFT_LOCAL_DIR overrides; default prefers
+    # the RAM-backed /dev/shm when present, else Spark's default. On
+    # a real cluster the resource manager sets SPARK_LOCAL_DIRS to
+    # NVMe scratch and this conf is ignored — the production analogue
+    # of this choice is "point local dirs at the fastest scratch".
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/ngcs-spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     # WindowExec logs a blanket "No Partition Defined" warning on EVERY

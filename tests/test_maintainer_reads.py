@@ -50,6 +50,33 @@ def test_folded_state_equals_one_shot_and_filesystem_merge(spark, tmp_path):
     assert _rows(fold) == _rows(latest_snapshot(spark, base))
 
 
+def test_single_pass_fold_matches_legacy_filter_fold(spark):
+    """The optimization-round-12 single-pass fixture (one tagged scan,
+    ``extra``-grouped state programs) must produce EXACTLY the legacy
+    3-filter fold's per-batch contribution rows — not merely the same
+    merged state: per tag t, ``contrib(tagged, extra)`` restricted to
+    t equals ``contrib(src.filter(key % B == t))``."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from namegraph_collections_spark.operators.cms_maintain import (
+        cms_state_for,
+    )
+
+    for src, key, contrib in [
+        (emb, "vec_id", ivf_state_for),
+        (docs, "doc_id", vocab_state_for),
+        (docs, "doc_id", cms_state_for),
+    ]:
+        tagged = src.withColumn(
+            "_fold_b", (F.col(key) % FOLD_BATCHES).cast("int")
+        )
+        one_pass = contrib(tagged, extra="_fold_b")
+        for i in range(FOLD_BATCHES):
+            legacy_i = contrib(src.filter(F.col(key) % FOLD_BATCHES == i))
+            got = _rows(one_pass.filter(F.col("_fold_b") == i).drop("_fold_b"))
+            assert got == _rows(legacy_i), (contrib.__name__, i)
+
+
 def test_vocab_fold_respects_the_min_monoid(spark):
     """first_doc merges by MIN — a sum-style merge would double-count;
     pin the fold's per-column monoid dispatch and the head read."""
