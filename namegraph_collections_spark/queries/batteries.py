@@ -34,7 +34,13 @@ from namegraph_collections_spark.queries.quality_signals import (
     doc_quality_signals,
     repetition_signals,
 )
-from namegraph_collections_spark.queries.registry import REGISTRY, register, spread, tbl
+from namegraph_collections_spark.queries.registry import (
+    REGISTRY,
+    checkpoint_parallel,
+    register,
+    spread,
+    tbl,
+)
 from namegraph_collections_spark.queries.semantic_dedup import (
     semdedup_from,
     semdedup_keep_list,  # noqa: F401  (oracle parity; battery uses the _from seam)
@@ -309,8 +315,13 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
     assigned, cents = kmeans_lists(emb)
-    assigned = assigned.localCheckpoint(eager=False)
-    cos_full = cosine_topk_bruteforce(spark, sf_dir).localCheckpoint(eager=False)
+    # The k-means assignment and the brute-force search are
+    # independent subtrees: checkpoint them from the §2.6 thread pool
+    # so their AQE job chains overlap instead of running serially on
+    # the driver (checkpoint_parallel's docstring has the mechanism).
+    assigned, cos_full = checkpoint_parallel(
+        assigned, cosine_topk_bruteforce(spark, sf_dir)
+    )
     ivf_full = ivf_topk_from(emb, assigned, cents).localCheckpoint(eager=False)
     cos = cos_full.select(
         F.lit("cos").alias("op"),
@@ -1186,11 +1197,28 @@ def banded_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame and ONE components closure (rep_full) feed the rep leg,
     # the cstats histogram, and the funnel's fuzzy stage.
     docs = _tbl(spark, sf_dir, "documents")
-    bands = _minhash_bands(docs).localCheckpoint(eager=False)
-    quality = doc_quality_signals(spark, sf_dir).localCheckpoint(eager=False)
-    rep_full = neardup_representatives_from(
-        docs, _minhash_pairs_from(bands), quality
-    ).localCheckpoint(eager=False)
+    # bands / quality / the exact-Jaccard truth side are three
+    # INDEPENDENT subtrees — checkpoint them from the §2.6 thread
+    # pool so their AQE job chains overlap instead of running
+    # serially on the driver; rep_full (depends on bands + quality)
+    # and tune_cand (depends on bands) form the second wave.
+    bands, quality, tune_truth = checkpoint_parallel(
+        _minhash_bands(docs),
+        doc_quality_signals(spark, sf_dir),
+        ngram_jaccard_pairs(spark, sf_dir).select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias(
+                "j_micro"
+            ),
+        ),
+    )
+    rep_full, tune_cand = checkpoint_parallel(
+        neardup_representatives_from(
+            docs, _minhash_pairs_from(bands), quality
+        ),
+        _minhash_pairs_from(bands).withColumn("hit", F.lit(1)),
+    )
     inc = incremental_minhash_dedup_from(docs, bands).select(
         F.lit("incremental").alias("op"),
         _NULL_S().alias("fp"),
@@ -1262,24 +1290,9 @@ def banded_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH-tuning leg: the candidate side rides the SAME checkpointed
     # bands build as the other legs; only the exact-Jaccard truth
     # side adds its own (df-capped, never all-pairs) shingle pass.
-    # Both pair frames are checkpointed because recall AND precision
-    # legs consume each (the lsh_tuning_eval double-subtree finding).
-    tune_truth = (
-        ngram_jaccard_pairs(spark, sf_dir)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias(
-                "j_micro"
-            ),
-        )
-        .localCheckpoint(eager=False)
-    )
-    tune_cand = (
-        _minhash_pairs_from(bands)
-        .withColumn("hit", F.lit(1))
-        .localCheckpoint(eager=False)
-    )
+    # Both pair frames are checkpointed (in the thread-pool waves
+    # above) because recall AND precision legs consume each (the
+    # lsh_tuning_eval double-subtree finding).
     lshtune = lsh_tuning_eval_from(tune_truth, tune_cand).select(
         F.lit("lshtune").alias("op"),
         F.col("metric").alias("fp"),

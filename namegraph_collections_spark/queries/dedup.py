@@ -13,7 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from namegraph_collections_spark.queries.registry import REGISTRY, register, spread, tbl
+from namegraph_collections_spark.queries.registry import (
+    REGISTRY,
+    checkpoint_parallel,
+    register,
+    spread,
+    tbl,
+)
 
 NUM_MINHASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
@@ -1345,20 +1351,15 @@ def lsh_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: truth and cand each feed BOTH the recall and
     # the precision legs — without the cut each leg replays the full
     # shingle/banding build (the battery-wide ReusedExchange finding;
-    # measured 16.8s -> 5.7s at sf0.1).
-    truth = (
-        ngram_jaccard_pairs(spark, sf_dir)
-        .select(
+    # measured 16.8s -> 5.7s at sf0.1). The two sides are independent
+    # subtrees, so they checkpoint from the §2.6 thread pool.
+    truth, cand = checkpoint_parallel(
+        ngram_jaccard_pairs(spark, sf_dir).select(
             "doc_a",
             "doc_b",
             F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias("j_micro"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    cand = (
-        minhash_lsh_candidates(spark, sf_dir)
-        .withColumn("hit", F.lit(1))
-        .localCheckpoint(eager=False)
+        ),
+        minhash_lsh_candidates(spark, sf_dir).withColumn("hit", F.lit(1)),
     )
     return lsh_tuning_eval_from(truth, cand)
 

@@ -122,6 +122,41 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(n, F.col(key))
 
 
+def checkpoint_parallel(*dfs: DataFrame) -> list[DataFrame]:
+    """Lazy-localCheckpoint several INDEPENDENT frames from a driver
+    thread pool (guide §2.6 — overlap independent jobs).
+
+    Under AQE, even an ``eager=False`` localCheckpoint drives its
+    subtree's shuffle-stage jobs at CALL time (``toRdd`` forces
+    AdaptiveSparkPlanExec to materialize every non-result query
+    stage), so a battery that checkpoints k independent frames pays k
+    serial AQE job chains on the driver — verified: a lazy checkpoint
+    of a 1-exchange aggregation ran 1 job at build. Submitting the
+    independent checkpoints from threads lets each chain's stages
+    backfill the others' stragglers and overlaps their driver-side
+    planning with executor work. Same plans, same blocks, same
+    results — only the submission schedule changes; per-thread job
+    properties are inherited via ``inheritable_thread_target`` as the
+    PySpark docs prescribe for driver-side job threads.
+
+    Callers must only batch frames with NO dependency on each other
+    (a dependent frame would serialize anyway through its parent's
+    lock, wasting a pool slot at best).
+    """
+    if len(dfs) == 1:
+        return [dfs[0].localCheckpoint(eager=False)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    @inheritable_thread_target
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        return list(pool.map(_ckpt, dfs))
+
+
 def ranked_topk(df: DataFrame, k: int, *order, rnk: str = "rnk") -> DataFrame:
     """Global top-k with rank numbers, without a global window.
 

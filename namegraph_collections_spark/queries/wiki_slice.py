@@ -44,7 +44,11 @@ from namegraph_collections_spark.plans.collections_core import (
     validate_members,
 )
 from namegraph_collections_spark.functions.det_round import round6_det
-from namegraph_collections_spark.queries.registry import register, tbl
+from namegraph_collections_spark.queries.registry import (
+    checkpoint_parallel,
+    register,
+    tbl,
+)
 from namegraph_collections_spark.sources.ntriples import assemble_entities
 
 _SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -414,9 +418,10 @@ def _fixture(spark: SparkSession, sf_dir: str):
     # iteration. The other five inputs are shallow single-selects over
     # the checkpointed base and stay lazy (each checkpoint is a
     # sequential job barrier; fewer barriers, faster wall-clock).
+    triples_ck, wikimapper_ck = checkpoint_parallel(all_triples, wikimapper)
     return (
-        all_triples.localCheckpoint(eager=False),
-        wikimapper.localCheckpoint(eager=False),
+        triples_ck,
+        wikimapper_ck,
         categorylinks,
         pagelinks,
         qrank,
