@@ -2090,14 +2090,28 @@ def graph_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-naive transitive closure + degree-ordered triangle
     enumeration in one tagged result. Components unchanged:
     queries/closure.py, graph_metrics.py.
+
+    The two legs both run jobs during their BUILD (the closure's
+    per-round lazy checkpoints, the triangle leg's eager edge-list
+    checkpoint) and are independent, so they build from the §2.6
+    thread pool instead of serially on the driver.
     """
-    clo = transitive_closure_reachability(spark, sf_dir).select(
+    from namegraph_collections_spark.queries.registry import (
+        build_parallel,
+    )
+
+    clo_full, tri_full = build_parallel(
+        spark,
+        lambda: transitive_closure_reachability(spark, sf_dir),
+        lambda: neardup_triangles(spark, sf_dir),
+    )
+    clo = clo_full.select(
         F.lit("closure").alias("op"),
         "src",
         "dst",
         _NULL_L().alias("t1"), _NULL_L().alias("t2"), _NULL_L().alias("t3"),
     )
-    tri = neardup_triangles(spark, sf_dir).select(
+    tri = tri_full.select(
         F.lit("triangle").alias("op"),
         _NULL_S().alias("src"),
         _NULL_S().alias("dst"),

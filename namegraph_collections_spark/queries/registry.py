@@ -157,6 +157,25 @@ def checkpoint_parallel(*dfs: DataFrame) -> list[DataFrame]:
         return list(pool.map(_ckpt, dfs))
 
 
+def build_parallel(spark: SparkSession, *thunks):
+    """Run independent DataFrame-BUILDING thunks from driver threads
+    (guide §2.6) — for composites whose legs run jobs during their
+    own build (iterative loops' per-round checkpoints, eager
+    checkpoints), which otherwise execute serially on the driver.
+    Returns the built frames in thunk order. The package zip ships
+    once up front so the per-thread ``ensure_package_shipped`` calls
+    are no-op set lookups, not racing ``addPyFile``s.
+    """
+    ensure_package_shipped(spark)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def ranked_topk(df: DataFrame, k: int, *order, rnk: str = "rnk") -> DataFrame:
     """Global top-k with rank numbers, without a global window.
 
