@@ -525,7 +525,17 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NULL_B().alias("keep"),
         *_qpad(),
     )
-    lm_full = bigram_lm_perplexity(spark, sf_dir).localCheckpoint(eager=False)
+    # Three leg builds run jobs on the driver (the LM checkpoint, the
+    # heaps and drift legs' internal checkpoints) and are independent
+    # subtrees — build them from the §2.6 thread pool.
+    from namegraph_collections_spark.queries.registry import build_parallel
+
+    lm_full, heaps_full, drift_full = build_parallel(
+        spark,
+        lambda: bigram_lm_perplexity(spark, sf_dir).localCheckpoint(eager=False),
+        lambda: heaps_law_curve(spark, sf_dir),
+        lambda: source_unigram_drift(spark, sf_dir),
+    )
     lm = lm_full.select(
         F.lit("lm").alias("op"),
         _NULL_S().alias("token"),
@@ -579,7 +589,7 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-10 Heaps-law leg: vocabulary growth + TTR checkpoints —
     # k rides the doc_id slot, the cumulative counts the n/df slots,
     # vocab the n_stop slot, TTR the first micro slot.
-    heaps = heaps_law_curve(spark, sf_dir).select(
+    heaps = heaps_full.select(
         F.lit("heaps").alias("op"),
         _NULL_S().alias("token"),
         F.col("k").alias("doc_id"),
@@ -601,7 +611,7 @@ def unigram_text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-11 per-source unigram drift leg: source rides the token
     # slot, the exact TV rational (num, den) the n_stop/first-micro
     # slots — the mixture-QA twin of the heaps vocabulary leg.
-    drift = source_unigram_drift(spark, sf_dir).select(
+    drift = drift_full.select(
         F.lit("drift").alias("op"),
         F.col("source").alias("token"),
         _NULL_L().alias("doc_id"),
@@ -1063,7 +1073,17 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-9 duplicated-span leg (ExactSubstr-style span extraction;
     # independent shingle grain from the MinHash bands, so no sharing
     # seam applies — its own scan+explode is the honest cost).
-    spans = dup_span_extract(spark, sf_dir).select(
+    # The spans and source-overlap legs run jobs during their builds
+    # (internal checkpoints) and are independent scans by design —
+    # build them from the §2.6 thread pool.
+    from namegraph_collections_spark.queries.registry import build_parallel
+
+    spans_full, srcover_full = build_parallel(
+        spark,
+        lambda: dup_span_extract(spark, sf_dir),
+        lambda: source_overlap_matrix(spark, sf_dir),
+    )
+    spans = spans_full.select(
         F.lit("spans").alias("op"),
         _NULL_S().alias("fp"),
         _NULL_S().alias("s"),
@@ -1093,7 +1113,7 @@ def lexical_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("novelty_micro").alias("n_keep"),
         _NULL_L().alias("rep_words"),
     )
-    srcover = source_overlap_matrix(spark, sf_dir).select(
+    srcover = srcover_full.select(
         F.lit("srcover").alias("op"),
         F.col("src_a").alias("fp"),
         F.col("src_b").alias("s"),
@@ -1800,7 +1820,17 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenizer_fertility_from,
     )
 
-    winners, d_final = _learn(spark, sf_dir)
+    # The BPE merge loop and the language-id classifier scan both run
+    # jobs during their builds (per-round eager checkpoints / the
+    # shared-scan checkpoint) and are independent — build them from
+    # the §2.6 thread pool.
+    from namegraph_collections_spark.queries.registry import build_parallel
+
+    (winners, d_final), li = build_parallel(
+        spark,
+        lambda: _learn(spark, sf_dir),
+        lambda: language_id(spark, sf_dir).localCheckpoint(eager=False),
+    )
     bpe = _merge_union(winners).select(
         F.lit("bpe").alias("op"),
         F.col("a").alias("s1"),
@@ -1822,8 +1852,8 @@ def text_mining_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token_len").alias("rnk"),
     )
     # ONE classifier scan feeds both the per-doc leg and the
-    # confusion-matrix eval leg (the BPE-loop sharing treatment).
-    li = language_id(spark, sf_dir).localCheckpoint(eager=False)
+    # confusion-matrix eval leg (the BPE-loop sharing treatment);
+    # checkpointed in the thread-pool wave above.
     langid = li.select(
         F.lit("langid").alias("op"),
         F.col("lang").alias("s1"),
