@@ -255,8 +255,13 @@ def maintainer_state_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab_stats_from_state,
     )
 
-    emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
-    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    # persist the spread sources: emb feeds two maintainers' fixtures
+    # and docs four (vocab/nbq/cms states + the cms probe's exact
+    # candidate scan) — one scan+exchange each instead of one per
+    # consumer (same persist-not-checkpoint reasoning as the fixture
+    # states below).
+    emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id").persist()
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id").persist()
     li = tbl(spark, sf_dir, "lineitem")
 
     ivf_state = folded_state(
