@@ -180,6 +180,20 @@ def kmeans_centroids_of(assigned: DataFrame) -> DataFrame:
     ONE explode+groupBy whose shuffle carries k × DIM partial sums
     (map-side combined — never vectors); see ivf_topk's docstring for
     the quantization determinism argument.
+
+    Measured and kept (optimization round 13): a fused single
+    aggregation — groupBy(cluster) with DIM=64 independent
+    SUM(FLOOR(element_at(...)×QUANT)) columns, no explode, one
+    exchange instead of two — is bit-identical and looks strictly
+    better on paper, but 65 aggregate buffers push the generated
+    HashAggregate past whole-stage codegen's method-size limit and the
+    WHOLE stage (including the Lloyd-round argmax feeding it) falls
+    back to interpreted expression evaluation: full-query ablation
+    read 2.02s → 3.97s on ivf_topk and 2.56s → 4.39s on
+    semdedup_keep_list (3 reps, same session). The PQ twin keeps the
+    fused shape — its 8+1 buffers codegen fine (similarity_pq). The
+    two-step explode shape's extra exchange carries only k×DIM partial
+    rows, which is grain-bounded at any corpus size.
     """
     dims = assigned.select(
         "cluster", F.posexplode("embedding").alias("pos0", "v")
@@ -201,27 +215,59 @@ def kmeans_centroids_of(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Re-assign every vector to its best-dot centroid (broadcast
-    cross join + max-dot window over k rows per vector)."""
-    # project the rounded dot ONCE per (vec, cluster) row, then
-    # rank the k rows by the materialized column — keeping the
-    # 64-term dot out of the window comparator
-    scored_rows = (
-        emb.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "cluster",
-            round6_det(_dot(F.col("embedding"), F.col("centroid"))).alias("d"),
-        )
+def packed_centroids(cents: DataFrame) -> DataFrame:
+    """The k-row centroid table as ONE row carrying an
+    array<struct<cluster:int, centroid>> — the broadcast shape the
+    map-only assignment below consumes. collect_list order is
+    plan-dependent, which is safe everywhere this is used: consumers
+    reduce over the array with order-independent array_max/array_min
+    (total order on (score, id)) or re-sort it explicitly."""
+    return cents.groupBy().agg(
+        F.collect_list(
+            F.struct(F.col("cluster").cast("int").alias("cluster"), F.col("centroid"))
+        ).alias("_cs")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cluster").asc())
+
+
+def kmeans_assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Re-assign every vector to its best-dot centroid — MAP-ONLY
+    (optimization round 13, guide §2.4 remove shuffles outright).
+
+    The previous shape crossJoined every vector with the broadcast
+    k-row centroid table (k× corpus rows) and picked rn=1 with a
+    row_number window partitioned by vec_id — i.e. every Lloyd round
+    shuffled and sorted the ENTIRE corpus by vec_id just to take a
+    per-vector argmax over k candidate rows. The argmax needs no
+    shuffle at all: broadcast the centroids as ONE packed array row,
+    score all k in a projection, and take ``array_max`` over
+    (d, -cluster) structs. Struct comparison is lexicographic, so
+    max(d, -cluster) == the window's (d DESC, cluster ASC) rn=1 row —
+    identical tie-breaks, identical doubles (same round6_det(_dot)
+    per (vector, centroid) pair), zero exchanges, zero sorts. At 100 TB
+    this removes KMEANS_ROUNDS full-corpus shuffles from every k-means
+    build."""
+    packed = packed_centroids(cents)
+    scored = F.transform(
+        F.col("_cs"),
+        lambda c: F.struct(
+            round6_det(_dot(F.col("embedding"), c["centroid"])).alias("d"),
+            (-c["cluster"]).alias("negc"),
+        ),
+    )
+    best = (-F.array_max(scored)["negc"]).cast("int")
+    # explode(array(x)) = a one-element Generate: a deliberate
+    # evaluate-ONCE barrier. Without it, CollapseProject/pushdown
+    # inline the k-dot argmax into every downstream reference of
+    # ``cluster`` — measured on ivf_topk: the expression landed in the
+    # probe join's condition (isnotnull), its key AND its output
+    # projection, tripling the per-row dot work (plan dump showed 3
+    # array_max sites; 2.0s → 4.8s). Project collapse and predicate
+    # pushdown cannot cross a generator's output attribute, so every
+    # consumer reads the materialized column.
     return (
-        scored_rows.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster")
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(packed))
+        .select("vec_id", "embedding", F.explode(F.array(best)).alias("cluster"))
     )
 
 
@@ -236,7 +282,21 @@ def kmeans_lists(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     cents = None
     for _ in range(KMEANS_ROUNDS):
-        cents = kmeans_centroids_of(assigned)
+        # Eager checkpoint of the k-row centroid table per round
+        # (optimization round 13). With the map-only assignment there
+        # is no exchange in the corpus path any more, and an exchange
+        # is what used to TRUNCATE each stage's serialized plan — the
+        # un-cut round-over-round lineage (nested argmax lambdas × 64
+        # per-dimension aggregates) pushed task binaries past 1 MiB
+        # and the per-task deserialize+GC cost above the removed
+        # shuffles' cost. Materializing k × (DIM+1) values per round
+        # is O(k·DIM) at ANY corpus size — the cheapest possible
+        # lineage cut, in the exact place the plan would otherwise
+        # double per round. This also retires the downstream persist()
+        # of the final centroids (consumers now read a tiny
+        # materialized RDD, nothing is left cached behind in a
+        # long-lived session).
+        cents = kmeans_centroids_of(assigned).localCheckpoint(eager=True)
         assigned = kmeans_assign_to(emb, cents)
     return assigned, cents
 
@@ -307,25 +367,43 @@ def ivf_topk_from(emb: DataFrame, assigned: DataFrame, cents: DataFrame) -> Data
     leg from one `kmeans_lists` call, the `recall_eval_from`
     precedent)."""
     # probes search the LAST ROUND's centroids — the ones the final
-    # assignment was built against (tiny table, broadcast below).
-    # persist(), NOT localCheckpoint: the returned plan reads this, so
-    # a checkpoint could never be freed and would pin executor storage
-    # per call (operators/iterative.py); persisted blocks are
-    # evictable, recomputable, and ContextCleaner-collected on GC.
-    final_cents = cents.persist()
+    # assignment was built against (tiny table, broadcast below). No
+    # persist() any more (round 13): every caller hands in the k-row
+    # table kmeans_lists already eager-checkpointed, so both
+    # references below read materialized RDD blocks — the sharing the
+    # persist used to provide, without leaving a CacheManager entry
+    # behind in a long-lived session (r12 verdict's unpersist-hygiene
+    # item: SQL cache entries are NOT ContextCleaner-collected;
+    # checkpoint RDDs are, once the plan is GC'd).
+    final_cents = cents
     lists = assigned
 
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    w_probe = Window.partitionBy("q_id").orderBy(
-        round6_det(_dot(F.col("q_emb"), F.col("centroid"))).desc(), F.col("cluster").asc()
+    # top-N_PROBE lists per query, map-only (round 13, the
+    # kmeans_assign_to rationale): score the packed centroid array in
+    # a projection, array_sort asc on (d, negc) structs + reverse ==
+    # the old window's (d DESC, cluster ASC) order — prnk<=N_PROBE
+    # becomes slice(...N_PROBE), identical probe sets and tie-breaks,
+    # no q-grain exchange/sort.
+    probe_scored = F.transform(
+        F.col("_cs"),
+        lambda c: F.struct(
+            round6_det(_dot(F.col("q_emb"), c["centroid"])).alias("d"),
+            (-c["cluster"]).alias("negc"),
+        ),
     )
     probes = (
-        q.crossJoin(F.broadcast(final_cents))
-        .withColumn("prnk", F.row_number().over(w_probe))
-        .filter(F.col("prnk") <= N_PROBE)
-        .select("q_id", "q_emb", "cluster")
+        q.crossJoin(F.broadcast(packed_centroids(final_cents)))
+        .select(
+            "q_id",
+            "q_emb",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(probe_scored)), 1, N_PROBE)
+            ).alias("_p"),
+        )
+        .select("q_id", "q_emb", (-F.col("_p.negc")).cast("int").alias("cluster"))
     )
     cand = lists.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "cluster"

@@ -210,47 +210,81 @@ def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def centroids_of(assigned: DataFrame) -> DataFrame:
-        dims = assigned.select(
-            "m", "code", F.posexplode("subvec").alias("pos0", "v")
-        ).select(
-            "m", "code", "pos0",
-            F.floor(F.col("v").cast("double") * F.lit(float(QUANT))).alias("val"),
-        )
-        return (
-            dims.groupBy("m", "code", "pos0")
-            .agg((F.sum("val").cast("double") / (F.count(F.lit(1)) * F.lit(QUANT))).alias("mean"))
-            .groupBy("m", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos0", "mean"))), lambda s: s["mean"]
-                ).alias("centroid")
-            )
+        # Single-aggregation shape (round 13, the
+        # similarity.kmeans_centroids_of rationale): the PQ_SUBDIM
+        # quantized per-dimension sums are independent column
+        # aggregates of the same rows — one groupBy(m, code) computes
+        # them all, replacing posexplode + two chained aggregations
+        # (two exchanges) with one; SUM(FLOOR(v*QUANT)) is an exact
+        # integer and the double division is token-identical, so the
+        # codewords are bit-identical to the two-step form.
+        sums = [
+            F.sum(
+                F.floor(
+                    F.element_at("subvec", j + 1).cast("double") * F.lit(float(QUANT))
+                )
+            ).alias(f"_s{j}")
+            for j in range(PQ_SUBDIM)
+        ]
+        per = assigned.groupBy("m", "code").agg(*sums, F.count(F.lit(1)).alias("_n"))
+        return per.select(
+            "m",
+            "code",
+            F.array(
+                *[
+                    F.col(f"_s{j}").cast("double") / (F.col("_n") * F.lit(QUANT))
+                    for j in range(PQ_SUBDIM)
+                ]
+            ).alias("centroid"),
         )
 
     def assign_to(cents: DataFrame) -> DataFrame:
-        scored_rows = sub.join(F.broadcast(cents), "m").select(
-            "vec_id", "m", "subvec", "code",
-            _sub_l2_int(F.col("subvec"), F.col("centroid")).alias("d_int"),
+        # Map-only re-code (round 13, the similarity.kmeans_assign_to
+        # rationale): the previous shape joined every sub-vector with
+        # its subspace's PQ_K codewords (PQ_K× row blowup) and took
+        # rn=1 with a (vec_id, m) window — a full shuffle+sort of the
+        # corpus×PQ_M relation per Lloyd round. Broadcasting each
+        # subspace's codewords as ONE packed array row turns the
+        # argmin into a projection: array_min over (d_int, code)
+        # structs == the window's (d_int ASC, code ASC) rn=1 row —
+        # integer comparisons, identical tie-breaks, zero exchanges.
+        packed = cents.groupBy("m").agg(
+            F.collect_list(
+                F.struct(F.col("code").cast("int").alias("code"), F.col("centroid"))
+            ).alias("_cs")
         )
-        w = Window.partitionBy("vec_id", "m").orderBy(F.col("d_int").asc(), F.col("code").asc())
-        return (
-            scored_rows.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "subvec", "code")
+        scored = F.transform(
+            F.col("_cs"),
+            lambda c: F.struct(
+                _sub_l2_int(F.col("subvec"), c["centroid"]).alias("d_int"),
+                c["code"].alias("code"),
+            ),
+        )
+        # explode(array(x)) = evaluate-once Generate barrier (the
+        # similarity.kmeans_assign_to rationale): ``code`` feeds the
+        # (m, code) ADC join downstream, and without the barrier the
+        # PQ_K-way argmin would be inlined into the join's isnotnull
+        # filter, key and output.
+        return sub.join(F.broadcast(packed), "m").select(
+            "vec_id",
+            "m",
+            "subvec",
+            F.explode(F.array(F.array_min(scored)["code"])).alias("code"),
         )
 
     assigned = sub.withColumn("code", (F.col("vec_id") % PQ_K).cast("int"))
     cents = None
     for _ in range(PQ_ROUNDS):
-        cents = centroids_of(assigned)
+        # Eager checkpoint of the PQ_M×PQ_K-row codebook per round —
+        # the similarity.kmeans_lists rationale: with the map-only
+        # re-code there is no exchange left to truncate the serialized
+        # stage plans, so cut the lineage at the O(M·K·SUBDIM)-sized
+        # table instead. Also retires the former final-codebook
+        # persist() (consumers read the checkpointed RDD; nothing
+        # stays in the CacheManager after the query).
+        cents = centroids_of(assigned).localCheckpoint(eager=True)
         assigned = assign_to(cents)
-    # persist(), NOT localCheckpoint: the codebook must outlive this
-    # function (the returned plan reads it), so there is no safe point
-    # to free a checkpoint — and un-freed checkpoints pin executor
-    # storage forever (operators/iterative.py). Persisted blocks are
-    # evictable under memory pressure, recomputable from lineage, and
-    # auto-unpersisted by the ContextCleaner once the plan is GC'd.
-    final_cents = cents.persist()
+    final_cents = cents
     codes = assigned.select("vec_id", "m", "code")
 
     qsub = sub.filter(F.col("vec_id") < N_QUERY_VECS).select(
