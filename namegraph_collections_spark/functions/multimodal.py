@@ -72,17 +72,19 @@ FRAMES_SCHEMA = StructType(
 )
 
 
-def synthesize_media(docs: DataFrame) -> DataFrame:
-    """Deterministic fake media table from `documents`: payload =
-    FAKE header (dims derived from n_chars) + utf-8 text body.
-
-    Header assembly is a JVM expression (concat of binary literals +
-    int-to-binary), so synthesis itself never leaves codegen.
-    """
-    kind = F.element_at(
+def _media_kind_expr():
+    """image|audio|video cycled by doc_id — a row-local expression over
+    the documents columns (shared by synthesize_media and the round-13
+    single-pass battery synthesis)."""
+    return F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
+
+
+def _media_payload_expr():
+    """FAKE header (dims derived from n_chars) + utf-8 text body, as a
+    pure expression over the documents columns."""
     width = (F.col("n_chars") % 640).cast("int")
     height = (F.col("n_chars") % 480).cast("int")
     # >HH big-endian shorts: hex → zero-pad to 4 nibbles → unhex
@@ -90,15 +92,21 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
         return F.unhex(F.lpad(F.hex(col), 4, "0"))
 
     header = F.concat(F.lit(_MAGIC), be16(width), be16(height))
-    return (
-        docs.withColumn("width", width)
-        .withColumn("height", height)
-        .select(
-            F.col("doc_id").alias("media_id"),
-            kind.alias("kind"),
-            F.concat(header, F.encode("text", "utf-8")).alias("payload"),
-            "source",
-        )
+    return F.concat(header, F.encode("text", "utf-8"))
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table from `documents`: payload =
+    FAKE header (dims derived from n_chars) + utf-8 text body.
+
+    Header assembly is a JVM expression (concat of binary literals +
+    int-to-binary), so synthesis itself never leaves codegen.
+    """
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        _media_kind_expr().alias("kind"),
+        _media_payload_expr().alias("payload"),
+        "source",
     )
 
 
@@ -261,7 +269,7 @@ IMG_META_SCHEMA = StructType(
 _PNG_COLOR_TYPES = (0, 2, 6)
 
 
-def synthesize_image_files(docs: DataFrame) -> DataFrame:
+def _image_payload_expr():
     """Deterministic REAL image byte streams from `documents`: even
     doc_ids become structurally-valid PNGs (signature + CRC-correct
     IHDR + IEND), odd ones baseline JPEGs (SOI + JFIF APP0 + a COM
@@ -310,10 +318,17 @@ def synthesize_image_files(docs: DataFrame) -> DataFrame:
         F.lit(bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])),  # 3 comps
     )
     jpeg = F.concat(F.lit(b"\xff\xd8" + app0 + com), sof0, F.lit(b"\xff\xd9"))
+    return F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg)
+
+
+def synthesize_image_files(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg).alias("payload"),
+        _image_payload_expr().alias("payload"),
     )
+
+
+synthesize_image_files.__doc__ = _image_payload_expr.__doc__
 
 
 def decode_image_headers(media: DataFrame) -> DataFrame:
@@ -508,7 +523,7 @@ _WAV_JUNK = b"synthetic av-header wav"
 _WAV_BITS = (8, 16, 24)
 
 
-def synthesize_av_files(docs: DataFrame) -> DataFrame:
+def _av_payload_expr():
     """Deterministic REAL animation/audio byte streams from
     `documents`: even doc_ids become GIF89a headers (signature +
     logical-screen descriptor + trailer), odd ones PCM WAVs (RIFF +
@@ -565,10 +580,17 @@ def synthesize_av_files(docs: DataFrame) -> DataFrame:
         fmt_chunk,
         F.lit(data_chunk),
     )
+    return F.when(F.col("doc_id") % 2 == 0, gif).otherwise(wav)
+
+
+def synthesize_av_files(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, gif).otherwise(wav).alias("payload"),
+        _av_payload_expr().alias("payload"),
     )
+
+
+synthesize_av_files.__doc__ = _av_payload_expr.__doc__
 
 
 def decode_av_headers(media: DataFrame) -> DataFrame:
@@ -612,3 +634,167 @@ def decode_av_headers(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, AV_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 single-pass battery decode (guide §2.3/§2.4 + §4): the
+# decode battery previously ran FOUR independent legs — meta, frame
+# sample, PNG/JPEG headers, GIF/WAV headers — each its own parquet
+# scan, spread exchange, JVM synthesis and mapInPandas stage, i.e.
+# four corpus passes and four Python boundary crossings for one
+# result. All four parses read byte streams synthesized from the SAME
+# document row, so ONE projection synthesizes every payload and ONE
+# Arrow-batched pass emits all legs' rows (1 scan, 1 exchange, 1
+# Python stage). Each leg's parse logic is the shared from-spec
+# parser above, so the singles (image_header_decode, av_header_decode,
+# multimodal_byte_histogram's hist leg) and the battery can never
+# drift. Row-for-row equality with the legacy 4-leg union is pinned by
+# tests/test_multimodal.py::test_single_pass_battery_matches_legacy_legs.
+# ---------------------------------------------------------------------------
+
+#: The battery's output layout (queries/multimodal.py::_decode_legs).
+BATTERY_SCHEMA = StructType(
+    [
+        StructField("op", StringType()),
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color", IntegerType()),
+        StructField("color_res", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+    ]
+)
+
+#: BATTERY_SCHEMA plus the histogram CSV column (the
+#: multimodal_byte_histogram layout carries both).
+BATTERY_HIST_SCHEMA = StructType(
+    BATTERY_SCHEMA.fields + [StructField("hist", StringType())]
+)
+
+_BATTERY_COLS = [f.name for f in BATTERY_HIST_SCHEMA.fields]
+
+
+def synthesize_battery_inputs(docs: DataFrame) -> DataFrame:
+    """One projection carrying every synthesized byte stream the
+    battery decodes: the FAKE media payload (meta + frame legs), the
+    PNG/JPEG stream (imghdr leg) and the GIF/WAV stream (avhdr leg).
+    Pure JVM expressions — the same synthesis programs as
+    synthesize_media / synthesize_image_files / synthesize_av_files,
+    emitted side by side from one scan."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        _media_kind_expr().alias("kind"),
+        _media_payload_expr().alias("payload"),
+        _image_payload_expr().alias("img_payload"),
+        _av_payload_expr().alias("av_payload"),
+    )
+
+
+def decode_battery_legs(frame: DataFrame, every_n: int = 2, with_hist: bool = False) -> DataFrame:
+    """The battery's four decode legs (plus, optionally, the 16-bin
+    byte histogram) in ONE Arrow-batched pass over
+    ``synthesize_battery_inputs`` rows. Emits, per input row: one
+    ``meta`` row (the decode_media_meta dispatch), the sampled
+    ``frame`` rows for video payloads (every ``every_n``-th
+    FRAME_SIZE-byte slice, md5-hexed — hashlib.md5 is the same MD5 the
+    JVM ``md5()`` computed on the frame bytes), one ``imghdr`` row and
+    one ``avhdr`` row (the shared from-spec parsers), and with
+    ``with_hist`` one ``hist`` row (the byte_histogram_features
+    program, serialized to the CSV string the driver canonicalizer
+    hashes). Malformed payloads RAISE, never emit garbage rows."""
+    import hashlib
+
+    want_hist = with_hist
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        nulls = (None,) * 13
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload, img, av in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["img_payload"], pdf["av_payload"],
+            ):
+                b = bytes(payload)
+                if want_hist:
+                    body_arr = np.frombuffer(b, dtype=np.uint8)[_HEADER_SIZE:]
+                    hist = np.bincount(body_arr >> 4, minlength=N_HIST_BINS)
+                    rows.append(
+                        ("hist", media_id) + nulls + (",".join(str(int(v)) for v in hist),)
+                    )
+                # meta leg — the decode_media_meta dispatch, verbatim
+                if b[:4] == _MAGIC:
+                    _, width, height = struct.unpack(_HEADER_FMT, b[:_HEADER_SIZE])
+                    fmt = "fake"
+                elif b[: len(PNG_SIG)] == PNG_SIG:
+                    width, height, _, _ = parse_png_header(b)
+                    fmt = "png"
+                elif b[:2] == b"\xff\xd8":
+                    width, height, _, _ = parse_jpeg_header(b)
+                    fmt = "jpeg"
+                else:  # pragma: no cover — no real codecs in container
+                    _decode_real(b, kind)
+                    continue
+                rows.append(
+                    ("meta", media_id, kind, width, height, len(b), fmt,
+                     None, None, None, None, None, None, None, None, None)
+                )
+                # frame leg — frame_sample(media, every_n), md5 applied
+                if kind == "video":
+                    body = b[_HEADER_SIZE:]
+                    n_frames = len(body) // FRAME_SIZE
+                    for i in range(0, n_frames, every_n):
+                        digest = hashlib.md5(
+                            body[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
+                        ).hexdigest()
+                        rows.append(
+                            ("frame", media_id, None, None, None, None, None,
+                             i, digest, None, None, None, None, None, None, None)
+                        )
+                # imghdr leg — decode_image_headers dispatch, verbatim
+                ib = bytes(img)
+                if ib[: len(PNG_SIG)] == PNG_SIG:
+                    w, h, depth, color = parse_png_header(ib)
+                    ifmt = "png"
+                else:
+                    w, h, depth, color = parse_jpeg_header(ib)
+                    ifmt = "jpeg"
+                rows.append(
+                    ("imghdr", media_id, None, w, h, len(ib), ifmt,
+                     None, None, depth, color, None, None, None, None, None)
+                )
+                # avhdr leg — decode_av_headers dispatch, verbatim
+                ab = bytes(av)
+                if ab[:6] in GIF_SIGS:
+                    _, gw, gh, cres, _ = parse_gif_header(ab)
+                    rows.append(
+                        ("avhdr", media_id, None, gw, gh, len(ab), "gif",
+                         None, None, None, None, cres, None, None, None, None)
+                    )
+                else:
+                    ch, rate, bits, _ = parse_wav_header(ab)
+                    rows.append(
+                        ("avhdr", media_id, None, None, None, len(ab), "wav",
+                         None, None, None, None, None, ch, rate, bits, None)
+                    )
+            yield pd.DataFrame(rows, columns=_BATTERY_COLS)
+
+    schema = BATTERY_HIST_SCHEMA if with_hist else BATTERY_SCHEMA
+    if not with_hist:
+        # same row tuples minus the trailing hist cell
+        def decode_no_hist(batches: Iterator) -> Iterator:
+            for pdf in decode(batches):
+                yield pdf[_BATTERY_COLS[:-1]]
+
+        return frame.mapInPandas(decode_no_hist, schema)
+    return frame.mapInPandas(decode, schema)

@@ -13,10 +13,12 @@ from namegraph_collections_spark.functions.multimodal import (
     N_HIST_BINS,
     byte_histogram_features,
     decode_av_headers,
+    decode_battery_legs,
     decode_image_headers,
     decode_media_meta,
     frame_sample,
     synthesize_av_files,
+    synthesize_battery_inputs,
     synthesize_image_files,
     synthesize_media,
 )
@@ -179,7 +181,10 @@ def _hist_leg(media: DataFrame) -> DataFrame:
 
 
 def _decode_legs(media: DataFrame, docs: DataFrame) -> DataFrame:
-    """`decode_media_meta` (Arrow mapInPandas header parse into typed
+    """LEGACY four-leg union (kept as the reference implementation the
+    round-13 single-pass battery is equality-pinned against in
+    tests/test_multimodal.py — not on any query path any more):
+    `decode_media_meta` (Arrow mapInPandas header parse into typed
     metadata) unioned with `frame_sample` (the row-exploding
     one-row→many-frames mapInPandas shape, every 2nd 64-byte frame of
     video payload bodies, emitted as an md5 so the driver
@@ -295,34 +300,16 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs (no shuffle anywhere, so sharing is free — no checkpoint
     needed).
     """
-    from pyspark.sql import functions as F
-
+    # Round 13: ONE synthesis projection + ONE Arrow pass emits the
+    # hist leg AND all four decode legs (the battery's single-pass
+    # rationale below) — 5 scan+exchange+mapInPandas legs became 1.
     docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
-    media = synthesize_media(docs)
-    null_i = F.lit(None).cast("int")
-    null_s = F.lit(None).cast("string")
-    hist = _hist_leg(media).select(
-        F.lit("hist").alias("op"),
-        "media_id",
-        "hist",
-        null_s.alias("kind"),
-        null_i.alias("width"),
-        null_i.alias("height"),
-        F.lit(None).cast("long").alias("n_bytes"),
-        null_s.alias("format"),
-        null_i.alias("frame_idx"),
-        null_s.alias("frame_md5"),
-        null_i.alias("bit_depth"),
-        null_i.alias("color"),
-        null_i.alias("color_res"),
-        null_i.alias("channels"),
-        null_i.alias("sample_rate"),
-        null_i.alias("bits_per_sample"),
-    )
-    decode = _decode_legs(media, docs).select(
+    return decode_battery_legs(
+        synthesize_battery_inputs(docs), with_hist=True
+    ).select(
         "op",
         "media_id",
-        null_s.alias("hist"),
+        "hist",
         "kind",
         "width",
         "height",
@@ -337,7 +324,6 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         "bits_per_sample",
     )
-    return hist.unionByName(decode)
 
 
 @register("multimodal_decode_battery", oracle=_DECODE_ORACLE)
@@ -352,9 +338,18 @@ def multimodal_decode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-char substr. The round-11 `imghdr` leg needs no such
     see-through: its payloads are structurally-valid PNG/JPEG byte
     streams and the parse is from-spec (image_header_decode). The
-    Python stages are the genuine library boundary (real PIXEL codecs
+    Python stage is the genuine library boundary (real PIXEL codecs
     would slot into `_decode_real`), Arrow-batched and
-    partition-parallel; everything around them is columnar.
+    partition-parallel; everything around it is columnar.
+
+    Round 13 (guide §2.3/§2.4 + §4): the four legs previously ran as
+    four independent scan→spread→synthesize→mapInPandas pipelines —
+    four corpus passes and four Python boundary crossings for byte
+    streams all derived from the SAME document row. One projection now
+    synthesizes every payload side by side and ONE Arrow pass emits
+    all legs' rows (functions/multimodal.py::decode_battery_legs);
+    row-equality against the legacy union is pinned in
+    tests/test_multimodal.py.
     """
     docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
-    return _decode_legs(synthesize_media(docs), docs)
+    return decode_battery_legs(synthesize_battery_inputs(docs))

@@ -256,3 +256,40 @@ def test_synthesized_av_files_parse_to_the_oracle_fields(spark):
             assert r.sample_rate == n_chars % 40000 + 8000
             assert r.bits_per_sample == (8, 16, 24)[doc_id % 3]
             assert r.n_bytes == 76
+
+
+def test_single_pass_battery_matches_legacy_legs(spark, sf_dir):
+    """Round-13 single-pass battery decode == the legacy 4-leg union,
+    row for row (including the hist leg of the histogram layout)."""
+    from namegraph_collections_spark.functions.multimodal import (
+        decode_battery_legs,
+        synthesize_battery_inputs,
+        synthesize_media,
+    )
+    from namegraph_collections_spark.queries.multimodal import _decode_legs, _hist_leg
+    from namegraph_collections_spark.queries.registry import spread, tbl
+
+    docs = spread(tbl(spark, sf_dir, "documents"), "doc_id")
+    legacy = _decode_legs(synthesize_media(docs), docs)
+    merged = decode_battery_legs(synthesize_battery_inputs(docs))
+    # names+types must match exactly; nullability may differ (a lit()
+    # column is non-nullable, a mapInPandas schema field is nullable —
+    # the driver's schema check compares names and types, and the
+    # value hash is unaffected)
+    assert [(f.name, f.dataType) for f in merged.schema.fields] == [
+        (f.name, f.dataType) for f in legacy.schema.fields
+    ]
+    l = sorted(tuple(map(repr, r)) for r in legacy.collect())
+    m = sorted(tuple(map(repr, r)) for r in merged.collect())
+    assert m == l
+    # hist leg (the multimodal_byte_histogram layout)
+    hist_legacy = sorted(
+        (r.media_id, r.hist) for r in _hist_leg(synthesize_media(docs)).collect()
+    )
+    hist_merged = sorted(
+        (r.media_id, r.hist)
+        for r in decode_battery_legs(synthesize_battery_inputs(docs), with_hist=True)
+        .filter("op = 'hist'")
+        .collect()
+    )
+    assert hist_merged == hist_legacy
