@@ -31,6 +31,7 @@ from namegraph_collections_spark.queries.corpus_stats import (
     assert_diversity_bound,
     quantized_unit_vectors,
 )
+from namegraph_collections_spark.queries.similarity import DIM
 
 #: State schema: (label, dim, s, self2, n) — see module docstring.
 STATE_COLS = ["label", "dim", "s", "self2", "n"]
@@ -47,47 +48,46 @@ def diversity_state_for(emb: DataFrame, extra: str | None = None) -> DataFrame:
     ``extra`` names a pass-through grouping column (the single-pass
     fold fixture's batch tag — see ivf_state_for's docstring)."""
     grp = [extra] if extra is not None else []
-    # persist, not localCheckpoint: both share the scan+normalize
-    # across the two consumers (dims + sentinel), but a lazy
-    # checkpoint physically PLANS the subtree on the driver at build
-    # time (~1s per call — round-12 finding while building the
-    # maintainer battery, which constructs this program once per fold
-    # batch), while persist defers to execution and keeps the full
-    # lineage visible to the plan guards.
-    qv = quantized_unit_vectors(emb, extra=extra).persist()
-    dims = (
+    # Single-pass shape (optimization round 13): the sentinel row's
+    # (self2, n) used to be a SECOND aggregation over the shared
+    # quantized vectors, which forced a persist() of qv that outlived
+    # the caller's query (the r12 verdict's unpersist-hygiene item) —
+    # and a second corpus pass at scale. Both granularities come out
+    # of ONE rollup aggregation instead (grouping sets (label[,tag],
+    # dim) and (label[,tag])): the sentinel's self2 is the same
+    # exact-integer Σ qc² in a coarser grouping (long sums are
+    # associative — bit-identical), and n is the coarse row count
+    # div DIM (every vector contributes exactly one exploded row per
+    # dimension; the DIM-width invariant is fixture-pinned). A single
+    # projection then shapes each grouping-set row into its state row
+    # — one scan, one aggregation, no union, no cache entry.
+    qv = quantized_unit_vectors(emb, extra=extra)
+    per = (
         qv.select("label", *grp, F.posexplode("qv").alias("dim", "qc"))
-        .groupBy("label", "dim", *grp)
-        .agg(F.sum("qc").cast("long").alias("s"))
-        .select(
-            "label",
-            F.col("dim").cast("long").alias("dim"),
-            *grp,
-            "s",
-            F.lit(0).cast("long").alias("self2"),
-            F.lit(0).cast("long").alias("n"),
+        .rollup("label", *grp, "dim")
+        .agg(
+            F.sum("qc").cast("long").alias("s"),
+            F.sum(F.col("qc") * F.col("qc")).cast("long").alias("q2"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.grouping_id().alias("_gid"),
         )
     )
-    sentinel = qv.groupBy("label", *grp).agg(
-        F.sum(
-            F.aggregate(
-                F.transform("qv", lambda v: v * v),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-        )
-        .cast("long")
-        .alias("self2"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    ).select(
+    # _gid: last bit = dim rolled up. 0 → per-(label[,tag], dim)
+    # detail row; 1 → per-(label[,tag]) sentinel source. Coarser
+    # prefixes (label-only under a tag, grand total) are dropped.
+    zero = F.lit(0).cast("long")
+    return per.filter(F.col("_gid") <= 1).select(
         "label",
-        F.lit(SENTINEL_DIM).cast("long").alias("dim"),
+        F.when(F.col("_gid") == 0, F.col("dim").cast("long"))
+        .otherwise(F.lit(SENTINEL_DIM).cast("long"))
+        .alias("dim"),
         *grp,
-        F.lit(0).cast("long").alias("s"),
-        "self2",
-        "n",
+        F.when(F.col("_gid") == 0, F.col("s")).otherwise(zero).alias("s"),
+        F.when(F.col("_gid") == 1, F.col("q2")).otherwise(zero).alias("self2"),
+        F.when(F.col("_gid") == 1, F.expr(f"cnt div {int(DIM)}"))
+        .otherwise(zero)
+        .alias("n"),
     )
-    return dims.unionByName(sentinel)
 
 
 def maintain_diversity_state(

@@ -129,7 +129,13 @@ def semdedup_from(emb: DataFrame, assigned: DataFrame) -> DataFrame:
     # side, final left join) and each reference would otherwise replay
     # the whole k-means subtree — ReusedExchange does not dedup the
     # repeated subtrees (the measured battery finding). Three ints per
-    # vector; persist (evictable) per the ivf_topk centroid rationale.
+    # vector. Lifecycle: corpus-grain, so an eager localCheckpoint was
+    # A/B'd as the hygiene alternative and measured SLOWER (3.11s vs
+    # 2.88s on semdedup_keep_list, round 13) — the checkpoint
+    # materializes the window output before the blocker filter can
+    # narrow it. The entry stays in the CacheManager until session end
+    # or eviction (MEMORY_AND_DISK is evictable); bench runs clear it
+    # via clearCache between queries.
     ranked = slim.withColumn("rnk", F.row_number().over(w)).persist()
 
     blockers = ranked.filter(F.col("rnk") <= SEMDEDUP_CAP).select(

@@ -72,15 +72,66 @@ def test_streaming_twin_matches_the_one_shot(spark, tmp_path):
     assert _rows(got) == _rows(want)
 
 
+def test_rollup_state_matches_legacy_two_pass_shape(spark):
+    """Round-13 internals change: diversity_state_for now emits the
+    per-(label, dim) rows AND the sentinel row from ONE rollup
+    aggregation (no second pass over qv, no persist, no union). Pin it
+    against the legacy construction — detail aggregation unioned with
+    a separate sentinel aggregation — which must be bit-identical
+    (integer sums are associative; n counts vectors either way)."""
+    import pyspark.sql.functions as F
+
+    from namegraph_collections_spark.operators.diversity_maintain import SENTINEL_DIM
+    from namegraph_collections_spark.queries.corpus_stats import (
+        quantized_unit_vectors,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = quantized_unit_vectors(emb)
+    dims = (
+        qv.select("label", F.posexplode("qv").alias("dim", "qc"))
+        .groupBy("label", "dim")
+        .agg(F.sum("qc").cast("long").alias("s"))
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            "s",
+            F.lit(0).cast("long").alias("self2"),
+            F.lit(0).cast("long").alias("n"),
+        )
+    )
+    sentinel = qv.groupBy("label").agg(
+        F.sum(
+            F.aggregate(
+                F.transform("qv", lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        )
+        .cast("long")
+        .alias("self2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "label",
+        F.lit(SENTINEL_DIM).cast("long").alias("dim"),
+        F.lit(0).cast("long").alias("s"),
+        "self2",
+        "n",
+    )
+    want = dims.unionByName(sentinel)
+    got = diversity_state_for(emb)
+    assert _rows(got) == _rows(want)
+
+
 def test_exactness_bound_raises_instead_of_wrapping(spark, monkeypatch):
     """Round-10 ADVICE: the signed-64 exactness bound is the ALIGNED
     worst case (~3e6 vectors/group), and it must RAISE — non-ANSI
     Spark would otherwise wrap sum(s*s) silently. The bound constant
     is monkeypatched down so the guard path is exercised without 3e6
     rows. The assert can fire inside an AQE broadcast-stage
-    materialization (since the qv share moved from localCheckpoint to
-    persist), where it surfaces as the wrapped Py4J stage error rather
-    than a converted SparkRuntimeException — match on the message."""
+    materialization, where it surfaces as the wrapped Py4J stage error
+    rather than a converted SparkRuntimeException — match on the
+    message."""
     from namegraph_collections_spark.queries import corpus_stats
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
