@@ -1220,25 +1220,63 @@ def banded_dedup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands / quality / the exact-Jaccard truth side are three
     # INDEPENDENT subtrees — checkpoint them from the §2.6 thread
     # pool so their AQE job chains overlap instead of running
-    # serially on the driver; rep_full (depends on bands + quality)
-    # and tune_cand (depends on bands) form the second wave.
-    bands, quality, tune_truth = checkpoint_parallel(
-        _minhash_bands(docs),
-        doc_quality_signals(spark, sf_dir),
-        ngram_jaccard_pairs(spark, sf_dir).select(
-            "doc_a",
-            "doc_b",
-            F.expr("CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)").alias(
-                "j_micro"
-            ),
-        ),
-    )
-    rep_full, tune_cand = checkpoint_parallel(
-        neardup_representatives_from(
-            docs, _minhash_pairs_from(bands), quality
-        ),
-        _minhash_pairs_from(bands).withColumn("hit", F.lit(1)),
-    )
+    # serially on the driver. Round 13: the second wave is scheduled
+    # as a dependency DAG instead of a barrier — rep_full needs only
+    # (bands, quality) and tune_cand only bands, but the former
+    # two-wave shape made both wait for tune_truth, the measured
+    # wave-1 straggler (truth 3.3s vs bands 0.7s + quality 0.4s warm;
+    # rep_full 3.3s is the wave-2 straggler, so chaining it off
+    # bands+quality overlaps it with truth's shingle pass). Same
+    # frames, same checkpoints, same results — only the submission
+    # schedule changes (the checkpoint_parallel contract note).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _ck(df):
+        return df.localCheckpoint(eager=False)
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        bands_f = pool.submit(
+            inheritable_thread_target(lambda: _ck(_minhash_bands(docs)))
+        )
+        quality_f = pool.submit(
+            inheritable_thread_target(lambda: _ck(doc_quality_signals(spark, sf_dir)))
+        )
+        truth_f = pool.submit(
+            inheritable_thread_target(
+                lambda: _ck(
+                    ngram_jaccard_pairs(spark, sf_dir).select(
+                        "doc_a",
+                        "doc_b",
+                        F.expr(
+                            "CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)"
+                        ).alias("j_micro"),
+                    )
+                )
+            )
+        )
+        rep_f = pool.submit(
+            inheritable_thread_target(
+                lambda: _ck(
+                    neardup_representatives_from(
+                        docs, _minhash_pairs_from(bands_f.result()), quality_f.result()
+                    )
+                )
+            )
+        )
+        cand_f = pool.submit(
+            inheritable_thread_target(
+                lambda: _ck(
+                    _minhash_pairs_from(bands_f.result()).withColumn("hit", F.lit(1))
+                )
+            )
+        )
+        bands = bands_f.result()
+        quality = quality_f.result()
+        tune_truth = truth_f.result()
+        rep_full = rep_f.result()
+        tune_cand = cand_f.result()
     inc = incremental_minhash_dedup_from(docs, bands).select(
         F.lit("incremental").alias("op"),
         _NULL_S().alias("fp"),
