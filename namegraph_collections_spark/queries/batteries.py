@@ -36,7 +36,6 @@ from namegraph_collections_spark.queries.quality_signals import (
 )
 from namegraph_collections_spark.queries.registry import (
     REGISTRY,
-    checkpoint_parallel,
     register,
     spread,
     tbl,
@@ -314,15 +313,32 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-execution this docstring's first paragraph removed.
     """
     emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
-    assigned, cents = kmeans_lists(emb)
-    # The k-means assignment and the brute-force search are
-    # independent subtrees: checkpoint them from the §2.6 thread pool
-    # so their AQE job chains overlap instead of running serially on
-    # the driver (checkpoint_parallel's docstring has the mechanism).
-    assigned, cos_full = checkpoint_parallel(
-        assigned, cosine_topk_bruteforce(spark, sf_dir)
+    # Three independent job-running roots (guide §2.6), scheduled as a
+    # DAG from the thread pool (round 13 — the banded-dedup precedent):
+    # (a) the k-means chain (per-round eager k-row checkpoints make its
+    #     BUILD job-running) → assigned checkpoint → IVF search
+    #     checkpoint, chained inside one thread;
+    # (b) the brute-force cosine search checkpoint;
+    # (c) the PQ Lloyd chain behind pq_rerank_topk (same job-running
+    #     build as (a)).
+    # Before, (a) ran serially first, then (b) in a barrier wave, then
+    # (c) inside the recall leg — each chain's driver planning idled
+    # the others' executor work. Same plans, same checkpoints, same
+    # results; only the submission schedule changes.
+    from namegraph_collections_spark.queries.registry import build_parallel
+
+    def _ann_chain():
+        assigned, cents = kmeans_lists(emb)
+        assigned = assigned.localCheckpoint(eager=False)
+        ivf_full = ivf_topk_from(emb, assigned, cents).localCheckpoint(eager=False)
+        return assigned, ivf_full
+
+    (assigned, ivf_full), cos_full, pq_full = build_parallel(
+        spark,
+        _ann_chain,
+        lambda: cosine_topk_bruteforce(spark, sf_dir).localCheckpoint(eager=False),
+        lambda: pq_rerank_topk(spark, sf_dir),
     )
-    ivf_full = ivf_topk_from(emb, assigned, cents).localCheckpoint(eager=False)
     cos = cos_full.select(
         F.lit("cos").alias("op"),
         "q_id",
@@ -359,9 +375,7 @@ def similarity_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         _NULL_B().alias("keep"),
     )
-    recall = recall_eval_from(
-        cos_full, ivf_full, pq_rerank_topk(spark, sf_dir)
-    ).select(
+    recall = recall_eval_from(cos_full, ivf_full, pq_full).select(
         F.lit("recall").alias("op"),
         "q_id",
         _NULL_L().alias("c_id"),
