@@ -1459,14 +1459,28 @@ def pq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank over the ADC shortlist. Components unchanged:
     queries/similarity_pq.py.
     """
-    adc = pq_adc_topk(spark, sf_dir).select(
+    # ONE codebook training feeds both legs (round 13, the
+    # `ivf_topk_from` seam precedent): the singles each run the full
+    # PQ Lloyd chain, so composing them verbatim trained the SAME
+    # deterministic codebook twice — the training executes at build
+    # time (per-round eager checkpoints), so sharing the scored frame
+    # halves the battery's training work while the legs' results stay
+    # bit-identical to the singles'.
+    from namegraph_collections_spark.queries.similarity_pq import (
+        _adc_scored,
+        pq_adc_topk_from,
+        pq_rerank_topk_from,
+    )
+
+    scored = _adc_scored(spark, sf_dir)
+    adc = pq_adc_topk_from(scored).select(
         F.lit("adc").alias("op"),
         "q_id",
         "c_id",
         F.col("approx_l2").alias("score"),
         "rnk",
     )
-    rr = pq_rerank_topk(spark, sf_dir).select(
+    rr = pq_rerank_topk_from(spark, sf_dir, scored).select(
         F.lit("rerank").alias("op"),
         "q_id",
         "c_id",

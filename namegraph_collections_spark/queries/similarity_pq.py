@@ -170,7 +170,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist — pq_rerank_topk below registers exactly that
     composition.
     """
-    scored = _adc_scored(spark, sf_dir)
+    return pq_adc_topk_from(_adc_scored(spark, sf_dir))
+
+
+def pq_adc_topk_from(scored: DataFrame) -> DataFrame:
+    """The ADC top-k tail over an ALREADY-BUILT scored frame — the
+    sharing seam that lets pq_battery feed both its legs from ONE
+    codebook training (the `ivf_topk_from` precedent; the single
+    builds its own)."""
     w = Window.partitionBy("q_id").orderBy(F.col("dist_int").asc(), F.col("c_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -340,7 +347,15 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the only point raw vectors are read, and it is id-keyed —
     partition-prunable and broadcastable per query batch.
     """
-    scored = _adc_scored(spark, sf_dir)
+    return pq_rerank_topk_from(spark, sf_dir, _adc_scored(spark, sf_dir))
+
+
+def pq_rerank_topk_from(
+    spark: SparkSession, sf_dir: str, scored: DataFrame
+) -> DataFrame:
+    """The shortlist + exact-rerank tail over an ALREADY-BUILT scored
+    frame — the sharing seam for pq_battery (one codebook training
+    feeds both legs; the single builds its own)."""
     ws = Window.partitionBy("q_id").orderBy(F.col("dist_int").asc(), F.col("c_id").asc())
     shortlist = (
         scored.withColumn("srnk", F.row_number().over(ws))
